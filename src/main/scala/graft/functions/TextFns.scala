@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-pipeline column expression builders (all codegen'd built-ins — no
+  * UDFs, per SURVEY §2 "Functions, not UDFs"). Shared between the dedup /
+  * text-analysis queries and their DuckDB oracle SQL (the constants below
+  * are interpolated into both sides so the math is identical).
+  */
+object TextFns {
+
+  /** Whitespace tokens (single-space split — matches DuckDB string_split). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** word 3-gram shingles of a token array (0-based transform). */
+  def grams3(t: Column): Column =
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5, as a
+    * positive long. DuckDB mirror: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash family: h_k(x) = (A(k) * (h60 % P) + B(k)) % P.
+    * A,B < 2^26 and (h60 % P) < 2^31 keep products within long range.
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Array[Long] = Array(
+    2971L, 4583L, 6037L, 7919L, 9973L, 11587L, 13469L, 15773L,
+    17393L, 19391L, 21143L, 23399L, 25523L, 27653L, 29443L, 31393L)
+  val MinhashB: Array[Long] = Array(
+    1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L, 196613L,
+    393241L, 786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L, 50331653L)
+  val MinhashK: Int = MinhashA.length
+
+  def minhashK(k: Int, hm: Column): Column =
+    (lit(MinhashA(k)) * hm + lit(MinhashB(k))) % lit(MinhashP)
+
+  /** Stopword mini-dictionaries for the language-ID heuristic. */
+  val StopEn: Seq[String] = Seq("the", "a", "and", "of", "to")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "los")
+  val StopFr: Seq[String] = Seq("le", "les", "des", "est", "une")
+
+  /** #tokens that are members of the given word set (exact match). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Rolling polynomial fingerprint over characters:
+    * fold(acc=0; acc = (acc*31 + ascii(char)) % 1e9+7). Sequential fold =>
+    * deterministic and identical to the DuckDB list_reduce mirror.
+    */
+  val FpMod: Long = 1000000007L
+  def fingerprint(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % lit(FpMod))
+}

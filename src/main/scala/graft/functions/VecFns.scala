@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector column expressions. Dot products are sequential left
+  * folds over the array (Spark `aggregate` HOF) so results are bitwise
+  * deterministic and reproducible in the DuckDB oracle's list_reduce
+  * mirror — a parallel/tree reduction would make cosine hash-unstable.
+  */
+object VecFns {
+
+  /** float[] -> double[] (exact widening). */
+  def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential dot product of two equal-length double arrays. */
+  def dotSeq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine(a, b) = dot / sqrt(dot(a,a) * dot(b,b)) — the parenthesization
+    * matches the oracle SQL exactly.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotSeq(a, b) / sqrt(dotSeq(a, a) * dotSeq(b, b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component
+    * (j,d) = (((j*64+d+1) * 2654435761) mod 1999 - 999) / 1000 ∈ (-1, 1).
+    * Pure integer math — the same literals are embedded in the Spark plan
+    * and the oracle SQL.
+    */
+  val LshPlanes: Int = 8
+  val LshDim: Int = 64
+  def hyperplane(j: Int): Array[Double] =
+    Array.tabulate(LshDim) { d =>
+      ((((j.toLong * LshDim + d + 1) * 2654435761L) % 1999L) - 999L) / 1000.0
+    }
+
+  /** Sign-LSH bucket id in [0, 2^planes): bit j = (hp_j · v > 0). */
+  def lshBucket(vDouble: Column): Column =
+    (0 until LshPlanes).map { j =>
+      val hp = lit(hyperplane(j))
+      when(dotSeq(hp, vDouble) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL fragment for the same sequential dot product. */
+  def sqlDotSeq(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, $LshDim + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** DuckDB SQL literal for hyperplane j (parenthesized so it can be
+    * indexed: `(...::DOUBLE[])[i]`).
+    */
+  def sqlHyperplane(j: Int): String =
+    hyperplane(j).mkString("([", ", ", "]::DOUBLE[])")
+}

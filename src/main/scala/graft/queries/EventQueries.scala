@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over `events` (ts read as bigint nanos — see
+  * Tables). Sessionization and running windows are the batch forms of the
+  * Structured Streaming surface (graft.streaming mirrors them with
+  * watermarks + mapGroupsWithState); JSON extraction and grouped top-N
+  * cover the props column and rank patterns.
+  *
+  * Scale: windows partition by user_id — the natural shuffle key; no
+  * global sort except the final presentation ORDER BY.
+  */
+object EventQueries {
+
+  private val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+
+  /** Exact decimal sum of a 2-decimal double, as double (see CoreQueries). */
+  private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionization: 30-min inactivity gap splits a user's events into
+    // sessions; one row per session.
+    "e01_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("gap",
+          when(col("ts") - lag("ts", 1).over(w) > SessionGapNs, 1L)
+            .otherwise(when(lag("ts", 1).over(w).isNull, 1L).otherwise(0L)))
+        .withColumn("session_id", sum("gap").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"),
+          sumMoney(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Running per-user window stats: cumulative count and exact cumulative
+    // value sum in (ts, event_id) order.
+    "e02_running_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("running_cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_sum"))
+        .orderBy("event_id")
+    },
+
+    // JSON props extraction + per-type aggregate (the reference's F1
+    // regex-UDF surface upgraded to real JSON path extraction).
+    "e03_json_stats" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Grouped top-N: top-3 events per type by value (rank pattern).
+    "e04_topn_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(desc("value"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy("event_type", "rn")
+    },
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata,
+    // deterministic signature features (the decode stage itself is stubbed
+    // in graft.multimodal — no image libs in this container).
+    "m01_binary_meta" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast(LongType).as("nbytes"),
+          substring(md5(col("payload")), 1, 8).as("sig"),
+          substring(hex(col("payload")), 1, 16).as("head_hex"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) AS tsn FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, value, tsn,
+         |    CASE WHEN tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > $SessionGapNs
+         |         THEN 1 WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS gap
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, event_id, value,
+         |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(event_id) AS first_event, max(event_id) AS last_event,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "e02_running_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS running_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "e03_json_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e04_topn_per_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |  substr(md5(text), 1, 8) AS sig,
+        |  substr(hex(encode(text)), 1, 16) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

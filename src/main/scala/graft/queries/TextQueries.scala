@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns._
+
+/** Text-analysis operators over `documents`: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd), one scan each, no shuffle except the
+  * final presentation sort.
+  */
+object TextQueries {
+
+  private val langs: Seq[(String, Seq[String])] =
+    Seq("en" -> StopEn, "de" -> StopDe, "es" -> StopEs, "fr" -> StopFr)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: stopword-hit argmax with fixed precedence (en > de >
+    // es > fr > unknown on all-zero).
+    "t01_langid" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id") +: langs.map { case (l, ws) =>
+          stopwordHits(toks, ws).cast(LongType).as(s"s_$l")
+        }: _*)
+      val best = greatest(langs.map(l => col(s"s_${l._1}")): _*)
+      val pred = when(best === 0, "unknown")
+        .when(col("s_en") === best, "en")
+        .when(col("s_de") === best, "de")
+        .when(col("s_es") === best, "es")
+        .otherwise("fr")
+      scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    },
+
+    // Quality scoring: length/word/stopword-ratio features into a bounded
+    // score. Pure double arithmetic — bit-identical to the oracle.
+    "t02_quality" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("chars"),
+          size(toks).cast(LongType).as("words"),
+          (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+            size(toks)).as("avg_word_len"),
+          (stopwordHits(toks, StopEn).cast(DoubleType) / size(toks)).as("stop_ratio"))
+        .withColumn("quality",
+          round(lit(0.5) * least(col("words") / 100.0, lit(1.0)) +
+            lit(0.3) * least(col("avg_word_len") / 8.0, lit(1.0)) +
+            lit(0.2) * col("stop_ratio"), 6))
+        .withColumn("avg_word_len", round(col("avg_word_len"), 6))
+        .withColumn("stop_ratio", round(col("stop_ratio"), 6))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens
+    // (letter-runs | digit-runs | single punctuation).
+    "t03_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+            .cast(LongType).as("re_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: sequential rolling polynomial hash over the
+    // full text and over the first 64 chars.
+    "t04_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp_full"),
+          fingerprint(substring(col("text"), 1, 64)).as("fp_head"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private def sqlHits(ws: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_langid" -> {
+      val scores = langs.map { case (l, ws) => s"CAST(${sqlHits(ws)} AS BIGINT) AS s_$l" }
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM toks)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS awl,
+         |    CAST(${sqlHits(StopEn)} AS DOUBLE) / len(t) AS sr
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+         |SELECT doc_id, chars, words, round(awl, 6) AS avg_word_len,
+         |  round(sr, 6) AS stop_ratio,
+         |  round(0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t03_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" -> {
+      def fp(e: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % $FpMod)"
+      s"""SELECT doc_id, ${fp("text")} AS fp_full, ${fp("substr(text, 1, 64)")} AS fp_head
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+  )
+}
