@@ -14,8 +14,18 @@ object VecFns {
   /** float[] -> double[] (exact widening). */
   def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
-  /** Sequential dot product of two equal-length double arrays. */
+  /** Sequential dot product of two equal-length double arrays, via the
+    * codegen'd native expression (graft.expressions.DotProductD,
+    * registered by Tables on first use). Same left-to-right fold as
+    * [[dotFold]] — bitwise identical results.
+    */
   def dotSeq(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Reference implementation of the same fold with built-in higher-order
+    * functions (interpreted per element — kept for equivalence testing).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** cosine(a, b) = dot / sqrt(dot(a,a) * dot(b,b)) — the parenthesization
@@ -23,6 +33,23 @@ object VecFns {
     */
   def cosine(a: Column, b: Column): Column =
     dotSeq(a, b) / sqrt(dotSeq(a, a) * dotSeq(b, b))
+
+  /** L2-normalized copy of a double array: x / sqrt(dot(v,v)). Normalizing
+    * once per vector turns every pairwise cosine into a single dot product
+    * — at 100 TB the norm pass is a linear scan vs the quadratic pair
+    * stage, so this is the only sane shape. The oracle mirrors the same
+    * ops (divide each element, then sequential dot), keeping bits equal.
+    */
+  def l2normalize(v: Column): Column = {
+    val n = sqrt(dotSeq(v, v))
+    transform(v, x => x / n)
+  }
+
+  /** DuckDB SQL fragment mirroring l2normalize over column expr `e`
+    * (parenthesized so cast expressions can be indexed inside the dot).
+    */
+  def sqlL2Normalize(e: String): String =
+    s"list_transform(($e), x -> x / sqrt(${sqlDotSeq(s"($e)", s"($e)")}))"
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * (j,d) = (((j*64+d+1) * 2654435761) mod 1999 - 999) / 1000 ∈ (-1, 1).

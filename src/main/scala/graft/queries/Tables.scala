@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
       // read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a nanos
