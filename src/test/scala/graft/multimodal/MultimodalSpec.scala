@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello world"),
+    (2L, "a" * 1000),
+    (3L, "xyz")).toDF("doc_id", "text")
+
+  test("fromStrings: media schema with binary payload + metadata") {
+    val m = Multimodal.fromStrings(docs, "doc_id", "text")
+    assert(m.schema == Multimodal.mediaSchema)
+    val r = m.filter(col("media_id") === 2L).collect()(0)
+    assert(r.getAs[Long]("n_bytes") == 1000L)
+    assert(r.getAs[Array[Byte]]("payload").length == 1000)
+  }
+
+  test("extractFeatures: mapPartitions batch decode with stub codec") {
+    val m = Multimodal.fromStrings(docs, "doc_id", "text").as[Multimodal.MediaRow]
+    val f = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    assert(f.length == 3)
+    assert(f.forall(_.feature.length == 16))
+    // deterministic stub: same payload -> same features
+    val (w, h, n, feat) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(f(0).width == w && f(0).height == h && f(0).n_frames == n)
+    assert(f(0).feature.toSeq == feat.toSeq)
+  }
+
+  test("frameSample: fixed-stride binary windows, empties dropped") {
+    val m = Multimodal.fromStrings(docs, "doc_id", "text")
+    val frames = Multimodal.frameSample(m, k = 4, frameBytes = 5)
+    assert(frames.schema("frame").dataType == BinaryType)
+    val forDoc1 = frames.filter(col("media_id") === 1L)
+      .orderBy("frame_idx").collect()
+    // "hello world" = 11 bytes -> 3 non-empty windows of 5
+    assert(forDoc1.length == 3)
+    assert(new String(forDoc1(0).getAs[Array[Byte]]("frame"), "UTF-8") == "hello")
+    assert(new String(forDoc1(2).getAs[Array[Byte]]("frame"), "UTF-8") == "d")
+  }
+
+  test("repartitionBySize: partitioning survives with all rows intact") {
+    val m = Multimodal.fromStrings(docs, "doc_id", "text")
+    val rep = Multimodal.repartitionBySize(m, 4)
+    assert(rep.count() == 3)
+    assert(rep.rdd.getNumPartitions == 4)
+  }
+}

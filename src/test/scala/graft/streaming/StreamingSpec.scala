@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
+
+  test("sessionize (batch): gap splits, totals, event bounds") {
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val events = Seq(
+      Streaming.Event(1L, 0L, 10L, 1.0),
+      Streaming.Event(1L, gap, 11L, 2.0), // exactly gap -> same session
+      Streaming.Event(1L, 2 * gap + 1, 12L, 3.0), // gap+1 after -> new session
+      Streaming.Event(2L, 0L, 20L, 5.0)).toDS()
+    val out = Streaming.sessionize(events, gap).collect()
+      .sortBy(s => (s.user_id, s.session_start_ns))
+    assert(out.length == 3)
+    assert(out(0) == Streaming.Session(1L, 0L, 2, 10L, 11L, 3.0))
+    assert(out(1) == Streaming.Session(1L, 2 * gap + 1, 1, 12L, 12L, 3.0))
+    assert(out(2) == Streaming.Session(2L, 0L, 1, 20L, 20L, 5.0))
+  }
+
+  test("windowedTypeStats over a MemoryStream: incremental windowed aggs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "event_type", "value")
+      .select(Streaming.tsFromNanos(col("ts_ns")).as("ts"),
+        col("event_type"), col("value"))
+    val agg = Streaming.windowedTypeStats(events, "1 hour", "2 hours")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName("wstats")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((0L, "click", 1.5), (H / 2, "click", 2.5), (H + 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wstats")
+        .select("event_type", "cnt", "total_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 4.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
