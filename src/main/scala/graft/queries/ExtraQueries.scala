@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage beyond the reference's own operator set (SURVEY §2.3/§2.4
+  * "absent" rows + §2.7 date/JSON notes): semi/anti joins, intersect/
+  * except, tumbling windows, date part aggregation, schema'd JSON
+  * parsing, rollup, bucketed histograms, unpivot. Each with a DuckDB
+  * oracle and the same determinism rules as CoreQueries.
+  */
+object ExtraQueries {
+
+  private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private val DayNs = 86400L * 1000 * 1000 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // left-semi: the scale-safe rewrite of the reference's
+    // isin-against-collected-list membership filters (SURVEY §2.3)
+    "x01_semi_join" -> { (s, dir) =>
+      val bigSpenders = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, dir, "customer")
+        .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // left-anti: the complement
+    "x02_anti_join" -> { (s, dir) =>
+      val bigSpenders = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, dir, "customer")
+        .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // intersect of two projections
+    "x03_intersect" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      p.filter(col("p_size") < 10).select("p_brand")
+        .intersect(p.filter(col("p_size") > 40).select("p_brand"))
+        .orderBy("p_brand")
+    },
+
+    // except (distinct) of two projections
+    "x04_except" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      p.filter(col("p_size") < 10).select("p_brand")
+        .except(p.filter(col("p_size") > 40).select("p_brand"))
+        .orderBy("p_brand")
+    },
+
+    // tumbling 1-day windows over the event stream (batch form of
+    // graft.streaming.windowedTypeStats; ns arithmetic keeps the bigint
+    // timestamp exact)
+    "x05_window_tumbling" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select((col("ts") - col("ts") % DayNs).as("day_ns"),
+          col("event_type"), col("value"))
+        .groupBy("day_ns", "event_type")
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("total_value"))
+        .orderBy("day_ns", "event_type")
+    },
+
+    // date-part aggregation on a real timestamp column
+    "x06_date_parts" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("y", "m")
+    },
+
+    // schema'd JSON parsing of the props column (vs q07's regex and
+    // e03's path extraction)
+    "x07_from_json" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .orderBy("event_id")
+    },
+
+    // rollup: region/nation customer counts with subtotal rows
+    "x08_rollup" -> { (s, dir) =>
+      // Spark 4.1's ambiguous-self-join detector misfires on rollup/cube
+      // over any join-derived frame (single-table rollup is fine; fresh
+      // aliases don't help — the rollup Expand duplicates the dataset-id
+      // tags). Disable the misfiring check, as its own error message
+      // suggests; there is no actual self-join here.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        // project before rollup: the grouping output columns would
+        // otherwise be ambiguous against the join inputs in the sort
+        .select("r_name", "n_name")
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"))
+        // fresh attributes: the rollup's Expand node duplicates grouping
+        // attributes and a by-name sort is flagged ambiguous otherwise
+        .toDF("r_name", "n_name", "cnt")
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // fixed-width histogram over a double measure
+    "x09_histogram" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+
+    // unpivot wide numeric columns into (metric, value) long format —
+    // inverse of q11's pivot (R4)
+    "x10_unpivot" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          explode(map(
+            lit("p_retailprice"), col("p_retailprice"),
+            lit("p_size"), col("p_size").cast(DoubleType))).as(Seq("metric", "value")))
+        .orderBy("p_partkey", "metric")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "x02_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "x03_intersect" ->
+      """SELECT p_brand FROM part WHERE p_size < 10
+        |INTERSECT
+        |SELECT p_brand FROM part WHERE p_size > 40
+        |ORDER BY p_brand""".stripMargin,
+    "x04_except" ->
+      """SELECT p_brand FROM part WHERE p_size < 10
+        |EXCEPT
+        |SELECT p_brand FROM part WHERE p_size > 40
+        |ORDER BY p_brand""".stripMargin,
+    "x05_window_tumbling" ->
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS day_ns, event_type,
+         |  count(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events GROUP BY day_ns, event_type
+         |ORDER BY day_ns, event_type""".stripMargin,
+    "x06_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "x07_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x08_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "x09_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x10_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin
+  )
+}
