@@ -24,7 +24,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // This VM delivers ~6 effective cores with heavy kernel overhead; C2
+  // JIT compilation of Spark's whole-stage-codegen classes caused
+  // 200+ s first-run cliffs (measured 218s -> 8s with C1-only). Cap the
+  // JIT tier and compiler threads for predictable runs; override via
+  // GRAFT_EXTRA_JVM (appended last, wins on duplicate -XX flags).
+  "-XX:TieredStopAtLevel=1",
+  "-XX:CICompilerCount=2",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] single-JVM Spark: the driver is the executor; 8g caused
+  // GC-bound 10-25x slowdowns on shuffle-heavy queries (the box has 128g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)

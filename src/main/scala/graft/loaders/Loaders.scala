@@ -120,10 +120,17 @@ final class Project(
     Ops.replaceOrganism(Ops.unionWithMissing(perProject)).distinct()
   }
 
+  /** (project -> samples) in ONE collect — a per-project filter+collect
+    * loop would launch thousands of tiny jobs at corpus scale.
+    */
+  private lazy val samplesByProject: Map[String, List[String]] =
+    metadata.select("project", "external_id").distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getString(1)).toList.sorted }
+
   private def perProjectSamples(pid: String): List[String] =
-    metadata.filter(col("project") === pid)
-      .select("external_id").distinct()
-      .collect().map(_.getString(0)).toList.sorted
+    samplesByProject.getOrElse(pid, Nil)
 
   private def annotationUrl(dtype: Dtype): Option[String] = {
     val ann = annotation.getOrElse(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.VecFns._
 
@@ -49,6 +50,46 @@ object SimilarityQueries {
       val c = v.as("c")
       topk(q, c,
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+    },
+
+    // IVF-style top-k: coarse quantizer = per-label spherical centroids
+    // (elementwise decimal-exact mean of normalized vectors), probe the
+    // best centroid, search only that cluster. At scale: centroids are a
+    // tiny broadcast table and the cluster scan is partition-pruned by
+    // the inverted-list key.
+    "s03_ivf_topk" -> { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+      // centroids: order-independent elementwise mean via DECIMAL sums
+      val centroids = v
+        .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast(DecimalType(28, 9))).cast(DoubleType) /
+          count(lit(1))).as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("c"))
+        .withColumnRenamed("label", "c_label")
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val best = q.crossJoin(broadcast(centroids))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("c_label").as("best_label"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      best
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(v.select(col("label").as("best_label"), col("vec_id").as("neighbor_id"),
+          col("e").as("ce")), "best_label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("c"), 6).as("cos"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -84,7 +125,39 @@ object SimilarityQueries {
            |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "s03_ivf_topk" -> {
+        val dqc2 = sqlDotSeq("qv.e", "cv.e")
+        s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+           |pos AS (
+           |  SELECT label, i AS pos, e[i] AS x
+           |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+           |cd AS (
+           |  SELECT label, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+           |  FROM pos GROUP BY label, pos),
+           |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+           |probe AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |         ${sqlDotSeq("q.e", "cent.c")} AS d
+           |  FROM v q, cent WHERE q.vec_id < 10),
+           |best AS (
+           |  SELECT query_id, label AS best_label FROM (
+           |    SELECT query_id, label,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+           |    FROM probe) WHERE rn = 1),
+           |scored AS (
+           |  SELECT b.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
+           |  FROM best b
+           |  JOIN v qv ON qv.vec_id = b.query_id
+           |  JOIN v cv ON cv.label = b.best_label AND cv.vec_id <> b.query_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, c,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      }
     )
   }
 }

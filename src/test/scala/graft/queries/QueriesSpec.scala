@@ -1,0 +1,57 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.io.Writers
+
+/** Regression guard over the whole driver surface: every declared query
+  * runs at sf0.001, every query has an oracle, the flagship entry is
+  * non-empty, SQL-surface and sinks work.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query has an oracle and runs at sf0.001") {
+    val qs = SparkEntry.queries
+    val missing = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+    qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      withClue(name) {
+        assert(df.columns.nonEmpty)
+        assert(df.count() >= 0)
+      }
+    }
+  }
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("sql surface: registered views answer spark.sql") {
+    val out = Sql.run(spark, dir,
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    assert(out.collect()(0).getLong(0) > 0)
+  }
+
+  test("partitioned parquet sink: layout prunes on read") {
+    val tmp = Files.createTempDirectory("graft-sink").toString + "/out"
+    val li = Tables(spark, dir, "lineitem")
+    Writers.parquetPartitioned(li, tmp, Seq("l_returnflag"), targetFileCount = 2)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == li.count())
+    // partition dirs exist -> pruning-capable layout
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("l_returnflag="))
+    assert(dirs.toSet.subsetOf(Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R")))
+    assert(dirs.nonEmpty)
+    // filter on the partition column reads only that partition
+    val one = back.filter(col("l_returnflag") === "A")
+    assert(one.count() > 0 && one.count() < li.count())
+  }
+}
