@@ -125,7 +125,7 @@ object EventQueries {
     "e04_topn_per_group" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "m01_binary_meta" ->

@@ -108,7 +108,7 @@ object SimilarityQueries {
            |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
            |ranked AS (
            |  SELECT query_id, neighbor_id, c,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
@@ -122,7 +122,7 @@ object SimilarityQueries {
            |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
            |ranked AS (
            |  SELECT query_id, neighbor_id, c,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
@@ -153,7 +153,7 @@ object SimilarityQueries {
            |  JOIN v cv ON cv.label = b.best_label AND cv.vec_id <> b.query_id),
            |ranked AS (
            |  SELECT query_id, neighbor_id, c,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
