@@ -40,6 +40,22 @@ object Streaming {
   def tsFromNanos(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros((nanos / 1000L).cast("long"))
 
+  /** Streaming exact dedup: drop repeats of `idCols` with state bounded
+    * by the watermark (late duplicates beyond the delay age out of
+    * state — the incremental form of d01's hash-groupBy dedup).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
+  /** Stream-static enrichment join: the static side is broadcast per
+    * micro-batch (dimension lookup, no stream-side shuffle).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   case class Event(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   case class SessionState(startNs: Long, lastNs: Long, firstEvent: Long,
       lastEvent: Long, n: Long, total: Double)

@@ -27,6 +27,29 @@ class StreamingSpec extends SparkSpec {
     assert(out(2) == Streaming.Session(2L, 0L, 1, 20L, 20L, 5.0))
   }
 
+  test("dedupStream + enrich over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("ts_ns", "user_id", "value")
+      .select(Streaming.tsFromNanos(col("ts_ns")).as("ts"),
+        col("user_id"), col("value"))
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val out = Streaming.enrich(
+      Streaming.dedupStream(events, Seq("user_id")), dim, "user_id")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("dedup_enriched")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // duplicate (ts, user_id) pairs arrive; only one survives
+      mem.addData((1000L, 7L, 1.0), (1000L, 7L, 1.0), (2000L, 8L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_enriched")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((7L, "gold"), (8L, "basic")).sorted)
+    } finally q.stop()
+  }
+
   test("windowedTypeStats over a MemoryStream: incremental windowed aggs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
