@@ -52,6 +52,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(ours_cols)} vs {sorted(theirs_cols)}")
             n_fail += 1
             continue
+        # dtype drift is a warning (value compare below is the gate, but
+        # if the driver hashes schemas too, these are the risk spots)
+        ours_types = {d[0]: str(d[1]) for d in con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description}
+        theirs_types = {d[0]: str(d[1]) for d in theirs_rel.description}
+        for c in ours_types:
+            if ours_types[c] != theirs_types.get(c):
+                print(f"  WARN {name}.{c}: ours={ours_types[c]} oracle={theirs_types.get(c)}")
         if len(ours) != len(theirs):
             print(f"FAIL {name}: rows {len(ours)} vs {len(theirs)}")
             n_fail += 1
