@@ -1,18 +1,31 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
-  * A warm-up pass (table scans + one tiny query) is excluded from the
-  * timings so numbers measure the queries, not first-touch JVM/codegen
-  * and Hadoop-client initialization.
+  * Robustness (this host's CPU delivery is erratic — measured 100+ s
+  * transient stalls on randomly different queries run-to-run):
+  *   - a warm-up pass (table scans + every query once at sf0.001) is
+  *     excluded, so timings measure execution, not first-touch JVM/
+  *     codegen/Hadoop-client initialization;
+  *   - each query is timed over N=3 passes; the reported number is the
+  *     min (steady-state execution), with the max-min spread published
+  *     alongside so a stall is visible instead of silently inflating;
+  *   - a failing query is reported in an "errors" map (name -> message)
+  *     and EXCLUDED from the total — never silently timed as a success;
+  *   - the shared dedup sub-results (minhash signatures, LSH candidates,
+  *     shingle sets) are built once and timed as their own
+  *     "d00_dedup_prelude" entry, so d02/d03/d05 measure their own joins
+  *     rather than whichever ran first absorbing the shared build.
   */
 object Bench {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val Passes = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,8 +41,7 @@ object Bench {
 
     // warm-up: touch every table (footer + first-read paths), then run
     // every query once at the smallest scale factor — this compiles and
-    // JITs each query's codegen without touching target-SF data, so the
-    // timed section measures execution, not first-run compilation.
+    // JITs each query's codegen without touching target-SF data.
     tables.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
@@ -39,27 +51,58 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // drop warm-up caches (memoized dedup sub-results at warmDir) so the
-    // timed section starts with a clean block manager and low heap
+    // drop warm-up state: evict the dedup memo FIRST (clearCache alone
+    // unpersists the frames but the memo would keep re-serving them,
+    // re-materializing without the intended one-time count)
+    graft.queries.DedupQueries.evictAll(spark)
     spark.catalog.clearCache()
     System.gc()
 
-    // two timed passes per query, report the min: this host's CPU
-    // delivery is erratic (measured 100+ s transient stalls on randomly
-    // different queries run-to-run); min-of-2 reports steady-state
-    // execution rather than host noise
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def timedOnce(name: String, body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] FAIL $name: $msg")
+          errors(name) = msg
+          None
+      }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+    // N passes; min = steady state, spread = max-min (host-stall visibility)
+    def timed(name: String, body: => Unit): Option[(Double, Double)] = {
+      val ts = (1 to Passes).flatMap(_ => timedOnce(name, body))
+      if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // shared dedup prelude: timed as its own entry (pass 1 builds + persists,
+    // later passes hit the persisted frames — min-of-N would hide the build,
+    // so the prelude reports the FIRST pass, i.e. the real build cost)
+    val prelude = timedOnce("d00_dedup_prelude",
+      graft.queries.DedupQueries.prewarm(spark, sfDir)).map(t => (t, 0.0))
+
+    val results: Seq[(String, (Double, Double))] =
+      (prelude.map("d00_dedup_prelude" -> _).toSeq ++
+        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          timed(name, fn(spark, sfDir).count()).map(name -> _)
+        })
+
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = jmap(results.map { case (k, (mn, _)) => k -> f(mn) })
+    val spread = jmap(results.map { case (k, (_, sp)) => k -> f(sp) })
+    val errs = jmap(errors.toSeq.map { case (k, v) =>
+      k -> ("\"" + v.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\"") })
+    val total = results.map(_._2._1).sum
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$Passes,""" +
+      s""""queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the driver parses stdout, but sbt may prefix it
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

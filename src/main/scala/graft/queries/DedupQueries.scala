@@ -42,6 +42,35 @@ object DedupQueries {
       df
     })
 
+  /** Unpersist and drop every memoized frame for (session, dir). Without
+    * this, a blanket `catalog.clearCache()` unpersists the frames but the
+    * memo would keep re-serving them — re-materializing the full plan on
+    * every reuse without the intended one-time `count()`. Bench calls
+    * this between its warm-up (sf0.001) and timed (target-SF) sections.
+    */
+  def evict(s: SparkSession, dir: String): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(k => k._1 == sid && k._2 == dir)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Evict every dir memoized for this session. */
+  def evictAll(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(_._1 == sid)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Materialize the shared sub-results (signatures, LSH candidates,
+    * shingle sets) for a dir. Bench times this as its own entry so the
+    * d02/d03/d05 timings measure their own joins, not a shared build
+    * attributed to whichever query ran first.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    lshCandidates(s, dir)
+    shingleSets(s, dir)
+  }
+
   /** (doc_id, gram) distinct word-3-gram shingles. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -101,6 +130,13 @@ object DedupQueries {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
+    }
+
+  /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "sets") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("gs"))
     }
 
   private def sqlGrams: String =
@@ -200,11 +236,7 @@ object DedupQueries {
     // proposed pairs.
     "d05_ngram_jaccard" -> { (s, dir) =>
       val cand = lshCandidates(s, dir)
-      // per-doc distinct shingle sets: one linear scan, no shuffle
-      val sets = cached(s, dir, "sets") {
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("gs"))
-      }
+      val sets = shingleSets(s, dir)
       val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
       val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
       cand.join(a, "doc_a").join(b, "doc_b")

@@ -67,9 +67,22 @@ object EventQueries {
     },
 
     // Grouped top-N: top-3 events per type by value (rank pattern).
+    // Two-phase top-k: event_type has ~5 distinct values, so a single
+    // window over it would globally sort 1/5 of the corpus in one task —
+    // a textbook skewed-shuffle scale-killer at 100 TB. Phase 1 salts the
+    // partition key (64 deterministic salts), keeping <= 3 survivors per
+    // (type, salt); phase 2 ranks the <= 3*64 survivors per type. Same
+    // output rows, no full-partition sort anywhere in the plan.
     "e04_topn_per_group" -> { (s, dir) =>
+      val salts = 64
+      val wPartial = Window.partitionBy("event_type", "salt")
+        .orderBy(desc("value"), col("event_id"))
       val w = Window.partitionBy("event_type").orderBy(desc("value"), col("event_id"))
       Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          pmod(hash(col("event_id")), lit(salts)).as("salt"))
+        .withColumn("prn", row_number().over(wPartial))
+        .filter(col("prn") <= 3)
         .select(col("event_type"), col("event_id"), col("value"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
@@ -86,7 +99,10 @@ object EventQueries {
         .select(col("doc_id"),
           octet_length(col("payload")).cast(LongType).as("nbytes"),
           substring(md5(col("payload")), 1, 8).as("sig"),
-          substring(hex(col("payload")), 1, 16).as("head_hex"))
+          // slice the binary BEFORE hex: hex(payload) would materialize a
+          // 2x-payload string per row just to keep 16 chars — at 100 TB of
+          // media payloads that's a 2x full-corpus string materialization
+          hex(substring(col("payload"), 1, 8)).as("head_hex"))
         .orderBy("doc_id")
     }
   )

@@ -89,20 +89,33 @@ object ExtraQueries {
       // over any join-derived frame (single-table rollup is fine; fresh
       // aliases don't help — the rollup Expand duplicates the dataset-id
       // tags). Disable the misfiring check, as its own error message
-      // suggests; there is no actual self-join here.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      Tables(s, dir, "customer")
-        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        // project before rollup: the grouping output columns would
-        // otherwise be ambiguous against the join inputs in the sort
-        .select("r_name", "n_name")
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("cnt"))
-        // fresh attributes: the rollup's Expand node duplicates grouping
-        // attributes and a by-name sort is flagged ambiguous otherwise
-        .toDF("r_name", "n_name", "cnt")
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      // suggests; there is no actual self-join here. The override is
+      // SCOPED: the check runs at analysis time, which Dataset
+      // construction forces eagerly, so save/restore around the build
+      // leaves the shared session's analyzer behavior untouched for
+      // every other query in the suite.
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        val df = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          // project before rollup: the grouping output columns would
+          // otherwise be ambiguous against the join inputs in the sort
+          .select("r_name", "n_name")
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("cnt"))
+          // fresh attributes: the rollup's Expand node duplicates grouping
+          // attributes and a by-name sort is flagged ambiguous otherwise
+          .toDF("r_name", "n_name", "cnt")
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+        df.queryExecution.assertAnalyzed() // force analysis inside the scope
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     },
 
     // fixed-width histogram over a double measure
