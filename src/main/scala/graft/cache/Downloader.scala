@@ -2,7 +2,8 @@ package graft.cache
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths,
+  StandardCopyOption, StandardOpenOption}
 import java.util.concurrent.Executors
 
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -18,11 +19,18 @@ import scala.concurrent.duration.Duration
 final class Downloader(mirrorRoot: Path, parallelism: Int = 8) {
 
   /** Mirror path for a URL: its URI path with the leading '/' stripped
-    * (accessor.py:111).
+    * (accessor.py:111). URL paths come from remote-controlled input (the
+    * homes_index listing and metadata-derived project ids), so the
+    * resolved path is normalized and MUST stay under mirrorRoot — a
+    * crafted '..' segment would otherwise escape the mirror and write
+    * arbitrary local files.
     */
   def localPath(url: String): Path = {
     val p = Option(URI.create(url).getPath).getOrElse(url)
-    mirrorRoot.resolve(p.stripPrefix("/"))
+    val resolved = mirrorRoot.resolve(p.stripPrefix("/")).normalize()
+    require(resolved.startsWith(mirrorRoot.normalize()),
+      s"url path escapes the mirror root: $url")
+    resolved
   }
 
   /** Download every URL not already mirrored; returns the local paths of
@@ -45,21 +53,39 @@ final class Downloader(mirrorRoot: Path, parallelism: Int = 8) {
     } finally pool.shutdown()
   }
 
+  /** Fetch to a temp file in the destination directory, then move it
+    * into place atomically — a crash mid-download must never leave a
+    * truncated file that `Files.exists` would treat as cached forever.
+    * Redirects are followed (the reference's urlretrieve does; the
+    * corpus root is plain http and commonly 301s to https) and anything
+    * other than a 2xx is a failure — without this, a 301 body (empty or
+    * an HTML stub) would be cached as the file.
+    */
   private def fetchTo(url: String, dest: Path): Unit = {
     val uri = URI.create(url)
-    Option(uri.getScheme) match {
-      case Some("http") | Some("https") =>
-        val client = HttpClient.newBuilder().build()
-        val req = HttpRequest.newBuilder(uri).GET().build()
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
-        if (resp.statusCode >= 400) {
-          Files.deleteIfExists(dest)
-          throw new RuntimeException(s"HTTP ${resp.statusCode} for $url")
-        }
-      case Some("file") =>
-        Files.copy(Paths.get(uri), dest, StandardCopyOption.REPLACE_EXISTING)
-      case _ =>
-        Files.copy(Paths.get(url), dest, StandardCopyOption.REPLACE_EXISTING)
-    }
+    val tmp = Files.createTempFile(dest.getParent, s".${dest.getFileName}.", ".part")
+    try {
+      Option(uri.getScheme) match {
+        case Some("http") | Some("https") =>
+          val client = HttpClient.newBuilder()
+            .followRedirects(HttpClient.Redirect.NORMAL)
+            .build()
+          val req = HttpRequest.newBuilder(uri).GET().build()
+          val resp = client.send(req,
+            HttpResponse.BodyHandlers.ofFile(tmp, StandardOpenOption.WRITE,
+              StandardOpenOption.TRUNCATE_EXISTING))
+          if (resp.statusCode < 200 || resp.statusCode >= 300)
+            throw new RuntimeException(s"HTTP ${resp.statusCode} for $url")
+        case Some("file") =>
+          Files.copy(Paths.get(uri), tmp, StandardCopyOption.REPLACE_EXISTING)
+        case _ =>
+          Files.copy(Paths.get(url), tmp, StandardCopyOption.REPLACE_EXISTING)
+      }
+      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: AtomicMoveNotSupportedException =>
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 }

@@ -104,6 +104,35 @@ object EventQueries {
           // media payloads that's a 2x full-corpus string materialization
           hex(substring(col("payload"), 1, 8)).as("head_hex"))
         .orderBy("doc_id")
+    },
+
+    // §2.8 as a first-class correctness row: a REAL Structured Streaming
+    // execution — file-stream source over the events parquet, the exact
+    // windowedTypeStats transform streaming callers use, complete-mode
+    // memory sink — whose final result is oracle-checked like any batch
+    // query. Complete-mode memory sink collects to the driver, fine here
+    // because the output is the aggregate (hours x ~5 types), not the
+    // corpus; a production caller uses append mode + a parquet/kafka sink.
+    // Window bounds re-emitted as nanos bigints for oracle dtype parity.
+    "e05_stream_window" -> { (s, dir) =>
+      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source monitors a DIRECTORY; the tables are
+      // single files, so stream the sf dir filtered to the events file
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+      val agg = graft.streaming.Streaming.windowedTypeStats(src, "1 hour", "2 hours")
+      val sink = "e05_stream_window_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select((unix_micros(col("window_start")) * 1000L).as("w_start_ns"),
+          (unix_micros(col("window_end")) * 1000L).as("w_end_ns"),
+          col("event_type"), col("cnt"), col("total_value"))
+        .orderBy("w_start_ns", "event_type")
     }
   )
 
@@ -149,6 +178,15 @@ object EventQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
         |  substr(md5(text), 1, 8) AS sig,
         |  substr(hex(encode(text)), 1, 16) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // hour-window index from ns -> us (floor) matches Spark's
+    // timestamp_micros truncation; 3600000000 us = 1 h
+    "e05_stream_window" ->
+      """SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000000 AS w_start_ns,
+        |  (((epoch_ns(ts) // 1000) // 3600000000) + 1) * 3600000000000 AS w_end_ns,
+        |  event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY w_start_ns, w_end_ns, event_type
+        |ORDER BY w_start_ns, event_type""".stripMargin
   )
 }

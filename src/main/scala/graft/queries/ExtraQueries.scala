@@ -135,6 +135,26 @@ object ExtraQueries {
             lit("p_retailprice"), col("p_retailprice"),
             lit("p_size"), col("p_size").cast(DoubleType))).as(Seq("metric", "value")))
         .orderBy("p_partkey", "metric")
+    },
+
+    // salted shuffle join on a deliberately skewed key: event_type has
+    // ~5 distinct values, so a plain shuffle join would funnel the whole
+    // fact table through 5 reducers. SkewJoin.saltedJoin spreads each
+    // hot key over 16 (key, salt) reducers; the dim side (5 rows here —
+    // standing in for a mid-size dim too big to broadcast) is replicated
+    // 16x. Same rows as the naive join (x11 oracle is the plain SQL
+    // join); SkewJoinSpec asserts the (key, salt) shuffle in the plan.
+    "x11_skew_salted_join" -> { (s, dir) =>
+      val fact = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = Tables(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("type_cnt"))
+      graft.ops.SkewJoin.saltedJoin(fact, dim, "event_type", 16, col("event_id"))
+        .groupBy("event_type")
+        .agg(max("type_cnt").as("type_cnt"),
+          count(lit(1)).as("n"),
+          sumMoney(col("value")).as("total_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -188,6 +208,15 @@ object ExtraQueries {
         |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |  UNION ALL
         |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
-        |ORDER BY p_partkey, metric""".stripMargin
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "x11_skew_salted_join" ->
+      """SELECT e.event_type, d.type_cnt, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS type_cnt
+        |      FROM events GROUP BY event_type) d
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.type_cnt
+        |ORDER BY e.event_type""".stripMargin
   )
 }

@@ -64,38 +64,78 @@ object Streaming {
 
   /** Inactivity-gap sessionization as explicit keyed state — the
     * streaming twin of EventQueries.e01 (same 30-min default gap).
-    * Works in batch mode too (Spark runs flatMapGroupsWithState per
-    * group over sorted iterators there, emitting only closed+final
-    * sessions; in streaming, ProcessingTimeTimeout flushes idle ones).
+    *
+    * State is BOUNDED: only the one open session per key is kept. A
+    * session is emitted exactly once, when it closes — either because a
+    * later event exceeded the gap, or because the event-time watermark
+    * passed `last_event_ts + gap` (EventTimeTimeout flushes idle keys
+    * and removes their state). At 100 TB scale this means per-key state
+    * is O(1) and total state is O(active users within the watermark
+    * horizon), not O(all sessions ever).
+    *
+    * Streaming callers MUST set a watermark on a TimestampType `ts`
+    * column before `.as[Event]` (EventTimeTimeout requires it):
+    * {{{
+    *   df.withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    *     .withWatermark("ts", "10 minutes").as[Streaming.Event]
+    * }}}
+    *
+    * In batch mode Spark calls the function once per key with the full
+    * history and timeouts never fire, so the open session is emitted
+    * too — the complete, final answer (pinned against e01's oracle
+    * semantics in StreamingSpec). The per-key sort materializes that
+    * key's history only in batch; the declarative window-function form
+    * (EventQueries e01) remains the batch path of record.
     */
   def sessionize(
       events: Dataset[Event],
       gapNs: Long = 30L * 60 * 1000 * 1000 * 1000): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // state holds closed sessions (head = open one) so batch mode —
-          // one call with every event — emits identical results to an
-          // incremental run
-          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
-          val initial = state.getOption.getOrElse(Nil)
-          val sessions = sorted.foldLeft(initial) { (acc, e) =>
-            acc match {
-              case open :: rest if e.ts_ns - open.lastNs <= gapNs =>
-                open.copy(lastNs = e.ts_ns, lastEvent = e.event_id,
-                  n = open.n + 1, total = open.total + e.value) :: rest
-              case all =>
-                SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value) :: all
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          def finish(s: SessionState): Session =
+            Session(userId, s.startNs, s.n, s.firstEvent, s.lastEvent, s.total)
+          if (state.hasTimedOut) {
+            // watermark passed lastNs+gap: no event can extend this
+            // session any more — flush it and drop the key's state
+            val idle = state.get
+            state.remove()
+            Iterator.single(finish(idle))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+            val closed = List.newBuilder[SessionState]
+            var open: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(o) if e.ts_ns - o.lastNs <= gapNs =>
+                  Some(o.copy(lastNs = e.ts_ns, lastEvent = e.event_id,
+                    n = o.n + 1, total = o.total + e.value))
+                case other =>
+                  other.foreach(closed += _)
+                  Some(SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value))
+              }
+            }
+            if (isStreaming) {
+              open match {
+                case Some(o) =>
+                  state.update(o)
+                  // flush once the watermark passes the gap horizon
+                  state.setTimeoutTimestamp((o.lastNs + gapNs) / 1000000L)
+                case None => state.remove()
+              }
+              closed.result().iterator.map(finish)
+            } else {
+              // batch: one call with complete data — everything is final
+              (closed.result() ++ open.toList).iterator.map(finish)
             }
           }
-          state.update(sessions)
-          // emit all sessions (closed and open) — append-mode final answer
-          // for batch; a streaming caller reads closed ones per trigger
-          sessions.reverse.iterator.map(s =>
-            Session(userId, s.startNs, s.n, s.firstEvent, s.lastEvent, s.total))
       }
   }
 }

@@ -27,6 +27,44 @@ class StreamingSpec extends SparkSpec {
     assert(out(2) == Streaming.Session(2L, 0L, 1, 20L, 20L, 5.0))
   }
 
+  test("sessionize (streaming): gap-close emits once, idle keys evicted by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 * 1000 // 30 min in ns
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[Streaming.Event]
+    val out = Streaming.sessionize(events, gap)
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("sessions").as[Streaming.Session].collect().toSeq
+    // keep every event strictly above the initial watermark (0) or the
+    // late-event filter drops it before it reaches the state function
+    val base = 100 * gap
+    try {
+      // trigger 1: user 1 has two events inside one session; user 2 one event
+      mem.addData((1L, base, 10L, 1.0), (1L, base + gap, 11L, 2.0), (2L, base, 20L, 5.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // all sessions still open -> nothing emitted
+      // trigger 2: a far-future event for user 1 closes their first session
+      // by gap-exceed AND advances the watermark past user 2's gap horizon,
+      // so user 2's idle session is flushed by the event-time timeout
+      mem.addData((1L, base + 10 * gap, 12L, 3.0))
+      q.processAllAvailable()
+      // one more trigger so any timeout scheduled at the end of trigger 2
+      // has a batch to fire in
+      mem.addData((1L, base + 11 * gap, 13L, 4.0))
+      q.processAllAvailable()
+      val got = rows().sortBy(s => (s.user_id, s.session_start_ns))
+      assert(got == Seq(
+        Streaming.Session(1L, base, 2, 10L, 11L, 3.0),
+        Streaming.Session(2L, base, 1, 20L, 20L, 5.0)),
+        s"closed sessions emitted exactly once, idle key evicted; got $got")
+    } finally q.stop()
+  }
+
   test("dedupStream + enrich over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
