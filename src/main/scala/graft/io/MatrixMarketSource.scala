@@ -1,0 +1,158 @@
+package graft.io
+
+import java.io.{BufferedReader, InputStream, InputStreamReader}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 for MatrixMarket coordinate files (SURVEY §4.2): the
+  * sparse `.MM.gz` junction matrices (reference behavior:
+  * accessor.py:431-432, which densifies via scipy — its scalability
+  * ceiling; we keep COO long format, SURVEY §7.4.1).
+  *
+  * v2 instead of the former RDD text parse so the scan participates in
+  * Catalyst: column pruning reaches the reader (a `select("value")`
+  * parses but never allocates row/col), `spark.read.format
+  * ("matrixmarket").load(paths*)` composes with the rest of the query
+  * plan, and each file is an independent input partition (a .gz body is
+  * one split by nature; multi-file loads parallelize across files,
+  * exactly like the csv scans).
+  *
+  * Values are read as int64 — the junction counts the corpus stores.
+  */
+final class MatrixMarketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "matrixmarket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MatrixMarketSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new MatrixMarketSource.MMTable(MatrixMarketSource.paths(properties))
+}
+
+object MatrixMarketSource {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("row", LongType, nullable = false),
+    StructField("col", LongType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** DataFrameReader passes one path as "path", several as a JSON list
+    * under "paths".
+    */
+  private def paths(props: JMap[String, String]): Seq[String] = {
+    val m = props.asScala
+    val multi = m.get("paths").toSeq.flatMap(
+      _.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    val single = m.get("path").toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "matrixmarket source requires at least one path")
+    all.toSeq
+  }
+
+  /** Open a (possibly .gz) file through the Hadoop FS layer, so every
+    * scheme Spark can reach works here too.
+    */
+  private def open(path: String): BufferedReader = {
+    val fs = FileSystem.get(URI.create(path), new Configuration())
+    val raw: InputStream = fs.open(new HPath(path))
+    val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+  }
+
+  /** Declared (rows, cols, nnz) from the first non-comment line — a
+    * driver-side header peek, one stream open, no job.
+    */
+  def readHeader(path: String): (Long, Long, Long) = {
+    val r = open(path)
+    try {
+      var line = r.readLine()
+      while (line != null && (line.startsWith("%") || line.trim.isEmpty))
+        line = r.readLine()
+      require(line != null, s"no MatrixMarket header in $path")
+      val p = line.trim.split("\\s+")
+      (p(0).toLong, p(1).toLong, p(2).toLong)
+    } finally r.close()
+  }
+
+  private final class MMTable(paths: Seq[String]) extends Table with SupportsRead {
+    override def name(): String = s"matrixmarket(${paths.mkString(",")})"
+    override def schema(): StructType = Schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new MMScanBuilder(paths)
+  }
+
+  private final class MMScanBuilder(paths: Seq[String])
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = Schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new MMScan(paths, required)
+  }
+
+  private final class MMScan(paths: Seq[String], required: StructType)
+      extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      paths.map(MMPartition.apply).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      MMReaderFactory(required)
+  }
+
+  private final case class MMPartition(path: String) extends InputPartition
+
+  private final case class MMReaderFactory(required: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new MMReader(p.asInstanceOf[MMPartition].path, required)
+  }
+
+  /** Streams one file: skips %-comments and the size header, emits one
+    * InternalRow per coordinate entry, materializing only the pruned
+    * columns.
+    */
+  private final class MMReader(path: String, required: StructType)
+      extends PartitionReader[InternalRow] {
+    // index of each required column in the (row, col, value) triple
+    private val fieldIdx: Array[Int] =
+      required.fields.map(f => Schema.fieldIndex(f.name))
+    private val reader = open(path)
+    private var headerSkipped = false
+    private var current: InternalRow = _
+
+    override def next(): Boolean = {
+      var line = reader.readLine()
+      while (line != null && (line.startsWith("%") || line.trim.isEmpty))
+        line = reader.readLine()
+      if (line != null && !headerSkipped) {
+        headerSkipped = true
+        return next() // the size line is metadata, not data
+      }
+      if (line == null) { current = null; false }
+      else {
+        val p = line.trim.split("\\s+")
+        current = InternalRow.fromSeq(
+          fieldIdx.toIndexedSeq.map(i => p(i).toLong))
+        true
+      }
+    }
+    override def get(): InternalRow = current
+    override def close(): Unit = reader.close()
+  }
+}

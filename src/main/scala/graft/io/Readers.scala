@@ -96,22 +96,14 @@ object Readers {
     * densifies immediately via scipy (accessor.py:431-432) — its de-facto
     * scalability ceiling; long format is the 100 TB-safe representation
     * (SURVEY §7.4.1), widened only at the presentation edge.
+    *
+    * Data goes through the v2 source (graft.io.MatrixMarketSource), so
+    * the scan is a Catalyst-planned batch read with column pruning; the
+    * header is a driver-side stream peek (no job).
     */
   def matrixMarketRead(spark: SparkSession, path: String): (DataFrame, Long, Long, Long) = {
-    val lines = spark.sparkContext.textFile(path)
-      .zipWithIndex()
-      .filter { case (l, _) => !l.startsWith("%") && l.trim.nonEmpty }
-    val headerIdx = lines.map(_._2).min()
-    val Array(nRows, nCols, nnz) = lines
-      .filter(_._2 == headerIdx).first()._1.trim.split("\\s+").map(_.toLong)
-    import spark.implicits._
-    val data = lines
-      .filter(_._2 != headerIdx)
-      .map { case (l, _) =>
-        val p = l.trim.split("\\s+")
-        (p(0).toLong, p(1).toLong, p(2).toLong)
-      }
-      .toDF("row", "col", "value")
+    val (nRows, nCols, nnz) = MatrixMarketSource.readHeader(path)
+    val data = spark.read.format("matrixmarket").load(path)
     (data, nRows, nCols, nnz)
   }
 }

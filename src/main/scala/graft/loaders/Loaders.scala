@@ -45,6 +45,44 @@ final class Metadata(
       Ops.replaceOrganism(df).distinct()
     }
   }
+
+  /** Reference read-error parity (accessor.py:327-329): the reference
+    * logs and returns a bare None when ANY metadata file fails to read.
+    * `load()` is lazy — a corrupt file would only surface at action
+    * time — so this variant probes each mirrored file eagerly on the
+    * driver (open + first decompressed byte, the failure mode the
+    * reference's eager read hits: missing file, truncated gzip, bad
+    * header) and yields None instead of a deferred task failure.
+    */
+  def loadLenient(): Option[DataFrame] = {
+    val urls = cachedUrls.getOrElse(
+      throw new IllegalStateException("Metadata.load() requires cache() first"))
+    val paths = urls
+      .filter(u => u.contains(organism) && u.contains(".recount_project."))
+      .map(u => downloader.localPath(u).toString)
+    paths.find(p => !Metadata.probeReadable(p)) match {
+      case Some(bad) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"metadata file unreadable, returning None (reference parity): $bad")
+        None
+      case None => Some(load())
+    }
+  }
+}
+
+object Metadata {
+  /** True iff the file opens and its first (decompressed, for .gz)
+    * byte is readable — or it is a readable empty file.
+    */
+  private[loaders] def probeReadable(path: String): Boolean =
+    try {
+      val in = new java.io.FileInputStream(path)
+      try {
+        val s: java.io.InputStream =
+          if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(in) else in
+        s.read(); true
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
 }
 
 /** Per-project loading facade (accessor.py:37-118 `Project` + the five

@@ -1,0 +1,59 @@
+package graft.io
+
+import java.io.{FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MatrixMarketSourceSpec extends SparkSpec {
+
+  /** Gzipped MM fixture: 3x4 matrix, 5 entries, with comments. */
+  private lazy val mmPath: String = {
+    val dir = Files.createTempDirectory("graft-mm")
+    val f = dir.resolve("test.MM.gz").toFile
+    val w = new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(f)), StandardCharsets.UTF_8)
+    w.write("""%%MatrixMarket matrix coordinate integer general
+              |% junction counts
+              |3 4 5
+              |1 1 7
+              |1 3 2
+              |2 2 9
+              |3 1 4
+              |3 4 1
+              |""".stripMargin)
+    w.close()
+    f.toString
+  }
+
+  test("v2 scan parses entries, skips comments and size header") {
+    val df = spark.read.format("matrixmarket").load(mmPath)
+    assert(df.columns.toSeq == Seq("row", "col", "value"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((1L, 1L, 7L), (1L, 3L, 2L), (2L, 2L, 9L), (3L, 1L, 4L), (3L, 4L, 1L)))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format("matrixmarket").load(mmPath).select("value")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L, 7L, 9L))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scans == Seq(Seq("value")), s"pruned read schema; got $scans")
+  }
+
+  test("matrixMarketRead returns header dims + the v2 frame") {
+    val (data, nRows, nCols, nnz) = Readers.matrixMarketRead(spark, mmPath)
+    assert((nRows, nCols, nnz) == (3L, 4L, 5L))
+    assert(data.count() == 5)
+    // aggregate composes with the scan in one Catalyst plan
+    val colSums = data.groupBy("col").agg(sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(colSums.toSeq == Seq((1L, 11L), (2L, 9L), (3L, 2L), (4L, 1L)))
+  }
+}

@@ -39,6 +39,21 @@ class LoaderE2eSpec extends SparkSpec {
     assertThrows[IllegalStateException](uncached.load())
   }
 
+  test("loadLenient: Some on intact mirror, None once a cached file is corrupt") {
+    // fresh mirror cache so corruption can't poison the shared fixtures
+    val cache2 = Files.createTempDirectory("graft-mirror-cache2")
+    val m = new Metadata(spark, FixtureMirror.Organism, rootUrl, cache2)
+    m.cache()
+    assert(m.loadLenient().exists(_.count() == 3))
+    // truncate a cached recount_project gz mid-header -> reference parity
+    // says the whole load yields None (accessor.py:327-329)
+    val victim = Files.walk(cache2).filter(p =>
+      p.toString.contains(".recount_project.") && p.toString.endsWith(".gz"))
+      .findFirst().orElseThrow()
+    Files.write(victim, Array[Byte](0x1f))
+    assert(m.loadLenient().isEmpty)
+  }
+
   test("project ids and samples collected from metadata") {
     assert(project.projectIds == List("SRP001", "SRP002"))
     assert(project.sampleIds == List("SRR001", "SRR002", "SRR003"))
@@ -95,6 +110,28 @@ class LoaderE2eSpec extends SparkSpec {
     assert(wide.count() == 4)
     val totals = wide.agg(sum("101"), sum("102"), sum("103")).collect()(0)
     assert((totals.getLong(0), totals.getLong(1), totals.getLong(2)) == (7L, 7L, 9L))
+  }
+
+  /** Reference known-failure parity (SURVEY §5.2.5): the reference marks
+    * multi-project junction loads xfail ("feature not implemented",
+    * tests/test_known_failures.py:10-16). The long format dissolves the
+    * failure (loadJxnLong unions per-project long frames — the test
+    * above and "jxn long" already cover 2 projects), and the WIDE
+    * presentation path concatenates per-project dense blocks. This test
+    * pins the wide multi-project contract the reference could not meet:
+    * per-project junction row counts survive the concat, so neither
+    * project's block is dropped (the reference kept only the last).
+    */
+  test("jxn wide multi-project: no project block dropped (reference xfail fixed)") {
+    val (long, _) = project.loadJxnLong()
+    assert(long.select("project_id").distinct().count() == 2)
+    val (wide, wideMeta) = project.loadJxn()
+    // both projects contribute metadata rows and sample columns, with
+    // real (non-zero) counts in each block
+    assert(wideMeta.select("project_id").distinct().count() == 2)
+    assert(wide.columns.toSeq == Seq("101", "102", "103"))
+    val t = wide.agg(sum("101"), sum("103")).collect()(0)
+    assert(t.getLong(0) > 0 && t.getLong(1) > 0)
   }
 
   test("bw catalog: project x sample rows, content never read") {
