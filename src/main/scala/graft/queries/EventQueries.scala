@@ -106,6 +106,22 @@ object EventQueries {
         .orderBy("doc_id")
     },
 
+    // Exact top-k via the typed TopK Aggregator (partial aggregation:
+    // each map task keeps k candidates per group, only k * numMapTasks
+    // rows shuffle — no full-group window sort, no salt tuning; see
+    // graft.functions.TopK). Same rows as e04, different engine path.
+    "e06_topk_agg" -> { (s, dir) =>
+      val topk = udaf(new graft.functions.TopK.ByValueDesc(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.TopK.Entry])
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("rn"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy("event_type", "rn")
+    },
+
     // §2.8 as a first-class correctness row: a REAL Structured Streaming
     // execution — file-stream source over the events parquet, the exact
     // windowedTypeStats transform streaming callers use, complete-mode
@@ -181,6 +197,12 @@ object EventQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // hour-window index from ns -> us (floor) matches Spark's
     // timestamp_micros truncation; 3600000000 us = 1 h
+    "e06_topk_agg" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "e05_stream_window" ->
       """SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000000 AS w_start_ns,
         |  (((epoch_ns(ts) // 1000) // 3600000000) + 1) * 3600000000000 AS w_end_ns,
