@@ -106,6 +106,22 @@ object EventQueries {
         .orderBy("doc_id")
     },
 
+    // Multimodal frame-sampling plumbing (Multimodal.frameSample): k
+    // fixed-stride byte windows per payload — the video-frame-sample
+    // shape — kept in native binary expressions end to end. Output is
+    // per-frame sizes + signatures; the oracle mirrors with string
+    // slicing, exact because the synthetic corpus is pure ASCII
+    // (byte-substr == char-substr; checked at all three SFs).
+    "m02_frame_sample" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.fromStrings(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.frameSample(media, 4, 256)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).cast(LongType).as("frame_bytes"),
+          substring(md5(col("frame")), 1, 8).as("frame_sig"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -197,6 +213,15 @@ object EventQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // hour-window index from ns -> us (floor) matches Spark's
     // timestamp_micros truncation; 3600000000 us = 1 h
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(length(f) AS BIGINT) AS frame_bytes,
+        |  substr(md5(f), 1, 8) AS frame_sig
+        |FROM (
+        |  SELECT doc_id, i, substr(text, CAST(i * 256 + 1 AS BIGINT), 256) AS f
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i) ks)
+        |WHERE length(f) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "e06_topk_agg" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
