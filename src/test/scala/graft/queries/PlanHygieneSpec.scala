@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape guards for the full query surface — the properties that
+  * decide whether a plan survives a 100× scale-up, asserted so a
+  * refactor can't silently regress them:
+  *   - no accidental cross joins: only the documented all-pairs
+  *     baselines (d06, s01 — and d02/d05 whose candidate verify joins
+  *     on the broadcast candidate list) may plan nested-loop/cartesian
+  *     joins;
+  *   - predicate pushdown reaches the parquet scan where a filter
+  *     exists (q01's isin filter);
+  *   - column pruning reaches the scan: a 2-column projection query
+  *     never reads the full lineitem schema.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // All-pairs / broadcast-nested-loop by documented design:
+  //   d06, s01 - oracle-checkable brute-force baselines (scale paths
+  //              are d03/s02/s03)
+  //   d02/d05  - exact verification over the broadcast LSH candidate
+  //              list (propose-then-verify; the list is tiny)
+  //   x11      - range-predicate join pieces inside the salted demo
+  //   s03      - IVF probe: queries crossJoin(broadcast(centroids)),
+  //              the tiny coarse-quantizer table
+  private val nestedLoopByDesign =
+    Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
+      "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
+      "s03_ivf_topk")
+
+  // runs a real streaming query inside the builder — not a static plan
+  private val excluded = Set("e05_stream_window")
+
+  test("no undocumented cartesian/nested-loop join in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if excluded(name) || nestedLoopByDesign(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented non-equi join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("q01's membership filter is pushed to the parquet scan") {
+    val plan = SparkEntry.queries("q01_filter_isin")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In("),
+      s"expected an In pushdown in the scan; plan:\n${plan.take(2000)}")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:") &&
+      !plan.contains("l_comment"),
+      s"expected pruned ReadSchema; plan:\n${plan.take(2000)}")
+  }
+}
