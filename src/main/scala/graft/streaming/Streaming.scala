@@ -114,9 +114,27 @@ object Streaming {
             var open: Option[SessionState] = state.getOption
             sorted.foreach { e =>
               open = open match {
-                case Some(o) if e.ts_ns - o.lastNs <= gapNs =>
-                  Some(o.copy(lastNs = e.ts_ns, lastEvent = e.event_id,
+                // within gap of the open session's span — including a LATE
+                // event older than lastNs (a prior trigger ran ahead): the
+                // merge must extend whichever END the event falls on, never
+                // regress lastNs (that would shrink the timeout horizon)
+                case Some(o) if e.ts_ns >= o.startNs - gapNs && e.ts_ns - o.lastNs <= gapNs =>
+                  val first = e.ts_ns < o.startNs ||
+                    (e.ts_ns == o.startNs && e.event_id < o.firstEvent)
+                  val last = e.ts_ns > o.lastNs ||
+                    (e.ts_ns == o.lastNs && e.event_id > o.lastEvent)
+                  Some(SessionState(
+                    startNs = math.min(o.startNs, e.ts_ns),
+                    lastNs = math.max(o.lastNs, e.ts_ns),
+                    firstEvent = if (first) e.event_id else o.firstEvent,
+                    lastEvent = if (last) e.event_id else o.lastEvent,
                     n = o.n + 1, total = o.total + e.value))
+                case Some(o) if e.ts_ns < o.startNs - gapNs =>
+                  // predates the open session by more than the gap: its
+                  // session already aged out of single-open-session state —
+                  // emit as its own closed singleton (documented tradeoff)
+                  closed += SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value)
+                  Some(o)
                 case other =>
                   other.foreach(closed += _)
                   Some(SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value))

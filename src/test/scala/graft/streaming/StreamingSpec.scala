@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize (streaming): late event within the watermark merges without regressing the session end") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "2 hours") // 4x the gap: late events survive the filter
+      .as[Streaming.Event]
+    val out = Streaming.sessionize(events, gap)
+    val ckpt = Files.createTempDirectory("graft-sess-late-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val base = 100 * gap
+    try {
+      mem.addData((1L, base, 10L, 1.0), (1L, base + gap / 2, 11L, 2.0))
+      q.processAllAvailable()
+      // LATE: older than the open session's lastNs but inside the gap and
+      // the watermark — must merge as an interior event (end stays id 11)
+      mem.addData((1L, base + gap / 4, 12L, 4.0))
+      q.processAllAvailable()
+      // far-future event closes the session by gap-exceed
+      mem.addData((1L, base + 20 * gap, 13L, 8.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_late").as[Streaming.Session].collect().toSeq
+      assert(got == Seq(Streaming.Session(1L, base, 3, 10L, 11L, 7.0)),
+        s"late event merged interior, end not regressed; got $got")
+    } finally q.stop()
+  }
+
   test("dedupStream + enrich over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
