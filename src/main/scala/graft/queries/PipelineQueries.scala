@@ -43,6 +43,46 @@ object PipelineQueries {
         .select(col("kept.doc_id").as("doc_id"), col("kept.words").as("words"),
           col("kept.quality").as("quality"), col("dups"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark-contamination check: fraction of a candidate document's
+    // distinct word-3-grams that appear in a benchmark set (stand-in:
+    // every 20th doc). Scale shape: the benchmark gram set is SMALL by
+    // nature (eval suites, not corpora) -> broadcast it; candidates are
+    // scored in one scan + one aggregation, no inverted-index shuffle.
+    "p02_contamination" -> { (s, dir) =>
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select("g").distinct().withColumn("hit", lit(1L))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .withColumn("contamination",
+          round(col("n_overlap").cast(DoubleType) / col("n_grams"), 6))
+        .filter(col("contamination") >= 0.5)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: stratum = words-bucket, each
+    // stratum kept at its own rate via an md5-derived bucket of doc_id —
+    // reproducible across runs/retries/cluster sizes (rand() is not),
+    // mirrorable in any engine with md5. One scan, no shuffle except the
+    // presentation sort.
+    "p03_stratified_sample" -> { (s, dir) =>
+      val words = size(tokens(col("text")))
+      val stratum = least(floor(words / 100).cast(LongType), lit(3L))
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType), lit(100L))
+      val rate = element_at(lit(Array(10L, 25L, 50L, 100L)), (stratum + 1).cast(IntegerType))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), stratum.as("stratum"), bucket.as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .orderBy("doc_id")
     }
   )
 
@@ -64,6 +104,32 @@ object PipelineQueries {
          |SELECT min(doc_id) AS doc_id, min(words) AS words,
          |  min(quality) AS quality, count(*) AS dups
          |FROM q WHERE quality >= 0.5
-         |GROUP BY sha256(text) ORDER BY doc_id""".stripMargin
+         |GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "p02_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+        |FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) c
+        |LEFT JOIN bench b USING (g)
+        |GROUP BY doc_id
+        |HAVING round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+    "p03_stratified_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    least(CAST(floor(len(string_split(text, ' ')) / 100) AS BIGINT), 3) AS stratum,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, stratum, bucket,
+        |        ([10, 25, 50, 100])[stratum + 1] AS rate FROM f)
+        |SELECT doc_id, stratum, bucket, CAST(rate AS BIGINT) AS rate
+        |FROM r WHERE bucket < rate ORDER BY doc_id""".stripMargin
   )
 }
