@@ -137,6 +137,20 @@ object ExtraQueries {
         .orderBy("p_partkey", "metric")
     },
 
+    // exact percentiles per group (linear interpolation — matches
+    // DuckDB's quantile_cont). At 100 TB the approx_percentile sketch
+    // replaces this 1:1 (same call shape); the exact form is the
+    // oracle-checkable variant.
+    "x12_percentiles" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy("event_type")
+    },
+
     // salted shuffle join on a deliberately skewed key: event_type has
     // ~5 distinct values, so a plain shuffle join would funnel the whole
     // fact table through 5 reducers. SkewJoin.saltedJoin spreads each
@@ -209,6 +223,12 @@ object ExtraQueries {
         |  UNION ALL
         |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
         |ORDER BY p_partkey, metric""".stripMargin,
+    "x12_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x11_skew_salted_join" ->
       """SELECT e.event_type, d.type_cnt, count(*) AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -73,6 +73,29 @@ object TextQueries {
           fingerprint(col("text")).as("fp_full"),
           fingerprint(substring(col("text"), 1, 64)).as("fp_head"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF top-3 terms per document. Scale shape: term frequencies are
+    // one shuffle on (doc, term); document frequencies aggregate the
+    // VOCABULARY (small by Zipf) and broadcast back, so the scoring join
+    // adds no fact-side shuffle; the final window partitions by doc_id —
+    // high cardinality, no skew.
+    "t05_tfidf" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs.count() // metadata-cheap count, scalar into the plan
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))).as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rn")
     }
   )
 
@@ -114,6 +137,20 @@ object TextQueries {
         s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($e, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % $FpMod)"
       s"""SELECT doc_id, ${fp("text")} AS fp_full, ${fp("substr(text, 1, 64)")} AS fp_head
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+    "t05_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tfc.term AS term, tf * ln((nd + 1.0) / (df + 1.0)) AS tfidf
+        |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+        |SELECT doc_id, rn, term, round(tfidf, 6) AS tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }
