@@ -94,6 +94,52 @@ object Multimodal {
     }
   }
 
+  /** Resized media row: fixed target grid, row-major pixels. */
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      target_w: Int,
+      target_h: Int,
+      pixels: Array[Float])
+
+  /** STUB resize ??? — stands in for a codec's resample: avg-pools the
+    * payload byte stream into a fixed (w × h) row-major grid, so output
+    * width is schema-stable regardless of input size (the property a
+    * training pipeline needs from resize). Deterministic; a real
+    * deployment swaps only the pooling for libjpeg/swscale.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val cells = w * h
+    val out = new Array[Float](cells)
+    val counts = new Array[Int](cells)
+    val n = math.max(payload.length, 1)
+    var i = 0
+    while (i < payload.length) {
+      val cell = (i.toLong * cells / n).toInt
+      out(cell) += (payload(i) & 0xff) / 255.0f
+      counts(cell) += 1
+      i += 1
+    }
+    var c = 0
+    while (c < cells) {
+      if (counts(c) > 0) out(c) /= counts(c)
+      c += 1
+    }
+    out
+  }
+
+  /** Resize as the same per-partition batch transform as
+    * extractFeatures: one "codec" init per partition, rows streamed
+    * through, fixed-width columnar output.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition resampler init goes here (stubbed)
+      rows.map(m => ResizedMedia(m.media_id, m.kind, w, h, resizeStub(m.payload, w, h)))
+    }
+  }
+
   /** "Frame sample": `k` fixed-stride byte windows of the payload — the
     * shape of video frame sampling (binary slicing stays in native
     * expressions, no UDF; the lambda only captures the payload attribute,

@@ -44,6 +44,22 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(forDoc1(2).getAs[Array[Byte]]("frame"), "UTF-8") == "d")
   }
 
+  test("resize: schema-stable fixed grid regardless of payload size") {
+    val m = Multimodal.fromStrings(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resize(m, 4, 2).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    // every output is exactly w*h wide, whether the payload is 3 bytes
+    // or 1000 - the schema-stability property a training pipeline needs
+    assert(out.forall(r => r.pixels.length == 8 && r.target_w == 4 && r.target_h == 2))
+    // deterministic: pooling the constant payload gives the constant pixel
+    val allA = out.find(_.media_id == 2L).get
+    assert(allA.pixels.forall(p => math.abs(p - ('a' & 0xff) / 255.0f) < 1e-6))
+    // stub agrees with a direct call
+    assert(out.find(_.media_id == 1L).get.pixels.toSeq ==
+      Multimodal.resizeStub("hello world".getBytes("UTF-8"), 4, 2).toSeq)
+  }
+
   test("repartitionBySize: partitioning survives with all rows intact") {
     val m = Multimodal.fromStrings(docs, "doc_id", "text")
     val rep = Multimodal.repartitionBySize(m, 4)
