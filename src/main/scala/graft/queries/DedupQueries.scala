@@ -71,10 +71,14 @@ object DedupQueries {
     shingleSets(s, dir)
   }
 
-  /** (doc_id, gram) distinct word-3-gram shingles. */
+  /** (doc_id, gram) distinct word-3-gram shingles — exploded from the
+    * memoized per-doc sets so the tokenize+3-gram expression runs ONCE
+    * per corpus scan, shared with d05's set verification (it previously
+    * ran twice: once here, once in shingleSets — measured as the
+    * dominant prelude cost after md5).
+    */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
+    shingleSets(s, dir).select(col("doc_id"), explode(col("gs")).as("g"))
 
   /** Long-format minhash signatures: (doc_id, k, v), K rows per doc.
     *
