@@ -71,9 +71,20 @@ object Bench {
           None
       }
     }
-    // N passes; min = steady state, spread = max-min (host-stall visibility)
+    // N passes; min = steady state, spread = max-min (host-stall visibility).
+    // Adaptive retries: when even the min is slow AND the passes disagree
+    // wildly (the signature of landing in one of this host's multi-minute
+    // degradation windows, not of a genuinely slow query), grant up to 2
+    // extra passes — a later pass outside the window recovers the real
+    // number. A consistently-slow query (small spread) gets no retries.
     def timed(name: String, body: => Unit): Option[(Double, Double)] = {
-      val ts = (1 to Passes).flatMap(_ => timedOnce(name, body))
+      var ts = (1 to Passes).flatMap(_ => timedOnce(name, body))
+      var extra = 0
+      while (ts.nonEmpty && extra < 2 && ts.min > 5.0 && (ts.max - ts.min) > ts.min) {
+        System.err.println(f"[bench] retry $name: min ${ts.min}%.2fs spread ${ts.max - ts.min}%.2fs")
+        ts = ts ++ timedOnce(name, body)
+        extra += 1
+      }
       if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
     }
 
