@@ -60,7 +60,12 @@ case class DotProductD(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -138,6 +138,22 @@ object EventQueries {
         .orderBy("event_type", "rn")
     },
 
+    // Exact top-k via the NATIVE TypedImperativeAggregate (graft_topk,
+    // expressions.TopKAgg): same partial-aggregation shape as e06's
+    // typed Aggregator but running inside ObjectHashAggregate with an
+    // O(log k) heap update and no Encoder round-trips — the third and
+    // deepest engine path for the same semantics (e04 window / e06 udaf
+    // / e07 native), all pinned to one oracle.
+    "e07_topk_native" -> { (s, dir) =>
+      val df = Tables(s, dir, "events") // registers graft_topk
+      df.groupBy("event_type")
+        .agg(expr("graft_topk(value, event_id, 3)").as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("rn"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy("event_type", "rn")
+    },
+
     // §2.8 as a first-class correctness row: a REAL Structured Streaming
     // execution — file-stream source over the events parquet, the exact
     // windowedTypeStats transform streaming callers use, complete-mode
@@ -223,6 +239,12 @@ object EventQueries {
         |WHERE length(f) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
     "e06_topk_agg" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "e07_topk_native" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
