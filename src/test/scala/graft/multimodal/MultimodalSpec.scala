@@ -60,6 +60,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeStub("hello world".getBytes("UTF-8"), 4, 2).toSeq)
   }
 
+  test("multimodal -> ANN hand-off: resized features bucket duplicate payloads together") {
+    import graft.functions.VecFns
+    graft.expressions.GraftFunctions.register(spark) // dotSeq uses graft_dot
+    // resize to 8x8 = 64 dims, the LshDim the sign-LSH hyperplanes expect:
+    // the full near-dup path a media pipeline runs — decode/resize ->
+    // feature vector -> LSH bucket -> in-bucket exact cosine
+    val media = Multimodal.fromStrings(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "completely different content in this one, nothing shared at all"))
+      .toDF("doc_id", "text"), "doc_id", "text").as[Multimodal.MediaRow]
+    val v = Multimodal.resize(media, 8, 8).toDF()
+      .select(col("media_id"),
+        VecFns.l2normalize(VecFns.toDouble(col("pixels"))).as("e"))
+      .withColumn("bucket", VecFns.lshBucket(col("e")))
+    val a = v.select(col("media_id").as("ma"), col("bucket"), col("e").as("ea"))
+    val b = v.select(col("media_id").as("mb"), col("bucket"), col("e").as("eb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("ma") < col("mb"))
+      .select(col("ma"), col("mb"), VecFns.dotSeq(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") > 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"only the duplicate payloads pair up; got $pairs")
+  }
+
   test("repartitionBySize: partitioning survives with all rows intact") {
     val m = Multimodal.fromStrings(docs, "doc_id", "text")
     val rep = Multimodal.repartitionBySize(m, 4)
