@@ -137,6 +137,28 @@ object ExtraQueries {
         .orderBy("p_partkey", "metric")
     },
 
+    // as-of join (operator Spark lacks natively; DuckDB ASOF JOIN is the
+    // oracle): each click gets the latest view by the same user at or
+    // before it. Ops.AsOfJoin is the union+tagged-window shape — one
+    // shuffle on user_id, linear in both sides, no per-probe range scan.
+    "x13_asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      // DuckDB reads the TIMESTAMP(NANOS) column at us precision, so
+      // truncate our exact nanos to the us boundary (integer arithmetic,
+      // still ns units) on BOTH sides — ordering, dedup buckets, and
+      // output all see the same values the oracle does
+      val tsUs = (col("ts") - pmod(col("ts"), lit(1000L))).as("ts")
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tsUs, col("event_id"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), tsUs, col("event_id"))
+        // unique per (user, ts) so "latest" is well-defined
+        .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+        .withColumn("vts", col("ts"))
+      graft.ops.AsOfJoin.asOf(probe, build, "user_id", "ts", Seq("vid", "vts"))
+        .orderBy("event_id")
+    },
+
     // exact percentiles per group (linear interpolation — matches
     // DuckDB's quantile_cont). At 100 TB the approx_percentile sketch
     // replaces this 1:1 (same call shape); the exact form is the
@@ -223,6 +245,16 @@ object ExtraQueries {
         |  UNION ALL
         |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
         |ORDER BY p_partkey, metric""".stripMargin,
+    "x13_asof_join" ->
+      """WITH probe AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events WHERE event_type = 'click'),
+        |build AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, max(event_id) AS vid, epoch_ns(ts) AS vts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_ns(ts))
+        |SELECT p.user_id, p.ts, p.event_id, b.vid AS matched_vid, b.vts AS matched_vts
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id""".stripMargin,
     "x12_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

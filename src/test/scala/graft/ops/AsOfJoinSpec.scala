@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest at-or-before match, inclusive ties, null when none") {
+    val probe = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 20L, 102L), (2L, 7L, 103L))
+      .toDF("k", "ts", "pid")
+    val build = Seq((1L, 5L, 900L), (1L, 15L, 901L), (3L, 1L, 902L))
+      .toDF("k", "ts", "bid")
+    val out = AsOfJoin.asOf(probe, build, "k", "ts", Seq("bid"))
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (100L, 900L), // ts 10 -> build ts 5
+      (101L, 900L), // ts 5 -> tie is inclusive (>=)
+      (102L, 901L), // ts 20 -> build ts 15
+      (103L, -1L))) // key 2 has no build rows -> null
+  }
+
+  test("asOf: probe keeps exactly its row count (left semantics)") {
+    val probe = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)).toDF("k", "ts", "pid")
+    val build = Seq((1L, 2L, 9L)).toDF("k", "ts", "bid")
+    val out = AsOfJoin.asOf(probe, build, "k", "ts", Seq("bid"))
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("k", "ts", "pid", "matched_bid"))
+  }
+}
