@@ -159,6 +159,32 @@ object ExtraQueries {
         .orderBy("event_id")
     },
 
+    // range (interval) join — the prompt's other Spark-missing operator.
+    // Naive form is an inequality join (quadratic scan); the scale shape
+    // replicates each PROBE row to the (at most 2) time buckets its
+    // window overlaps, equi-joins on bucket, then filters the exact
+    // range — shuffle on bucket, each build row matched once (its own
+    // bucket is unique). Counts clicks within 1h after each signup.
+    "x14_range_join" -> { (s, dir) =>
+      val H = 3600L * 1000 * 1000 * 1000 // 1h in ns
+      val tsUs = col("ts") - pmod(col("ts"), lit(1000L)) // oracle us parity
+      val ev = Tables(s, dir, "events")
+      val sign = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), tsUs.as("sts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(tsUs.as("cts"))
+        .withColumn("bucket", expr(s"cts div $H"))
+      val probeRep = sign.withColumn("bucket",
+        explode(array_distinct(array(expr(s"sts div $H"), expr(s"(sts + $H - 1) div $H")))))
+      val counts = probeRep.join(clicks, "bucket")
+        .filter(col("cts") >= col("sts") && col("cts") < col("sts") + H)
+        .groupBy("sid").agg(count(lit(1)).as("n_clicks"))
+      sign.join(counts, Seq("sid"), "left")
+        .na.fill(0, Seq("n_clicks"))
+        .select("sid", "sts", "n_clicks")
+        .orderBy("sid")
+    },
+
     // exact percentiles per group (linear interpolation — matches
     // DuckDB's quantile_cont). At 100 TB the approx_percentile sketch
     // replaces this 1:1 (same call shape); the exact form is the
@@ -245,6 +271,13 @@ object ExtraQueries {
         |  UNION ALL
         |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
         |ORDER BY p_partkey, metric""".stripMargin,
+    "x14_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS sid, epoch_ns(ts) AS sts FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT epoch_ns(ts) AS cts FROM events WHERE event_type = 'click')
+        |SELECT sid, sts, CAST(count(cts) AS BIGINT) AS n_clicks
+        |FROM s LEFT JOIN c ON cts >= sts AND cts < sts + 3600000000000
+        |GROUP BY sid, sts ORDER BY sid""".stripMargin,
     "x13_asof_join" ->
       """WITH probe AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events WHERE event_type = 'click'),
