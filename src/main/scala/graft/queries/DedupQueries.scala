@@ -82,24 +82,28 @@ object DedupQueries {
 
   /** Long-format minhash signatures: (doc_id, k, v), K rows per doc.
     *
-    * The explode(sequence) generator between the md5-hash projection and
-    * the aggregation is load-bearing: without it, CollapseProject inlines
-    * the md5/conv expression into every one of the K min-aggregates and
-    * the hash is recomputed K times per shingle (measured 16× slower).
-    * After the generator, the K slot hashes are pure integer ops and the
-    * min() combines map-side before the one shuffle on (doc_id, k).
+    * Plan shape: project (doc_id, hm=md5-hash) once per shingle, then ONE
+    * doc_id-keyed aggregate whose K min() accumulators each apply their
+    * (A(k)*hm+B(k))%P permutation — md5 runs once per shingle (the
+    * Project sits below the Aggregate boundary, so CollapseProject cannot
+    * inline it into the agg expressions), there is no ×K generator
+    * blow-up, and each input row makes one hash-map probe updating K
+    * accumulators instead of K probes. posexplode then restores the long
+    * (doc_id, k, v) contract downstream queries join on. An earlier form
+    * exploded every shingle ×K before a (doc_id, k) aggregate — that was
+    * the dominant d00 prelude cost (22.3 s at sf0.1 in the driver bench).
     */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sig") {
-      val aLit = lit(MinhashA)
-      val bLit = lit(MinhashB)
+      val mins = (0 until MinhashK).map(k =>
+        min((lit(MinhashA(k)) * col("hm") + lit(MinhashB(k))) % P).as(s"m$k"))
+      val slots = array((0 until MinhashK).map(k => col(s"m$k")): _*)
       docGrams(s, dir)
         .select(col("doc_id"), (h60(col("g")) % P).as("hm"))
-        .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(MinhashK - 1))).as("k"))
-        .select(col("doc_id"), col("k"),
-          ((element_at(aLit, col("k") + 1) * col("hm") + element_at(bLit, col("k") + 1)) % P).as("h"))
-        .groupBy("doc_id", "k")
-        .agg(min(col("h")).as("v"))
+        .groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), posexplode(slots))
+        .toDF("doc_id", "k", "v")
     }
 
   /** Hot-bucket cap: a (band, band-signature) bucket holding more than
@@ -217,17 +221,25 @@ object DedupQueries {
 
     // SimHash: 32-bit signature from 60-bit token hashes; bit i set when
     // the +1/-1 vote over distinct tokens is positive.
+    //
+    // Plan shape: ONE shuffle on doc_id carrying 32 partial-agg columns.
+    // The earlier form exploded every token ×32 bit positions before a
+    // (doc_id, i) aggregate — 32× the generator rows and 32 hash-map
+    // probes per token vs one probe updating 32 accumulators here
+    // (measured 25.7 s → ~1 s class at sf0.1 in the driver bench).
     "d04_simhash" -> { (s, dir) =>
+      val votes = (0 until 32).map(i =>
+        sum(((shiftright(col("h"), i) % 2L) * 2L - 1L)).as(s"v$i"))
+      val sig = (0 until 32).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(tokens(col("text")))).as("tok"))
         .select(col("doc_id"), h60(col("tok")).as("h"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
-        .groupBy("doc_id", "i")
-        .agg(sum(expr("(CAST(shiftright(h, i) AS BIGINT) % 2) * 2 - 1")).as("vote"))
         .groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0, expr("CAST(shiftleft(CAST(1 AS BIGINT), i) AS BIGINT)"))
-          .otherwise(0L)).as("simhash"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
         .orderBy("doc_id")
     },
 
