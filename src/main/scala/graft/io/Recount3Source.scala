@@ -1,0 +1,255 @@
+package graft.io
+
+import java.io.{BufferedReader, InputStream, InputStreamReader}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.nio.file.Paths
+import java.util.{Map => JMap}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.locate.{EndpointConnector, ProjectLocator}
+import graft.model.{Annotation, Dtype}
+
+/** DataSourceV2 over the recount3 corpus layout (NOTES_r1 #4 second half):
+  * `spark.read.format("recount3")` resolves root → homes_index →
+  * per-project count-file URLs (the same locator the loaders use:
+  * reference locator.py:83-164) and scans the wide gzipped counts TSVs
+  * (accessor.py:340-388 gene / 516-570 exon) directly into the LONG
+  * format the 100 TB architecture standardizes on (SURVEY §7.4.1):
+  * one `(project_id, feature_id, sample_id, value)` row per matrix cell.
+  *
+  * Catalyst integration — the reason this is a v2 source and not a
+  * loader helper:
+  *   - **partition pruning**: an `EqualTo`/`In` filter on `project_id`
+  *     is pushed into the scan and skips whole files (each counts file
+  *     is one project — at corpus scale, one project filter prunes
+  *     thousands of files before a single byte is read);
+  *   - **column pruning inside the wide file**: a pushed filter on
+  *     `sample_id` restricts which per-sample columns of the wide TSV
+  *     are even parsed — the long-format row explosion never happens
+  *     for unselected samples;
+  *   - **required-column pruning**: `select("feature_id")` materializes
+  *     only that field per emitted row.
+  *
+  * Remote roots are mirrored first via [[graft.cache.Downloader]]; the
+  * scan itself reads `file:` paths only (zero network IO inside tasks —
+  * executors hammering an HTTP endpoint is the anti-pattern the
+  * cache-then-scan split exists to prevent).
+  */
+final class Recount3Source extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "recount3"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Recount3Source.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new Recount3Source.R3Table(Recount3Source.resolve(properties.asScala.toMap))
+}
+
+object Recount3Source {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("project_id", StringType, nullable = false),
+    StructField("feature_id", StringType, nullable = false),
+    StructField("sample_id", StringType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** One counts file per project, resolved driver-side through the same
+    * EndpointConnector + ProjectLocator pipeline the loaders use.
+    */
+  private[io] def resolve(opts: Map[String, String]): Seq[R3File] = {
+    def req(k: String): String = opts.getOrElse(k,
+      throw new IllegalArgumentException(s"recount3 source requires option '$k'"))
+    val root = req("root")
+    val organism = opts.getOrElse("organism", "human")
+    val dbase = opts.getOrElse("dbase", "sra")
+    val dtype = req("dtype").toLowerCase match {
+      case "gene" => Dtype.Gene
+      case "exon" => Dtype.Exon
+      case other => throw new IllegalArgumentException(
+        s"recount3 dtype must be gene or exon, got '$other'")
+    }
+    val annCode = opts.getOrElse("annotation", "G026")
+    val ann = Annotation.all.find(_.code == annCode).getOrElse(
+      throw new IllegalArgumentException(s"unknown annotation code '$annCode'"))
+    val projects = req("projects").split(',').map(_.trim).filter(_.nonEmpty).toList.sorted
+    require(projects.nonEmpty, "recount3 source requires at least one project id")
+
+    val eps = new EndpointConnector(organism, root)
+    val loc = ProjectLocator(eps.rootOrganismUrl, eps.dataSources, dbase, dtype,
+      Some(ann), projects)
+    projects.map { pid =>
+      val url = loc.urls
+        .find(u => u.contains(s"/$pid/") && u.endsWith(s".$pid.${ann.code}.gz"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ${dtype.tag} counts URL for project $pid"))
+      val path = localize(url)
+      // fail at plan time on the driver, not mid-job inside a task
+      if (!java.nio.file.Files.isRegularFile(Paths.get(path)))
+        throw new IllegalArgumentException(
+          s"recount3 counts file missing for project $pid: $path")
+      R3File(pid, path)
+    }
+  }
+
+  /** file:/bare-path URLs only — remote roots must be mirrored first. */
+  private def localize(url: String): String = {
+    val uri = URI.create(url)
+    Option(uri.getScheme) match {
+      case Some("file") => Paths.get(uri).toString
+      case None => url
+      case Some(s) => throw new IllegalArgumentException(
+        s"recount3 scan reads local mirrors only (got scheme '$s'); " +
+          "cache remote roots with graft.cache.Downloader first")
+    }
+  }
+
+  private[io] final case class R3File(pid: String, path: String)
+
+  private final class R3Table(files: Seq[R3File]) extends Table with SupportsRead {
+    override def name(): String = s"recount3(${files.map(_.pid).mkString(",")})"
+    override def schema(): StructType = Schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new R3ScanBuilder(files)
+  }
+
+  private final class R3ScanBuilder(files: Seq[R3File])
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
+    private var required: StructType = Schema
+    private var projectKeep: Option[Set[String]] = None
+    private var sampleKeep: Option[Set[String]] = None
+    private var accepted: Array[Filter] = Array.empty
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    private def and(cur: Option[Set[String]], vs: Set[String]): Option[Set[String]] =
+      Some(cur.fold(vs)(_ intersect vs))
+
+    /** Accepts equality/membership on the two pruning keys; those are
+      * applied EXACTLY inside the scan (file skip / column skip), so they
+      * are not returned for post-scan re-evaluation. Everything else is
+      * left to Catalyst.
+      */
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      val rest = filters.filter {
+        case EqualTo("project_id", v: String) =>
+          projectKeep = and(projectKeep, Set(v)); false
+        case In("project_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+          projectKeep = and(projectKeep, vs.map(_.asInstanceOf[String]).toSet); false
+        case EqualTo("sample_id", v: String) =>
+          sampleKeep = and(sampleKeep, Set(v)); false
+        case In("sample_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+          sampleKeep = and(sampleKeep, vs.map(_.asInstanceOf[String]).toSet); false
+        case _ => true
+      }
+      accepted = filters.diff(rest)
+      rest
+    }
+    override def pushedFilters(): Array[Filter] = accepted
+
+    override def build(): Scan = {
+      val kept = projectKeep.fold(files)(keep => files.filter(f => keep(f.pid)))
+      new R3Scan(kept, required, sampleKeep)
+    }
+  }
+
+  private final class R3Scan(files: Seq[R3File], required: StructType,
+      sampleKeep: Option[Set[String]]) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => R3Partition(f.pid, f.path)).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      R3ReaderFactory(required, sampleKeep)
+    // surfaced in explain() so specs (and users) can see the pruning
+    override def description(): String =
+      s"recount3 files=${files.size} " +
+        s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}"
+  }
+
+  private final case class R3Partition(pid: String, path: String) extends InputPartition
+
+  private final case class R3ReaderFactory(required: StructType,
+      sampleKeep: Option[Set[String]]) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val part = p.asInstanceOf[R3Partition]
+      new R3Reader(part.pid, part.path, required, sampleKeep)
+    }
+  }
+
+  /** Streams one wide counts file (##-comment preamble, header row of
+    * `feature_col, sample...`), emitting one long row per (line, kept
+    * sample). Only the pruned `required` fields are materialized.
+    */
+  private final class R3Reader(pid: String, path: String, required: StructType,
+      sampleKeep: Option[Set[String]]) extends PartitionReader[InternalRow] {
+
+    private val reader: BufferedReader = {
+      val raw: InputStream = java.nio.file.Files.newInputStream(Paths.get(path))
+      val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+      new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    }
+    private val pidUtf = UTF8String.fromString(pid)
+
+    // header: sample columns to parse (post sample-pushdown)
+    private val (sampleIdx: Array[Int], sampleUtf: Array[UTF8String]) = {
+      var line = reader.readLine()
+      while (line != null && line.startsWith("#")) line = reader.readLine()
+      if (line == null) (Array.empty[Int], Array.empty[UTF8String])
+      else {
+        val header = line.split('\t')
+        val kept = (1 until header.length)
+          .filter(i => sampleKeep.forall(_.contains(header(i))))
+        (kept.toArray, kept.map(i => UTF8String.fromString(header(i))).toArray)
+      }
+    }
+
+    // value producers per required field, bound once (not per row)
+    private var feature: UTF8String = _
+    private var parts: Array[String] = _
+    private var cursor: Int = 0
+    private val getters: Array[Int => Any] = required.fields.map(_.name match {
+      case "project_id" => (_: Int) => pidUtf
+      case "feature_id" => (_: Int) => feature
+      case "sample_id" => (j: Int) => sampleUtf(j)
+      case "value" => (j: Int) => parts(sampleIdx(j)).toLong
+      case other => throw new IllegalStateException(s"unknown column $other")
+    })
+
+    override def next(): Boolean = {
+      if (parts != null && cursor < sampleIdx.length - 1) {
+        cursor += 1
+        true
+      } else if (sampleIdx.isEmpty) false
+      else {
+        var line = reader.readLine()
+        while (line != null && (line.startsWith("#") || line.isEmpty))
+          line = reader.readLine()
+        if (line == null) { parts = null; false }
+        else {
+          parts = line.split('\t')
+          feature = UTF8String.fromString(parts(0))
+          cursor = 0
+          true
+        }
+      }
+    }
+    override def get(): InternalRow =
+      InternalRow.fromSeq(getters.toIndexedSeq.map(_(cursor)))
+    override def close(): Unit = reader.close()
+  }
+}

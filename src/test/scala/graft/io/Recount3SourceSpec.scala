@@ -1,0 +1,115 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.{FixtureMirror, SparkSpec}
+
+/** `spark.read.format("recount3")` DataSourceV2 against the file://
+  * fixture mirror: long-format values, project-level partition pruning,
+  * sample-level wide-column pushdown, required-column pruning.
+  */
+class Recount3SourceSpec extends SparkSpec {
+
+  private lazy val rootUrl = FixtureMirror.build(Files.createTempDirectory("graft-r3src"))
+
+  private def read(dtype: String, projects: String) =
+    spark.read.format("recount3")
+      .option("root", rootUrl)
+      .option("organism", FixtureMirror.Organism)
+      .option("dbase", FixtureMirror.Dbase)
+      .option("dtype", dtype)
+      .option("annotation", "G026")
+      .option("projects", projects)
+      .load()
+
+  /** Finds the v2 scan through AQE wrappers (AdaptiveSparkPlanExec and
+    * query stages hide their subtrees from a plain collect).
+    */
+  private def findScan(p: SparkPlan): Option[String] = p match {
+    case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+    case q: QueryStageExec => findScan(q.plan)
+    case b: BatchScanExec => Some(b.scan.description())
+    case other => other.children.iterator.flatMap(findScan).nextOption()
+  }
+
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("gene counts scan to long format, all projects") {
+    val df = read("gene", "SRP001,SRP002")
+    assert(df.columns.toSeq ==
+      Seq("project_id", "feature_id", "sample_id", "value"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected = Set(
+      ("SRP001", "g1", "SRR001", 10L), ("SRP001", "g1", "SRR002", 20L),
+      ("SRP001", "g2", "SRR001", 30L), ("SRP001", "g2", "SRR002", 40L),
+      ("SRP001", "g3", "SRR001", 0L), ("SRP001", "g3", "SRR002", 5L),
+      ("SRP001", "g4", "SRR001", 7L), ("SRP001", "g4", "SRR002", 0L),
+      ("SRP002", "g2", "SRR003", 100L), ("SRP002", "g3", "SRR003", 200L),
+      ("SRP002", "g5", "SRR003", 300L))
+    assert(got == expected)
+  }
+
+  test("exon counts scan: composite feature ids pass through unsplit") {
+    val df = read("exon", "SRP002")
+    val got = df.collect().map(r =>
+      (r.getString(1), r.getLong(3))).toSet
+    assert(got == Set(("chr1|100|150|+", 9L), ("chr2|500|700|-", 8L)))
+  }
+
+  test("project_id filter prunes whole files before the scan") {
+    val df = read("gene", "SRP001,SRP002").filter(col("project_id") === "SRP002")
+    assert(scanDescription(df).contains("files=1"))
+    assert(df.count() == 3)
+    // membership filter prunes the same way
+    val dfIn = read("gene", "SRP001,SRP002")
+      .filter(col("project_id").isin("SRP001"))
+    assert(scanDescription(dfIn).contains("files=1"))
+    assert(dfIn.count() == 8)
+  }
+
+  test("sample_id filter prunes wide columns inside the file") {
+    val df = read("gene", "SRP001,SRP002").filter(col("sample_id") === "SRR002")
+    assert(scanDescription(df).contains("samples=[SRR002]"))
+    val got = df.collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == Set(("g1", 20L), ("g2", 40L), ("g3", 5L), ("g4", 0L)))
+    // a sample that exists in no file still yields an empty (not failing) scan
+    assert(read("gene", "SRP001").filter(col("sample_id") === "NOPE").count() == 0)
+  }
+
+  test("required-column pruning reaches the reader schema") {
+    val df = read("gene", "SRP001").select("feature_id")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("feature_id"))
+    assert(df.distinct().count() == 4)
+  }
+
+  test("combined pushdown: project + sample + aggregate") {
+    val df = read("gene", "SRP001,SRP002")
+      .filter(col("project_id") === "SRP001" && col("sample_id").isin("SRR001"))
+      .groupBy("sample_id").agg(sum("value").as("total"))
+    val desc = scanDescription(df)
+    assert(desc.contains("files=1") && desc.contains("samples=[SRR001]"))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 47L)
+  }
+
+  test("option validation: bad dtype / unknown annotation / missing project") {
+    assertThrows[IllegalArgumentException](read("junctions", "SRP001").collect())
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("recount3").option("root", rootUrl)
+        .option("dtype", "gene").option("annotation", "XXXX")
+        .option("projects", "SRP001").load().collect()
+    }
+    assertThrows[IllegalArgumentException](read("gene", "SRP999").collect())
+  }
+}
