@@ -59,19 +59,31 @@ object Streaming {
   case class Event(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   case class SessionState(startNs: Long, lastNs: Long, firstEvent: Long,
       lastEvent: Long, n: Long, total: Double)
+  case class SessionizeState(open: Option[SessionState], pending: List[SessionState])
   case class Session(user_id: Long, session_start_ns: Long, n_events: Long,
       first_event: Long, last_event: Long, total_value: Double)
 
   /** Inactivity-gap sessionization as explicit keyed state — the
     * streaming twin of EventQueries.e01 (same 30-min default gap).
     *
-    * State is BOUNDED: only the one open session per key is kept. A
-    * session is emitted exactly once, when it closes — either because a
-    * later event exceeded the gap, or because the event-time watermark
-    * passed `last_event_ts + gap` (EventTimeTimeout flushes idle keys
-    * and removes their state). At 100 TB scale this means per-key state
-    * is O(1) and total state is O(active users within the watermark
-    * horizon), not O(all sessions ever).
+    * Append-mode finalization: a session is not FINAL when a later event
+    * exceeds the gap — a late event inside the watermark can still
+    * belong to it. Gap-closed sessions therefore move to a per-key
+    * `pending` buffer and are emitted exactly once, when the event-time
+    * watermark passes `last_event_ts + gap` (either inside a data
+    * invocation or via EventTimeTimeout for idle keys). A late
+    * in-watermark event that predates the open session merges into the
+    * pending session whose gap-extended span covers it, instead of
+    * surfacing as a spurious singleton (the round-2 tradeoff this
+    * replaces).
+    *
+    * State is BOUNDED by the watermark horizon: `pending` only holds
+    * sessions whose `end + gap` the watermark has not reached, so per
+    * key it is O(watermarkDelay / gap) and total state is O(active keys
+    * within the horizon) — at 100 TB, horizontal per-key state, nothing
+    * unbounded. Events older than the watermark never reach the state
+    * function (Spark's late-row filter drops them), so `pending` covers
+    * every mergeable arrival by construction.
     *
     * Streaming callers MUST set a watermark on a TimestampType `ts`
     * column before `.as[Event]` (EventTimeTimeout requires it):
@@ -81,11 +93,12 @@ object Streaming {
     * }}}
     *
     * In batch mode Spark calls the function once per key with the full
-    * history and timeouts never fire, so the open session is emitted
-    * too — the complete, final answer (pinned against e01's oracle
-    * semantics in StreamingSpec). The per-key sort materializes that
-    * key's history only in batch; the declarative window-function form
-    * (EventQueries e01) remains the batch path of record.
+    * sorted history and timeouts never fire, so everything (pending and
+    * open) is emitted — the complete, final answer (pinned against
+    * e01's oracle semantics in StreamingSpec). The per-key sort
+    * materializes that key's history only in batch; the declarative
+    * window-function form (EventQueries e01) remains the batch path of
+    * record.
     */
   def sessionize(
       events: Dataset[Event],
@@ -97,62 +110,78 @@ object Streaming {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionizeState, Session](
         OutputMode.Append, timeoutConf) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionizeState]) =>
           def finish(s: SessionState): Session =
             Session(userId, s.startNs, s.n, s.firstEvent, s.lastEvent, s.total)
-          if (state.hasTimedOut) {
-            // watermark passed lastNs+gap: no event can extend this
-            // session any more — flush it and drop the key's state
-            val idle = state.get
-            state.remove()
-            Iterator.single(finish(idle))
-          } else {
+          def endMs(s: SessionState): Long = (s.lastNs + gapNs) / 1000000L
+          def merge(o: SessionState, e: Event): SessionState = {
+            // the merge extends whichever END the event falls on, never
+            // regressing lastNs (that would shrink the timeout horizon)
+            val first = e.ts_ns < o.startNs ||
+              (e.ts_ns == o.startNs && e.event_id < o.firstEvent)
+            val last = e.ts_ns > o.lastNs ||
+              (e.ts_ns == o.lastNs && e.event_id > o.lastEvent)
+            SessionState(
+              startNs = math.min(o.startNs, e.ts_ns),
+              lastNs = math.max(o.lastNs, e.ts_ns),
+              firstEvent = if (first) e.event_id else o.firstEvent,
+              lastEvent = if (last) e.event_id else o.lastEvent,
+              n = o.n + 1, total = o.total + e.value)
+          }
+          def covers(s: SessionState, e: Event): Boolean =
+            e.ts_ns >= s.startNs - gapNs && e.ts_ns - s.lastNs <= gapNs
+
+          val prior = state.getOption.getOrElse(SessionizeState(None, Nil))
+          var pending: List[SessionState] = prior.pending
+          var open: Option[SessionState] = prior.open
+
+          if (!state.hasTimedOut) {
             val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
-            val closed = List.newBuilder[SessionState]
-            var open: Option[SessionState] = state.getOption
             sorted.foreach { e =>
               open = open match {
-                // within gap of the open session's span — including a LATE
-                // event older than lastNs (a prior trigger ran ahead): the
-                // merge must extend whichever END the event falls on, never
-                // regress lastNs (that would shrink the timeout horizon)
-                case Some(o) if e.ts_ns >= o.startNs - gapNs && e.ts_ns - o.lastNs <= gapNs =>
-                  val first = e.ts_ns < o.startNs ||
-                    (e.ts_ns == o.startNs && e.event_id < o.firstEvent)
-                  val last = e.ts_ns > o.lastNs ||
-                    (e.ts_ns == o.lastNs && e.event_id > o.lastEvent)
-                  Some(SessionState(
-                    startNs = math.min(o.startNs, e.ts_ns),
-                    lastNs = math.max(o.lastNs, e.ts_ns),
-                    firstEvent = if (first) e.event_id else o.firstEvent,
-                    lastEvent = if (last) e.event_id else o.lastEvent,
-                    n = o.n + 1, total = o.total + e.value))
+                // within gap of the open session's span (including a LATE
+                // interior event older than lastNs)
+                case Some(o) if covers(o, e) => Some(merge(o, e))
                 case Some(o) if e.ts_ns < o.startNs - gapNs =>
-                  // predates the open session by more than the gap: its
-                  // session already aged out of single-open-session state —
-                  // emit as its own closed singleton (documented tradeoff)
-                  closed += SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value)
+                  // predates the open session by more than the gap: merge
+                  // into the pending session whose gap-extended span covers
+                  // it, else it is its own (already gap-isolated) session
+                  pending.indexWhere(covers(_, e)) match {
+                    case -1 => pending = pending :+
+                      SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value)
+                    case i => pending = pending.updated(i, merge(pending(i), e))
+                  }
                   Some(o)
                 case other =>
-                  other.foreach(closed += _)
+                  // gap exceeded forward: the open session closes (final
+                  // only once the watermark passes its end + gap)
+                  other.foreach(o => pending = pending :+ o)
                   Some(SessionState(e.ts_ns, e.ts_ns, e.event_id, e.event_id, 1, e.value))
               }
             }
-            if (isStreaming) {
-              open match {
-                case Some(o) =>
-                  state.update(o)
-                  // flush once the watermark passes the gap horizon
-                  state.setTimeoutTimestamp((o.lastNs + gapNs) / 1000000L)
-                case None => state.remove()
-              }
-              closed.result().iterator.map(finish)
-            } else {
-              // batch: one call with complete data — everything is final
-              (closed.result() ++ open.toList).iterator.map(finish)
+          }
+
+          if (isStreaming) {
+            // finalize everything the watermark has passed; keep the rest
+            val wm = state.getCurrentWatermarkMs()
+            val (done, keepPending) = pending.partition(endMs(_) <= wm)
+            val (doneOpen, keepOpen) = open match {
+              case Some(o) if endMs(o) <= wm => (List(o), None)
+              case other => (Nil, other)
             }
+            val remaining = keepPending ++ keepOpen
+            if (remaining.isEmpty) state.remove()
+            else {
+              state.update(SessionizeState(keepOpen, keepPending))
+              // min over remaining end-horizons is > wm after the flush
+              state.setTimeoutTimestamp(remaining.map(endMs).min)
+            }
+            (done.sortBy(_.startNs) ++ doneOpen).iterator.map(finish)
+          } else {
+            // batch: one call with complete data — everything is final
+            (pending ++ open.toList).iterator.map(finish)
           }
       }
   }

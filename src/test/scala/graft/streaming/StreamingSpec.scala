@@ -85,12 +85,54 @@ class StreamingSpec extends SparkSpec {
       // the watermark — must merge as an interior event (end stays id 11)
       mem.addData((1L, base + gap / 4, 12L, 4.0))
       q.processAllAvailable()
-      // far-future event closes the session by gap-exceed
+      // far-future event closes the session by gap-exceed (not yet final:
+      // the watermark hasn't reached its end+gap horizon)
       mem.addData((1L, base + 20 * gap, 13L, 8.0))
+      q.processAllAvailable()
+      // next trigger advances the watermark past end+gap -> finalized
+      mem.addData((1L, base + 21 * gap, 14L, 16.0))
       q.processAllAvailable()
       val got = spark.table("sessions_late").as[Streaming.Session].collect().toSeq
       assert(got == Seq(Streaming.Session(1L, base, 3, 10L, 11L, 7.0)),
         s"late event merged interior, end not regressed; got $got")
+    } finally q.stop()
+  }
+
+  test("sessionize (streaming): too-late event merges into a gap-closed pending session") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "2 hours") // 4x the gap
+      .as[Streaming.Event]
+    val out = Streaming.sessionize(events, gap)
+    val ckpt = Files.createTempDirectory("graft-sess-pend-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("sessions_pending")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val base = 100 * gap
+    try {
+      mem.addData((1L, base, 10L, 1.0))
+      q.processAllAvailable()
+      // 3 gaps later: session 1 closes by gap-exceed, held pending
+      mem.addData((1L, base + 3 * gap, 11L, 2.0))
+      q.processAllAvailable()
+      // TOO-LATE event: > gap before the open session, but inside the
+      // watermark and inside pending session 1's gap-extended span —
+      // merges there (round 2 emitted this as a spurious singleton)
+      mem.addData((1L, base + gap / 2, 12L, 4.0))
+      q.processAllAvailable()
+      // two more triggers advance the watermark past both horizons
+      mem.addData((1L, base + 8 * gap, 13L, 8.0))
+      q.processAllAvailable()
+      mem.addData((1L, base + 9 * gap, 14L, 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_pending").as[Streaming.Session]
+        .collect().toSeq.sortBy(_.session_start_ns)
+      assert(got == Seq(
+        Streaming.Session(1L, base, 2, 10L, 12L, 5.0),
+        Streaming.Session(1L, base + 3 * gap, 1, 11L, 11L, 2.0)),
+        s"too-late event merged into pending, no singleton; got $got")
     } finally q.stop()
   }
 
