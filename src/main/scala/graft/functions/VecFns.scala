@@ -52,31 +52,42 @@ object VecFns {
     s"list_transform(($e), x -> x / sqrt(${sqlDotSeq(s"($e)", s"($e)")}))"
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
-    * (j,d) = (((j*64+d+1) * 2654435761) mod 1999 - 999) / 1000 ∈ (-1, 1).
+    * (j,d) = (((j*dim+d+1) * 2654435761) mod 1999 - 999) / 1000 ∈ (-1, 1).
     * Pure integer math — the same literals are embedded in the Spark plan
-    * and the oracle SQL.
+    * and the oracle SQL. Parametric in `dim` so the same family serves
+    * the 64-dim embeddings and the 16-dim multimodal stub features.
     */
   val LshPlanes: Int = 8
   val LshDim: Int = 64
-  def hyperplane(j: Int): Array[Double] =
-    Array.tabulate(LshDim) { d =>
-      ((((j.toLong * LshDim + d + 1) * 2654435761L) % 1999L) - 999L) / 1000.0
+  def hyperplaneN(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      ((((j.toLong * dim + d + 1) * 2654435761L) % 1999L) - 999L) / 1000.0
     }
+  def hyperplane(j: Int): Array[Double] = hyperplaneN(j, LshDim)
 
   /** Sign-LSH bucket id in [0, 2^planes): bit j = (hp_j · v > 0). */
-  def lshBucket(vDouble: Column): Column =
+  def lshBucketN(vDouble: Column, dim: Int): Column =
     (0 until LshPlanes).map { j =>
-      val hp = lit(hyperplane(j))
+      val hp = lit(hyperplaneN(j, dim))
       when(dotSeq(hp, vDouble) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  def lshBucket(vDouble: Column): Column = lshBucketN(vDouble, LshDim)
 
   /** DuckDB SQL fragment for the same sequential dot product. */
-  def sqlDotSeq(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1, $LshDim + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+  def sqlDotSeqN(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, $dim + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+  def sqlDotSeq(a: String, b: String): String = sqlDotSeqN(a, b, LshDim)
+
+  /** DuckDB SQL fragment mirroring l2normalize over column expr `e` at
+    * dimension `dim`.
+    */
+  def sqlL2NormalizeN(e: String, dim: Int): String =
+    s"list_transform(($e), x -> x / sqrt(${sqlDotSeqN(s"($e)", s"($e)", dim)}))"
 
   /** DuckDB SQL literal for hyperplane j (parenthesized so it can be
     * indexed: `(...::DOUBLE[])[i]`).
     */
-  def sqlHyperplane(j: Int): String =
-    hyperplane(j).mkString("([", ", ", "]::DOUBLE[])")
+  def sqlHyperplaneN(j: Int, dim: Int): String =
+    hyperplaneN(j, dim).mkString("([", ", ", "]::DOUBLE[])")
+  def sqlHyperplane(j: Int): String = sqlHyperplaneN(j, LshDim)
 }

@@ -69,12 +69,16 @@ object Multimodal {
     val width = 1 + (n % 640)
     val height = 1 + (n % 480)
     val nFrames = 1 + (n % 16)
-    val feature = new Array[Float](16)
+    // accumulate in double, cast once: float += would make the result
+    // unmirrorable in SQL oracles; double sum + CAST(.. AS REAL) is the
+    // same rounding in Spark and DuckDB (m03's oracle relies on this)
+    val acc = new Array[Double](16)
     var i = 0
     while (i < n) {
-      feature(i % 16) += (payload(i) & 0xff) / 255.0f
+      acc(i % 16) += (payload(i) & 0xff) / 255.0
       i += 1
     }
+    val feature = Array.tabulate(16)(j => acc(j).toFloat)
     (width, height, nFrames, feature)
   }
 

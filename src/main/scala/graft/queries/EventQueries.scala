@@ -122,6 +122,36 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // The full multimodal -> ANN hand-off as ONE oracle-checked pipeline
+    // (NOTES_r2 #5): documents -> binary payload -> per-partition stub
+    // decode (Multimodal.extractFeatures: the mapPartitions batch shape a
+    // real codec needs) -> 16-dim feature -> L2-normalize -> sign-LSH
+    // bucket -> within-bucket cosine pairs. The pair join is equi on
+    // bucket (shuffle-local, the s02 scale shape), never all-pairs; the
+    // decode scan is linear. The oracle replays the stub's byte math in
+    // SQL exactly (double accumulation + one float cast; ASCII corpus, so
+    // ord(char) == byte, same contract m02 pins).
+    "m03_media_neardup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.VecFns._
+      val media = graft.multimodal.Multimodal.fromStrings(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(media.as[graft.multimodal.Multimodal.MediaRow])
+      val v = feats.toDF()
+        .select(col("media_id"), l2normalize(toDouble(col("feature"))).as("e"))
+        .withColumn("bucket", lshBucketN(col("e"), 16))
+      val a = v.as("a")
+      val b = v.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          dotSeq(col("a.e"), col("b.e")).as("c"))
+        .filter(col("c") >= 0.999)
+        .select(col("media_a"), col("media_b"), round(col("c"), 6).as("cos"))
+        .orderBy("media_a", "media_b")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -238,6 +268,27 @@ object EventQueries {
         |  FROM documents, (SELECT unnest(range(0, 4)) AS i) ks)
         |WHERE length(f) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "m03_media_neardup" -> {
+      import graft.functions.VecFns.{sqlDotSeqN, sqlHyperplaneN, sqlL2NormalizeN, LshPlanes}
+      val bucketExpr = (0 until LshPlanes).map { j =>
+        s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "e", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH feats AS (
+         |  SELECT doc_id AS media_id, list_transform(range(0, 16), j ->
+         |    CAST(list_reduce(list_prepend(0.0, list_transform(
+         |      list_filter(range(1, len(text) + 1), i -> (i - 1) % 16 = j),
+         |      i -> ord(text[i]) / 255.0)), (a, x) -> a + x) AS REAL)) AS f
+         |  FROM documents),
+         |fd AS (SELECT media_id, list_transform(f, x -> CAST(x AS DOUBLE)) AS fd FROM feats),
+         |v AS (SELECT media_id, ${sqlL2NormalizeN("fd", 16)} AS e FROM fd),
+         |b AS (SELECT media_id, e, $bucketExpr AS bucket FROM v)
+         |SELECT media_a, media_b, round(c, 6) AS cos FROM (
+         |  SELECT a.media_id AS media_a, bb.media_id AS media_b,
+         |         ${sqlDotSeqN("a.e", "bb.e", 16)} AS c
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
+         |WHERE c >= 0.999
+         |ORDER BY media_a, media_b""".stripMargin
+    },
     "e06_topk_agg" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
