@@ -67,5 +67,7 @@ object GraftFunctions {
       "graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5p60", exprs => Md5Prefix60(exprs(0)), "built-in")
   }
 }

@@ -34,8 +34,17 @@ object TextFns {
 
   /** 60-bit deterministic string hash: first 15 hex chars of md5, as a
     * positive long. DuckDB mirror: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
+    * Evaluated by the native codegen'd expression
+    * [[graft.expressions.Md5Prefix60]] — same value, no intermediate
+    * hex-string materialization (the built-in composition below is kept
+    * as the property-tested reference: [[h60Builtin]]).
     */
-  def h60(c: Column): Column =
+  def h60(c: Column): Column = call_function("graft_md5p60", c)
+
+  /** The built-in-functions composition h60 replaces (equivalence is
+    * pinned by Md5Prefix60Spec).
+    */
+  def h60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** MinHash family: h_k(x) = (A(k) * (h60 % P) + B(k)) % P.
