@@ -140,6 +140,24 @@ object DedupQueries {
         .distinct()
     }
 
+  /** Verified near-dup pairs (doc_a < doc_b, exact n-gram Jaccard >= 0.5
+    * over the LSH candidates) — shared by d05 (scores) and d07
+    * (clustering).
+    */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(s, dir)
+    val sets = shingleSets(s, dir)
+    val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
+    val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType).as("i"),
+        size(col("gsa")).as("na"), size(col("gsb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("na") + col("nb") - col("i"))).as("j"))
+      .filter(col("j") >= 0.5)
+  }
+
   /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sets") {
@@ -251,19 +269,45 @@ object DedupQueries {
     // measured 400+ s at sf0.1); candidate verification touches only the
     // proposed pairs.
     "d05_ngram_jaccard" -> { (s, dir) =>
-      val cand = lshCandidates(s, dir)
-      val sets = shingleSets(s, dir)
-      val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
-      val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType).as("i"),
-          size(col("gsa")).as("na"), size(col("gsb")).as("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i") / (col("na") + col("nb") - col("i"))).as("j"))
-        .filter(col("j") >= 0.5)
+      neardupPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Connected components over the verified near-dup pairs — the step
+    // that turns pairwise matches into "keep one per duplicate cluster"
+    // (cluster_id = min doc_id in the component). DataFrame-native
+    // min-label propagation: each round is one shuffle join on the node
+    // key + a per-node min; rounds = component diameter (near-dup
+    // clusters are short chains, so a handful). localCheckpoint after
+    // every round truncates the lineage so the plan stays O(1)-sized —
+    // the standard iterative-graph shape on a 1000-executor cluster.
+    // Only docs that appear in >= 1 pair are emitted (singletons are not
+    // clusters). Oracle: the same fixpoint as a DuckDB recursive CTE.
+    "d07_dedup_clusters" -> { (s, dir) =>
+      val pr = neardupPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pr
+        .union(pr.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var done = false
+      while (!done) {
+        val nmin = edges
+          .join(labels.select(col("doc_id").as("src"), col("label").as("slabel")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("slabel")).as("nlabel"))
+        val upd = labels.join(nmin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+          .localCheckpoint()
+        done = upd.filter(col("nl") < col("label")).isEmpty
+        labels = upd.select(col("doc_id"), col("nl").as("label"))
+      }
+      edges.unpersist()
+      labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
     },
 
     // Embedding-cosine near-dup pairs (oracle-checkable all-pairs baseline;
@@ -329,6 +373,33 @@ object DedupQueries {
          |SELECT doc_a, doc_b, round(j, 6) AS jaccard
          |FROM scored WHERE j >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same sig/cand/sets/pair chain as d05, then min-label fixpoint as a
+    // recursive CTE (UNION dedupes, so the recursion terminates at the
+    // component closure; min(l) per vertex = component min = cluster id)
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v)
+         |SELECT v AS doc_id, min(l) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "d06_embed_neardup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
       s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
