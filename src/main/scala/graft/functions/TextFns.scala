@@ -62,6 +62,27 @@ object TextFns {
   def minhashK(k: Int, hm: Column): Column =
     (lit(MinhashA(k)) * hm + lit(MinhashB(k))) % lit(MinhashP)
 
+  /** Per-ROW minhash signature (all K slots) as a pure expression over a
+    * bound `hms` attribute column holding the doc's array of
+    * (h60 % P) shingle hashes. No aggregation and no shuffle, so it
+    * computes identically in a plain projection and inside an
+    * append-mode stream (the property streaming near-dup needs — the
+    * batch groupBy signature build is an aggregation a stream can't run
+    * without a watermark-windowed state).
+    *
+    * `hms` MUST be a materialized attribute, not the hash expression
+    * itself: lambdas re-evaluate captured outer EXPRESSIONS per element,
+    * so capturing the md5 subtree would recompute it K times per
+    * shingle; capturing an attribute just reads it. Empty `hms` (doc
+    * shorter than one shingle) yields all-null slots — callers fall back
+    * to exact-content keys for those.
+    */
+  def minhashSlots(hms: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)), k =>
+      array_min(transform(hms, h =>
+        (element_at(lit(MinhashA), k + 1) * h +
+          element_at(lit(MinhashB), k + 1)) % lit(MinhashP))))
+
   /** Stopword mini-dictionaries for the language-ID heuristic. */
   val StopEn: Seq[String] = Seq("the", "a", "and", "of", "to")
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")

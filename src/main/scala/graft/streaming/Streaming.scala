@@ -56,6 +56,38 @@ object Streaming {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Streaming NEAR-duplicate dedup: per-row minhash signature (pure
+    * expressions — TextFns.minhashSlots — so no aggregation stands
+    * between the stream source and the dedup) + dropDuplicatesWithinWatermark
+    * on the signature key. Two docs collapse when ALL K minhash slots
+    * agree (Jaccard ≈ 1 — the streaming-safe near-exact tier; the full
+    * banded-LSH candidate search stays a batch pass, d03/d07). Docs too
+    * short for one shingle fall back to exact-content keys instead of
+    * sharing a null signature. State is evicted by the watermark, so
+    * per-key state lives only for the delay horizon — bounded at any
+    * scale. `docs` must carry a TimestampType `ts` column; in batch the
+    * same transform is plain dropDuplicates (same keys, full-history
+    * semantics).
+    */
+  def dedupNearStream(docs: DataFrame, textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFns._
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs
+      .withColumn("hms",
+        transform(array_distinct(grams3(tokens(col(textCol)))),
+          g => h60(g) % lit(MinhashP)))
+      .withColumn("sig_key", coalesce(
+        when(size(col("hms")) > 0,
+          concat_ws(",", transform(minhashSlots(col("hms")), _.cast("string")))),
+        col(textCol)))
+      .drop("hms")
+    if (docs.isStreaming)
+      keyed.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(Seq("sig_key"))
+    else keyed.dropDuplicates(Seq("sig_key"))
+  }
+
   case class Event(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   case class SessionState(startNs: Long, lastNs: Long, firstEvent: Long,
       lastEvent: Long, n: Long, total: Double)

@@ -136,6 +136,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupNearStream: full-signature minhash dedup, short-doc exact fallback") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("ts_ns", "doc_id", "text")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    val out = Streaming.dedupNearStream(docs, "text", "1 hour")
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val a = "the quick brown fox jumps high"
+    val b = "the quick brown fox leaps high" // different shingle set
+    try {
+      mem.addData((1000L, 1L, a), (2000L, 2L, a), (3000L, 3L, b),
+        (4000L, 4L, "hi"), (5000L, 5L, "hi"))
+      q.processAllAvailable()
+      // a second copy of `a` in a later trigger, still inside the watermark
+      mem.addData((6000L, 6L, a))
+      q.processAllAvailable()
+      val ids = spark.table("neardup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L),
+        s"dup text + cross-trigger dup dropped, variant and one short doc kept; got $ids")
+    } finally q.stop()
+    // batch twin: same keys, plain dropDuplicates semantics
+    import spark.implicits._
+    val batch = Seq((1L, a), (2L, a), (3L, b), (4L, "hi"), (5L, "hi"))
+      .toDF("doc_id", "text")
+    assert(Streaming.dedupNearStream(batch, "text").count() == 3)
+  }
+
   test("dedupStream + enrich over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
