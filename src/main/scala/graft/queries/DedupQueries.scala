@@ -310,6 +310,28 @@ object DedupQueries {
       labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
     },
 
+    // Near-exact dedup on the PER-ROW expression minhash signature — the
+    // same key math Streaming.dedupNearStream applies incrementally
+    // (TextFns.minhashSlots; no aggregation between scan and key), so the
+    // streaming dedup tier has a driver-checked batch twin. Docs collapse
+    // when all K slots agree (Jaccard ≈ 1); docs too short for one
+    // shingle key on exact content. One shuffle on the key; min(doc_id)
+    // is the deterministic keeper.
+    "d08_sig_dedup" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("hms",
+          transform(array_distinct(grams3(tokens(col("text")))),
+            g => h60(g) % lit(P)))
+        .withColumn("sig_key", coalesce(
+          when(size(col("hms")) > 0,
+            concat_ws(",", transform(minhashSlots(col("hms")), _.cast("string")))),
+          col("text")))
+        .groupBy("sig_key")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+        .select(col("keep_id"), col("cnt"))
+        .orderBy("keep_id")
+    },
+
     // Embedding-cosine near-dup pairs (oracle-checkable all-pairs baseline;
     // the LSH-bucketed scale path is s02_lsh_topk). Vectors are
     // L2-normalized once so the pair stage is a single dot product.
@@ -400,6 +422,18 @@ object DedupQueries {
          |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v)
          |SELECT v AS doc_id, min(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // per-doc signature string from the shared sig CTE; docs absent from
+    // sig (no shingles) fall back to exact text via the LEFT JOIN
+    "d08_sig_dedup" ->
+      s"""WITH $sqlSigs,
+         |keys AS (
+         |  SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS sig_key
+         |  FROM sig GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(k.sig_key, d.text) AS sig_key
+         |  FROM documents d LEFT JOIN keys k ON d.doc_id = k.doc_id)
+         |SELECT min(doc_id) AS keep_id, count(*) AS cnt
+         |FROM keyed GROUP BY sig_key ORDER BY keep_id""".stripMargin,
     "d06_embed_neardup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
       s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
