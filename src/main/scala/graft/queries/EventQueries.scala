@@ -122,6 +122,19 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Top-k through the custom PLAN-OPERATOR stack (graft.plans): logical
+    // TopKPerGroup -> TopKStrategy -> partial TopKExec (bounded per-
+    // partition heaps, only k x groups x partitions rows reach the
+    // exchange) -> clustered-distribution final TopKExec. Fourth pinned
+    // engine path for top-k (window e04, typed udaf e06, native
+    // aggregate e07), one shared oracle.
+    "e08_topk_plan" -> { (s, dir) =>
+      val df = Tables(s, dir, "events").select("event_type", "event_id", "value")
+      graft.plans.TopKPlan.topKPerGroup(df, Seq("event_type"), "value", "event_id", 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy("event_type", "rn")
+    },
+
     // The full multimodal -> ANN hand-off as ONE oracle-checked pipeline
     // (NOTES_r2 #5): documents -> binary payload -> per-partition stub
     // decode (Multimodal.extractFeatures: the mapPartitions batch shape a
@@ -290,6 +303,12 @@ object EventQueries {
          |ORDER BY media_a, media_b""".stripMargin
     },
     "e06_topk_agg" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
