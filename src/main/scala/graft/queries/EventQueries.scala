@@ -122,6 +122,25 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Sessionization via Spark's BUILT-IN session_window aggregation —
+    // the third engine path for sessions beside e01's window-function
+    // form and Streaming.sessionize's keyed state: one shuffle on
+    // (user_id, merged session), sessions merge while the inter-event
+    // gap is <= 30 min, window end = last event + gap. Emits one row per
+    // SESSION (e01 emits per event). Window bounds go out as ns bigints
+    // for dtype parity with the oracle (same trick as e05).
+    "e09_session_window" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts")))
+      ev.groupBy(col("user_id"), session_window(col("ts2"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("total_value"))
+        .select(col("user_id"),
+          (unix_micros(col("w.start")) * 1000).as("w_start_ns"),
+          (unix_micros(col("w.end")) * 1000).as("w_end_ns"),
+          col("cnt"), col("total_value"))
+        .orderBy("user_id", "w_start_ns")
+    },
+
     // Top-k through the custom PLAN-OPERATOR stack (graft.plans): logical
     // TopKPerGroup -> TopKStrategy -> partial TopKExec (bounded per-
     // partition heaps, only k x groups x partitions rows reach the
@@ -308,6 +327,26 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // gaps-and-islands: break when the inter-event gap exceeds 30 min
+    // (1800000000 us); micros floor mirrors Spark's timestamp_micros
+    "e09_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) AS us, value FROM events),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(us) * 1000 AS w_start_ns,
+        |  (max(us) + 1800000000) * 1000 AS w_end_ns,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, w_start_ns""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -36,9 +36,18 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("cnt"), col("total_value"))
 
-  /** nanos-bigint -> TimestampType (micros precision, matching Spark). */
+  /** nanos-bigint -> TimestampType (micros precision, matching Spark).
+    *
+    * The division must be EXACT floor division: `long / long` promotes
+    * to double in Spark SQL, and ~1.7e18 ns exceeds double's 53-bit
+    * mantissa — the rounding surfaced as +1 us drift vs the oracle's
+    * `epoch_ns // 1000` (caught by e09's un-truncated session bounds;
+    * e05's hour-truncated windows masked it). Decimal division + floor
+    * is exact at any epoch.
+    */
   def tsFromNanos(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((nanos / 1000L).cast("long"))
+    timestamp_micros(
+      floor(nanos.cast(DecimalType(38, 0)) / lit(1000)).cast("long"))
 
   /** Streaming exact dedup: drop repeats of `idCols` with state bounded
     * by the watermark (late duplicates beyond the delay age out of
