@@ -97,6 +97,31 @@ object Streaming {
     else keyed.dropDuplicates(Seq("sig_key"))
   }
 
+  /** Stream-stream inner join bounded by an event-time interval: right
+    * rows join left rows with the same key when `r.ts` falls within
+    * `[l.ts - maxLag, l.ts]` (attribution shape: a click joins the views
+    * that preceded it by at most maxLag). BOTH inputs must carry a
+    * watermark on `ts` — that, plus the interval condition, is what lets
+    * Spark bound each side's join state to the lag + watermark horizon
+    * and evict older rows, so state is O(rate × horizon) per key range,
+    * never unbounded. Column names are prefixed `l_`/`r_` (except the
+    * shared key) so the joined schema is collision-free.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      maxLag: String = "1 hour"): DataFrame = {
+    def prefixed(df: DataFrame, p: String) = df.columns.foldLeft(df) {
+      (d, c) => if (c == key) d else d.withColumnRenamed(c, s"$p$c")
+    }
+    val l = prefixed(left, "l_")
+    val r = prefixed(right, "r_")
+    // the interval belongs in the JOIN condition (not a post-filter):
+    // Spark derives the state-eviction bound for both sides from it
+    val cond = l(key) === r(key) &&
+      r("r_ts") >= l("l_ts") - expr(s"INTERVAL $maxLag") &&
+      r("r_ts") <= l("l_ts")
+    l.join(r, cond, "inner").drop(r(key))
+  }
+
   case class Event(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   case class SessionState(startNs: Long, lastNs: Long, firstEvent: Long,
       lastEvent: Long, n: Long, total: Double)

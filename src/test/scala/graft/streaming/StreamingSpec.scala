@@ -189,6 +189,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin: clicks join preceding views within the lag, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)] // (user_id, ts_ns, view_id)
+    val clicks = MemoryStream[(Long, Long, Long)] // (user_id, ts_ns, click_id)
+    def src(m: MemoryStream[(Long, Long, Long)], idName: String) =
+      m.toDF().toDF("user_id", "ts_ns", idName)
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "1 hour")
+    val joined = Streaming.streamIntervalJoin(
+      src(clicks, "click_id"), src(views, "view_id"), "user_id", "30 minutes")
+      .select("user_id", "l_click_id", "r_view_id")
+    val ckpt = Files.createTempDirectory("graft-ssjoin-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val M = 60L * 1000 * 1000 * 1000 // 1 min in ns
+    try {
+      // user 1: view at t+0 and t+40min; click at t+50min -> only the
+      // 40min view is within the 30-min lag. user 2: view AFTER the
+      // click -> no attribution.
+      views.addData((1L, 100 * M, 501L), (1L, 140 * M, 502L), (2L, 170 * M, 503L))
+      clicks.addData((1L, 150 * M, 901L), (2L, 160 * M, 902L))
+      q.processAllAvailable()
+      val got = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 901L, 502L)),
+        s"only the in-window preceding view attributes; got $got")
+    } finally q.stop()
+  }
+
   test("partitioned parquet sink: checkpointed restart is exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
