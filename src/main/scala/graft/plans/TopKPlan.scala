@@ -75,6 +75,12 @@ case class TopKExec(
     rankAttr: Attribute,
     child: SparkPlan) extends UnaryExecNode {
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
 
@@ -101,6 +107,8 @@ case class TopKExec(
     val (groups, v, t, kk, isPartial) = (groupExprs, valueExpr, tieExpr, k, partial)
     val ord = worstFirst
     val finalOutput = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groups, childOutput)
       // identity projection: stored rows must be (a) owned copies — the
@@ -128,8 +136,12 @@ case class TopKExec(
           }
         }
       }
+      numGroups += heaps.size
       if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+        heaps.valuesIterator.flatMap(_.iterator.map { e =>
+          numOutputRows += 1
+          e._3
+        })
       } else {
         val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
         val joined = new JoinedRow
@@ -139,6 +151,7 @@ case class TopKExec(
           val entries: Seq[Entry] = heap.dequeueAll
           entries.reverseIterator.zipWithIndex.map { case (e, i) =>
             rankRow.update(0, i + 1)
+            numOutputRows += 1
             resultProj(joined(e._3, rankRow))
           }
         }

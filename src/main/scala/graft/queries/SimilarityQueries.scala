@@ -61,16 +61,20 @@ object SimilarityQueries {
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           l2normalize(toDouble(col("embedding"))).as("e"))
-      // centroids: order-independent elementwise mean via DECIMAL sums
+      // centroids: order-independent elementwise mean via DECIMAL sums.
+      // ONE label-keyed aggregate carrying 64 decimal accumulators + a
+      // count, assembled into the centroid array in a projection — the
+      // earlier posexplode form shuffled 64x the rows on (label, pos)
+      // and needed a second shuffle to re-collect the array. Decimal
+      // sums are exact, so the values are bit-identical either way.
+      val sums = (0 until LshDim).map(d =>
+        sum(element_at(col("e"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
       val centroids = v
-        .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg((sum(col("x").cast(DecimalType(28, 9))).cast(DoubleType) /
-          count(lit(1))).as("cx"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx")).as("c"))
-        .withColumnRenamed("label", "c_label")
+        .groupBy(col("label"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("label").as("c_label"),
+          array((0 until LshDim).map(d =>
+            col(s"s$d").cast(DoubleType) / col("n")): _*).as("c"))
       val q = v.filter(col("vec_id") < 10)
       val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
       val best = q.crossJoin(broadcast(centroids))
