@@ -168,8 +168,10 @@ case class TopKExec(
   * `experimental.extraStrategies` so ad-hoc sessions need no config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+  }
 }
 
 object TopKPlan {
