@@ -88,11 +88,23 @@ object Bench {
       if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
     }
 
-    // shared dedup prelude: timed as its own entry (pass 1 builds + persists,
-    // later passes hit the persisted frames — min-of-N would hide the build,
-    // so the prelude reports the FIRST pass, i.e. the real build cost)
-    val prelude = timedOnce("d00_dedup_prelude",
-      graft.queries.DedupQueries.prewarm(spark, sfDir)).map(t => (t, 0.0))
+    // shared dedup prelude: timed as its own entry. Later prewarm calls
+    // hit the persisted frames, so a plain min-of-N would hide the build;
+    // instead the build runs twice WITH an eviction in between (two real
+    // builds) and reports min + spread — a single-sample number was
+    // swinging 2x run-to-run purely on host stalls. The second build's
+    // frames stay persisted for the d-queries.
+    val prelude = {
+      val t1 = timedOnce("d00_dedup_prelude",
+        graft.queries.DedupQueries.prewarm(spark, sfDir))
+      graft.queries.DedupQueries.evict(spark, sfDir)
+      val t2 = timedOnce("d00_dedup_prelude",
+        graft.queries.DedupQueries.prewarm(spark, sfDir))
+      (t1, t2) match {
+        case (Some(a), Some(b)) => Some((math.min(a, b), math.abs(a - b)))
+        case (a, b) => a.orElse(b).map(t => (t, 0.0))
+      }
+    }
 
     val results: Seq[(String, (Double, Double))] =
       (prelude.map("d00_dedup_prelude" -> _).toSeq ++

@@ -27,6 +27,49 @@ class StreamingSpec extends SparkSpec {
     assert(out(2) == Streaming.Session(2L, 0L, 1, 20L, 20L, 5.0))
   }
 
+  test("sessionize (batch): matches an independent fold on 1500 random events (seeded)") {
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val rnd = new scala.util.Random(123)
+    // per user: ts deltas straddling the gap boundary (incl. EXACTLY gap
+    // = same session), plus same-ts ties with distinct event ids
+    var nextId = 1000L
+    val events = (1L to 15L).flatMap { user =>
+      var ts = 1L + rnd.nextInt(1000)
+      (1 to 100).flatMap { _ =>
+        val delta = rnd.nextInt(4) match {
+          case 0 => rnd.nextLong(gap)      // within gap
+          case 1 => gap                    // exactly gap -> same session
+          case 2 => gap + 1 + rnd.nextLong(gap) // gap exceeded -> split
+          case 3 => 0L                     // tie on ts
+        }
+        ts += delta
+        nextId += 1
+        Seq(Streaming.Event(user, ts, nextId, (rnd.nextInt(1000)) / 100.0))
+      }
+    }
+    // independent fold: sort by (ts, id), split on ts-diff > gap
+    val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e.ts_ns, e.event_id))
+      val sessions = scala.collection.mutable.ListBuffer
+        .empty[scala.collection.mutable.ListBuffer[Streaming.Event]]
+      sorted.foreach { e =>
+        if (sessions.nonEmpty && e.ts_ns - sessions.last.last.ts_ns <= gap)
+          sessions.last += e
+        else sessions += scala.collection.mutable.ListBuffer(e)
+      }
+      sessions.map { ss =>
+        Streaming.Session(u, ss.head.ts_ns, ss.length,
+          ss.head.event_id, ss.last.event_id,
+          ss.foldLeft(0.0)(_ + _.value))
+      }
+    }.toSet
+    import spark.implicits._
+    val got = Streaming.sessionize(
+      rnd.shuffle(events).toDS(), gap).collect().toSet
+    assert(got == expected,
+      s"diff: extra=${got -- expected}, missing=${expected -- got}")
+  }
+
   test("sessionize (streaming): gap-close emits once, idle keys evicted by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 30L * 60 * 1000 * 1000 * 1000 // 30 min in ns
