@@ -44,11 +44,17 @@ object AsOfJoin {
         allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = attach.foldLeft(tagged) { (df, a) =>
-      df.withColumn(s"matched_$a",
-        last(when(col("__side") === 0, col(a)), ignoreNulls = true).over(w))
-    }
+    // carry the latest build row as ONE struct: per-column carries with
+    // ignoreNulls would backfill a genuinely-NULL field of the latest
+    // build row from an older row (per-column time drift); the struct is
+    // non-null exactly when a build row exists, whatever its fields hold
+    // — and one carried column means one window pass however many
+    // columns are attached
+    val carried = tagged.withColumn("__m",
+      last(when(col("__side") === 0, struct(attach.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(probeCols.map(col) ++ attach.map(a => col(s"matched_$a")): _*)
+      .select(probeCols.map(col) ++
+        attach.map(a => col("__m").getField(a).as(s"matched_$a")): _*)
   }
 }

@@ -20,6 +20,19 @@ class AsOfJoinSpec extends SparkSpec {
       (103L, -1L))) // key 2 has no build rows -> null
   }
 
+  test("asOf: a NULL field in the latest build row stays NULL (no per-column backfill)") {
+    // build at ts 5 has amt=50; build at ts 15 (the latest for probe ts
+    // 20) has amt=NULL — the match must carry (901, NULL), not reach
+    // back to ts 5's amt
+    val probe = Seq((1L, 20L, 100L)).toDF("k", "ts", "pid")
+    val build = Seq((1L, 5L, 900L, Some(50L)), (1L, 15L, 901L, Option.empty[Long]))
+      .toDF("k", "ts", "bid", "amt")
+    val out = AsOfJoin.asOf(probe, build, "k", "ts", Seq("bid", "amt")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 901L)
+    assert(out(0).isNullAt(4), "latest build row's NULL amt must not be backfilled")
+  }
+
   test("asOf: probe keeps exactly its row count (left semantics)") {
     val probe = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)).toDF("k", "ts", "pid")
     val build = Seq((1L, 2L, 9L)).toDF("k", "ts", "bid")
