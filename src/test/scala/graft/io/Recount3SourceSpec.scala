@@ -103,6 +103,29 @@ class Recount3SourceSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(1) == 47L)
   }
 
+  test("long scan agrees with the independent wide countsRead path, melted") {
+    // two fully independent parsers over the same files: the DSv2
+    // streaming line reader vs spark.read.csv in Readers.countsRead
+    val root = java.nio.file.Paths.get(java.net.URI.create(rootUrl))
+      .resolve(FixtureMirror.Organism)
+    val got = read("gene", "SRP001,SRP002")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected = FixtureMirror.Projects.keys.flatMap { pid =>
+      val path = root.resolve(
+        s"${FixtureMirror.DSource}/gene_sums/${pid.takeRight(2)}/$pid/" +
+          s"${FixtureMirror.Dbase}.gene_sums.$pid.G026.gz").toString
+      val wide = Readers.countsRead(spark, path)
+      val samples = wide.columns.tail
+      wide.collect().toSeq.flatMap { row =>
+        samples.toSeq.zipWithIndex.map { case (s, i) =>
+          (pid, row.getString(0), s, row.getLong(i + 1))
+        }
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("option validation: bad dtype / unknown annotation / missing project") {
     assertThrows[IllegalArgumentException](read("junctions", "SRP001").collect())
     assertThrows[IllegalArgumentException] {
