@@ -33,6 +33,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).isNullAt(4), "latest build row's NULL amt must not be backfilled")
   }
 
+  test("asOf fuzz: matches a brute-force reference on seeded random input") {
+    val rnd = new scala.util.Random(2026)
+    val probe = (1 to 1500).map { i =>
+      (1L + rnd.nextInt(8), rnd.nextInt(200).toLong, i.toLong)
+    }
+    // build unique per (k, ts) as the contract requires; amt sometimes null
+    val build = rnd.shuffle(
+      (for (k <- 1L to 6L; ts <- 0L to 199L) yield (k, ts)).toSeq)
+      .take(400)
+      .map { case (k, ts) =>
+        (k, ts, k * 1000 + ts, if (rnd.nextBoolean()) Some(ts * 2) else None)
+      }
+    val expected = probe.map { case (k, ts, pid) =>
+      val m = build.filter(b => b._1 == k && b._2 <= ts)
+        .sortBy(_._2).lastOption
+      (pid, m.map(_._3), m.flatMap(_._4))
+    }.toSet
+    import spark.implicits._
+    val out = AsOfJoin.asOf(
+      probe.toDF("k", "ts", "pid").repartition(5),
+      build.toDF("k", "ts", "bid", "amt").repartition(3),
+      "k", "ts", Seq("bid", "amt"))
+    val got = out.collect().map { r =>
+      (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("asOf: probe keeps exactly its row count (left semantics)") {
     val probe = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)).toDF("k", "ts", "pid")
     val build = Seq((1L, 2L, 9L)).toDF("k", "ts", "bid")
