@@ -67,6 +67,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted corpus MIXING to a document budget — the data-prep step
+    // that assembles a training mix ("2 parts src-A to 1 part src-B")
+    // when source sizes are unknown upfront. Unlike p03 (config rates),
+    // the keep-rate is COMPUTED FROM THE DATA in the same plan: count
+    // per source (one tiny agg), join the per-source weight, derive
+    // pct = min(100, floor(100·B·w / (Σw·n_s))), broadcast the ~|sources|
+    // rate rows back onto the corpus, keep doc when its deterministic
+    // md5-bucket < pct. Scale shape: one count agg + one broadcast join
+    // + one scan — the corpus itself shuffles nothing, and the sample is
+    // reproducible run-to-run/engine-to-engine (same md5 bucket trick as
+    // p03). Weight = (trailing digits of source) % 3 + 1 so both engines
+    // derive it from the name alone; budget B = 200 docs.
+    "p04_source_mix" -> { (s, dir) =>
+      val B = 200L
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType) % 3 + 1)
+      // Σw via an unpartitioned window over the |sources|-row counts
+      // frame (single tiny task) — no scalar cross join in the plan
+      val sumw = sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())
+      val rates = counts
+        .select(col("source"),
+          least(lit(100L),
+            floor(lit(100.0) * B * col("w") / (sumw * col("n")))
+              .cast(LongType)).as("pct"))
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType), lit(100L))
+      docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("pct"))
+        .select(col("doc_id"), col("source"), col("bucket"), col("pct"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -121,6 +159,25 @@ object PipelineQueries {
         |GROUP BY doc_id
         |HAVING round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) >= 0.5
         |ORDER BY doc_id""".stripMargin,
+    // same double-precision floor as Spark: all intermediates are small
+    // integers (< 2^53), so IEEE division + floor agree bit-for-bit
+    "p04_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3) + 1 AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS sumw FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(100, CAST(floor((100.0 * 200 * w) / (sumw * n)) AS BIGINT)) AS pct
+        |  FROM c, t),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.bucket, r.pct
+        |FROM d JOIN r ON d.source = r.source
+        |WHERE d.bucket < r.pct ORDER BY d.doc_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,
