@@ -32,6 +32,15 @@ object TextFns {
       (ab, c) => concat_ws(" ", ab, c))
   }
 
+  /** Word 2-gram shingles of a token array (same zip_with shape as
+    * [[grams3]] — the arrays are evaluated once per row, keeping the
+    * cost linear in tokens).
+    */
+  def grams2(t: Column): Column = {
+    val len = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), len), slice(t, lit(2), len), (a, b) => concat_ws(" ", a, b))
+  }
+
   /** 60-bit deterministic string hash: first 15 hex chars of md5, as a
     * positive long. DuckDB mirror: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).
     * Evaluated by the native codegen'd expression

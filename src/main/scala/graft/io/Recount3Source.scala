@@ -12,7 +12,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,11 +128,12 @@ object Recount3Source {
 
   private final class R3ScanBuilder(files: Seq[R3File])
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters with SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var projectKeep: Option[Set[String]] = None
     private var sampleKeep: Option[Set[String]] = None
     private var accepted: Array[Filter] = Array.empty
+    private var countStars: Int = 0
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -161,9 +163,83 @@ object Recount3Source {
     }
     override def pushedFilters(): Array[Filter] = accepted
 
+    /** COUNT(*) pushdown (partial: each file returns its own count and
+      * Spark sums the partials — `supportCompletePushDown` stays false so
+      * multi-file tables merge correctly). The reader then counts
+      * `data lines x kept samples` per file WITHOUT splitting lines or
+      * materializing a row per cell — the long-format explosion (rows =
+      * lines x samples) never happens, which at corpus scale turns a
+      * count into a decompress-and-count-newlines pass. Spark only
+      * attempts aggregate pushdown when every filter was consumed by the
+      * scan, and this source consumes project/sample filters EXACTLY
+      * (file skip / header-column skip), so pushed counts honor them.
+      */
+    override def pushAggregation(aggregation: Aggregation): Boolean = {
+      val ok = aggregation.groupByExpressions.isEmpty &&
+        aggregation.aggregateExpressions.nonEmpty &&
+        aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+      if (ok) countStars = aggregation.aggregateExpressions.length
+      ok
+    }
+
     override def build(): Scan = {
       val kept = projectKeep.fold(files)(keep => files.filter(f => keep(f.pid)))
-      new R3Scan(kept, required, sampleKeep)
+      if (countStars > 0) new R3CountScan(kept, sampleKeep, countStars)
+      else new R3Scan(kept, required, sampleKeep)
+    }
+  }
+
+  /** Pushed-COUNT(*) scan: one partition per file, one output row per
+    * partition holding that file's (lines x kept-samples) count.
+    */
+  private final class R3CountScan(files: Seq[R3File],
+      sampleKeep: Option[Set[String]], nCounts: Int) extends Scan with Batch {
+    override def readSchema(): StructType = StructType(
+      (0 until nCounts).map(i => StructField(s"count_star_$i", LongType, nullable = false)))
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => R3Partition(f.pid, f.path)).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      R3CountReaderFactory(sampleKeep, nCounts)
+    override def description(): String =
+      s"recount3 files=${files.size} pushed=[COUNT(*)] " +
+        s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}"
+  }
+
+  private final case class R3CountReaderFactory(sampleKeep: Option[Set[String]],
+      nCounts: Int) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val part = p.asInstanceOf[R3Partition]
+      new PartitionReader[InternalRow] {
+        private var done = false
+        private var count = 0L
+        override def next(): Boolean = {
+          if (done) return false
+          val raw: InputStream = java.nio.file.Files.newInputStream(Paths.get(part.path))
+          val in = if (part.path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+          val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+          try {
+            var line = reader.readLine()
+            while (line != null && line.startsWith("#")) line = reader.readLine()
+            val keptSamples = if (line == null) 0L else {
+              val header = line.split('\t')
+              (1 until header.length).count(i => sampleKeep.forall(_.contains(header(i)))).toLong
+            }
+            var lines = 0L
+            line = reader.readLine()
+            while (line != null) {
+              if (!line.startsWith("#") && line.nonEmpty) lines += 1
+              line = reader.readLine()
+            }
+            count = lines * keptSamples
+          } finally reader.close()
+          done = true
+          true
+        }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(Seq.fill(nCounts)(count))
+        override def close(): Unit = ()
+      }
     }
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.NumFns.round6
 import graft.functions.TextFns._
 import graft.functions.VecFns._
 
@@ -270,7 +271,7 @@ object DedupQueries {
     // proposed pairs.
     "d05_ngram_jaccard" -> { (s, dir) =>
       neardupPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), round6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -344,7 +345,7 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+        .select(col("vec_a"), col("vec_b"), round6(col("c")).as("cos"))
         .orderBy("vec_a", "vec_b")
     }
   )
@@ -392,7 +393,7 @@ object DedupQueries {
          |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
          |      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
          |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+         |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM scored WHERE j >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // same sig/cand/sets/pair chain as d05, then min-label fixpoint as a
@@ -437,7 +438,7 @@ object DedupQueries {
     "d06_embed_neardup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
       s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
-         |SELECT vec_a, vec_b, round(c, 6) AS cos FROM (
+         |SELECT vec_a, vec_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $dab AS c
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |WHERE c >= 0.4

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.NumFns.round6
+
 /** Event-stream operators over `events` (ts read as bigint nanos — see
   * Tables). Sessionization and running windows are the batch forms of the
   * Structured Streaming surface (graft.streaming mirrors them with
@@ -180,7 +182,7 @@ object EventQueries {
         .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.999)
-        .select(col("media_a"), col("media_b"), round(col("c"), 6).as("cos"))
+        .select(col("media_a"), col("media_b"), round6(col("c")).as("cos"))
         .orderBy("media_a", "media_b")
     },
 
@@ -243,6 +245,38 @@ object EventQueries {
           (unix_micros(col("window_end")) * 1000L).as("w_end_ns"),
           col("event_type"), col("cnt"), col("total_value"))
         .orderBy("w_start_ns", "event_type")
+    },
+
+    // Session windows in a LIVE streaming query (e09 is the batch twin):
+    // file stream -> watermark -> session_window aggregation -> APPEND
+    // memory sink. Append mode is the production shape — a session row is
+    // emitted exactly once, when the event-time watermark passes its
+    // end, and its state is evicted then (bounded by the watermark
+    // horizon, the property that holds at any scale). The oracle mirrors
+    // the append contract: gaps-and-islands sessions WHERE session_end <=
+    // final watermark (max event time - delay) — sessions still inside
+    // the horizon when input ends are correctly absent from both sides.
+    "e10_stream_session" -> { (s, dir) =>
+      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .withWatermark("ts2", "2 hours")
+      val agg = src
+        .groupBy(col("user_id"), session_window(col("ts2"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("total_value"))
+      val sink = "e10_stream_session_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"),
+          (unix_micros(col("w.start")) * 1000L).as("w_start_ns"),
+          (unix_micros(col("w.end")) * 1000L).as("w_end_ns"),
+          col("cnt"), col("total_value"))
+        .orderBy("user_id", "w_start_ns")
     }
   )
 
@@ -314,7 +348,7 @@ object EventQueries {
          |fd AS (SELECT media_id, list_transform(f, x -> CAST(x AS DOUBLE)) AS fd FROM feats),
          |v AS (SELECT media_id, ${sqlL2NormalizeN("fd", 16)} AS e FROM fd),
          |b AS (SELECT media_id, e, $bucketExpr AS bucket FROM v)
-         |SELECT media_a, media_b, round(c, 6) AS cos FROM (
+         |SELECT media_a, media_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
          |  SELECT a.media_id AS media_a, bb.media_id AS media_b,
          |         ${sqlDotSeqN("a.e", "bb.e", 16)} AS c
          |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
@@ -346,6 +380,30 @@ object EventQueries {
         |  count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, w_start_ns""".stripMargin,
+    // append contract: only sessions whose end the final watermark
+    // (max event time - 2h delay) has passed are ever emitted
+    "e10_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) AS us, value FROM events),
+        |wm AS (SELECT max(us) - 7200000000 AS wm_us FROM e),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, min(us) AS s_us, max(us) + 1800000000 AS e_us,
+        |    count(*) AS cnt,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, s_us * 1000 AS w_start_ns, e_us * 1000 AS w_end_ns,
+        |  cnt, total_value
+        |FROM sess, wm WHERE e_us <= wm_us
         |ORDER BY user_id, w_start_ns""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (

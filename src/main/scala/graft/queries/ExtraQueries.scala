@@ -118,6 +118,23 @@ object ExtraQueries {
       }
     },
 
+    // cube + grouping id: all four grouping-set combinations of
+    // (status, priority) in one pass, the grouping-id column
+    // disambiguating a subtotal NULL from a (hypothetical) NULL value.
+    // Single-table cube — one Expand (4x the input rows) + one shuffle;
+    // at scale prefer rollup/partial cubes when the full lattice isn't
+    // needed, since Expand multiplies shuffle volume by the set count.
+    "x15_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          count(lit(1)).as("cnt"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "revenue")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // fixed-width histogram over a double measure
     "x09_histogram" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -193,9 +210,9 @@ object ExtraQueries {
       Tables(s, dir, "events")
         .groupBy("event_type")
         .agg(
-          round(expr("percentile(value, 0.25)"), 6).as("p25"),
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+          graft.functions.NumFns.round6(expr("percentile(value, 0.25)")).as("p25"),
+          graft.functions.NumFns.round6(expr("percentile(value, 0.5)")).as("p50"),
+          graft.functions.NumFns.round6(expr("percentile(value, 0.9)")).as("p90"))
         .orderBy("event_type")
     },
 
@@ -262,6 +279,14 @@ object ExtraQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "x15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
@@ -290,9 +315,9 @@ object ExtraQueries {
         |ORDER BY p.event_id""".stripMargin,
     "x12_percentiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.25), 6) AS p25,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |  floor((quantile_cont(value, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+        |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x11_skew_salted_join" ->
       """SELECT e.event_type, d.type_cnt, count(*) AS n,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.NumFns.round6
 import graft.functions.TextFns._
 
 /** Composed training-data-prep pipelines: the individual operators
@@ -30,9 +31,9 @@ object PipelineQueries {
             size(toks)).as("awl"),
           (stopwordHits(toks, StopEn).cast(DoubleType) / size(toks)).as("sr"))
         .withColumn("quality",
-          round(lit(0.5) * least(col("words") / 100.0, lit(1.0)) +
+          round6(lit(0.5) * least(col("words") / 100.0, lit(1.0)) +
             lit(0.3) * least(col("awl") / 8.0, lit(1.0)) +
-            lit(0.2) * col("sr"), 6))
+            lit(0.2) * col("sr")))
         .filter(col("quality") >= 0.5)
       scored
         .groupBy(sha2(col("text"), 256).as("h"))
@@ -62,7 +63,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
         .withColumn("contamination",
-          round(col("n_overlap").cast(DoubleType) / col("n_grams"), 6))
+          round6(col("n_overlap").cast(DoubleType) / col("n_grams")))
         .filter(col("contamination") >= 0.5)
         .orderBy("doc_id")
     },
@@ -105,6 +106,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII scrubbing: regex redaction over the text column — count the
+    // hits, replace each with a fixed token, report the cleaned text.
+    // The pattern set is the real PII shape (an email alternation) plus
+    // word-blocklist stand-ins that actually occur in the synthetic
+    // corpus (no genuine PII exists in the test tables — same stance as
+    // the multimodal codec stub: the plumbing is real and oracle-checked,
+    // the lexicon is configuration). Scale shape: pure per-row codegen'd
+    // regex expressions fused into the scan — no shuffle, no UDF; at
+    // 100 TB this runs at parquet-scan speed.
+    "p05_redact" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
+            .cast(LongType).as("n_pii"),
+          regexp_replace(col("text"), PiiPattern, "[PII]").as("clean"))
+        .withColumn("clean_chars", length(col("clean")).cast(LongType))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -124,6 +144,13 @@ object PipelineQueries {
     }
   )
 
+  /** Email-shaped matches plus blocklist words (word-boundary exact).
+    * ASCII-only constructs so the Java-regex (Spark) and RE2 (DuckDB)
+    * engines match identically.
+    */
+  private[queries] val PiiPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\b(customer|supplier|key)\\b"
+
   private def sqlHits(ws: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
@@ -137,7 +164,7 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
          |q AS (
          |  SELECT doc_id, text, words,
-         |    round(0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr, 6) AS quality
+         |    floor((0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr) * 1000000.0 + 0.5) / 1000000.0 AS quality
          |  FROM f)
          |SELECT min(doc_id) AS doc_id, min(words) AS words,
          |  min(quality) AS quality, count(*) AS dups
@@ -153,11 +180,11 @@ object PipelineQueries {
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
         |SELECT doc_id, count(*) AS n_grams,
         |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-        |  round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+        |  floor((CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS contamination
         |FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) c
         |LEFT JOIN bench b USING (g)
         |GROUP BY doc_id
-        |HAVING round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) >= 0.5
+        |HAVING floor((CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
         |ORDER BY doc_id""".stripMargin,
     // same double-precision floor as Spark: all intermediates are small
     // integers (< 2^53), so IEEE division + floor agree bit-for-bit
@@ -178,6 +205,12 @@ object PipelineQueries {
         |SELECT d.doc_id, d.source, d.bucket, r.pct
         |FROM d JOIN r ON d.source = r.source
         |WHERE d.bucket < r.pct ORDER BY d.doc_id""".stripMargin,
+    "p05_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$PiiPattern')) AS BIGINT) AS n_pii,
+         |  regexp_replace(text, '$PiiPattern', '[PII]', 'g') AS clean,
+         |  CAST(length(regexp_replace(text, '$PiiPattern', '[PII]', 'g')) AS BIGINT) AS clean_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

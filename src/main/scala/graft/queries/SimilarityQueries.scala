@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.functions.NumFns.round6
 import graft.functions.VecFns._
 
 /** Approximate-nearest-neighbor search over `embeddings.embedding`
@@ -27,7 +28,7 @@ object SimilarityQueries {
         dotSeq(col("q.e"), col("c.e")).as("c"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("c"), 6).as("cos"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
       .orderBy("query_id", "rank")
   }
 
@@ -50,6 +51,53 @@ object SimilarityQueries {
       val c = v.as("c")
       topk(q, c,
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+    },
+
+    // Scalar-quantization (SQ8) top-k: the compression tier of the ANN
+    // ladder (vs s02's bucketing and s03's clustering). Per-dim min/max
+    // over the corpus -> every vector quantized to 64 ints in [0,255]
+    // (a production build stores them as 64 BYTES — 4x smaller than
+    // float32, the point of SQ at 100 TB: the resident set and scan
+    // bandwidth shrink 4x; here the codes ride in exact integer-valued
+    // doubles so the DuckDB oracle replays the math bit-for-bit).
+    // Candidates = top-C by QUANTIZED dot product — integer-valued
+    // arithmetic, so the candidate set is deterministic across engines,
+    // no float-boundary flakiness — then ONLY the C survivors pay the
+    // exact-cosine rerank. Scale shape: stats agg is one tiny broadcast
+    // row; candidate scoring is one corpus scan; rerank touches C rows
+    // per query.
+    "s04_sq8_topk" -> { (s, dir) =>
+      val C = 10 // candidate pool per query before exact rerank
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("x"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+      val mins = (0 until LshDim).map(d => min(element_at(col("x"), d + 1)).as(s"mn$d"))
+      val maxs = (0 until LshDim).map(d => max(element_at(col("x"), d + 1)).as(s"mx$d"))
+      val stats = v.agg(mins.head, (mins.tail ++ maxs): _*)
+        .select(array((0 until LshDim).map(d => col(s"mn$d")): _*).as("mns"),
+          array((0 until LshDim).map(d => col(s"mx$d")): _*).as("mxs"))
+      // q[d] = clamp(floor((x[d]-mn[d]) / (mx[d]-mn[d]) * 255)) as an
+      // exact integer-valued double (same op order as the oracle SQL)
+      val quant = zip_with(
+        zip_with(col("x"), col("mns"), (x, mn) => x - mn),
+        zip_with(col("mxs"), col("mns"), (mx, mn) => mx - mn),
+        (xd, r) => least(lit(255L), greatest(lit(0L), floor(xd / r * 255.0))).cast(DoubleType))
+      val qv = v.crossJoin(broadcast(stats)).select(col("vec_id"), col("e"), quant.as("q"))
+      val probe = broadcast(qv.filter(col("vec_id") < 10)).as("q")
+      val corpus = qv.as("c")
+      val wCand = Window.partitionBy("query_id").orderBy(desc("qscore"), col("neighbor_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      probe.join(corpus, col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          dotSeq(col("q.q"), col("c.q")).as("qscore"),
+          col("q.e").as("qe"), col("c.e").as("ce"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= C)
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .orderBy("query_id", "rank")
     },
 
     // IVF-style top-k: coarse quantizer = per-label spherical centroids
@@ -92,7 +140,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("c"), 6).as("cos"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
         .orderBy("query_id", "rank")
     }
   )
@@ -114,7 +162,7 @@ object SimilarityQueries {
            |  SELECT query_id, neighbor_id, c,
            |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
       "s02_lsh_topk" ->
         s"""WITH v AS (
@@ -128,8 +176,38 @@ object SimilarityQueries {
            |  SELECT query_id, neighbor_id, c,
            |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "s04_sq8_topk" -> {
+        val qdot = sqlDotSeq("q.q", "c.q")
+        val rdot = sqlDotSeq("qe", "ce")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x, $norm AS e FROM embeddings),
+           |pos AS (
+           |  SELECT i, min(x[i]) AS mn, max(x[i]) AS mx
+           |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx GROUP BY i),
+           |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM pos),
+           |qv AS (
+           |  SELECT vec_id, e,
+           |    list_transform(range(1, $LshDim + 1), d ->
+           |      CAST(least(255, greatest(0,
+           |        floor((x[d] - mns[d]) / (mxs[d] - mns[d]) * 255.0))) AS DOUBLE)) AS q
+           |  FROM v, st),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         $qdot AS qscore, q.e AS qe, c.e AS ce
+           |  FROM qv q JOIN qv c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |cand AS (
+           |  SELECT query_id, neighbor_id, qe, ce,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS crank
+           |  FROM scored),
+           |rr AS (SELECT query_id, neighbor_id, $rdot AS c FROM cand WHERE crank <= 10),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, c,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+           |  FROM rr)
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      },
       "s03_ivf_topk" -> {
         val dqc2 = sqlDotSeq("qv.e", "cv.e")
         s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
@@ -159,7 +237,7 @@ object SimilarityQueries {
            |  SELECT query_id, neighbor_id, c,
            |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(c, 6) AS cos
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
       }
     )

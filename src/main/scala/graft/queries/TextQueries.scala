@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.NumFns.round6
 import graft.functions.TextFns._
 
 /** Text-analysis operators over `documents`: language-ID heuristic,
@@ -46,11 +47,11 @@ object TextQueries {
             size(toks)).as("avg_word_len"),
           (stopwordHits(toks, StopEn).cast(DoubleType) / size(toks)).as("stop_ratio"))
         .withColumn("quality",
-          round(lit(0.5) * least(col("words") / 100.0, lit(1.0)) +
+          round6(lit(0.5) * least(col("words") / 100.0, lit(1.0)) +
             lit(0.3) * least(col("avg_word_len") / 8.0, lit(1.0)) +
-            lit(0.2) * col("stop_ratio"), 6))
-        .withColumn("avg_word_len", round(col("avg_word_len"), 6))
-        .withColumn("stop_ratio", round(col("stop_ratio"), 6))
+            lit(0.2) * col("stop_ratio")))
+        .withColumn("avg_word_len", round6(col("avg_word_len")))
+        .withColumn("stop_ratio", round6(col("stop_ratio")))
         .orderBy("doc_id")
     },
 
@@ -75,6 +76,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition signals (the Gopher/Dolma quality-filter family): per
+    // document, the fraction of 2-gram occurrences that are repeats
+    // (1 - distinct/total), the fraction claimed by the single most
+    // frequent 2-gram, and the same repeat fraction for 3-grams. Scale
+    // shape: 2- and 3-grams are tagged and exploded TOGETHER, so the
+    // whole query is ONE (doc_id, n, gram) shuffle chain — no per-doc
+    // join-back, no second scan; (doc_id, gram) keys are high-cardinality
+    // and skew-free by construction.
+    "t06_repetition" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val tagged = concat(
+        transform(grams2(toks), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(grams3(toks), g => struct(lit(3).as("n"), g.as("g"))))
+      def overTotal(c: org.apache.spark.sql.Column) = round6(c)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tagged).as("ng"))
+        .groupBy(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("n") === 2, col("c"))).as("total2"),
+          count(when(col("n") === 2, lit(1))).as("dist2"),
+          max(when(col("n") === 2, col("c"))).as("top2"),
+          sum(when(col("n") === 3, col("c"))).as("total3"),
+          count(when(col("n") === 3, lit(1))).as("dist3"))
+        .select(col("doc_id"), col("total2"),
+          overTotal((col("total2") - col("dist2")).cast(DoubleType) / col("total2")).as("dup2_frac"),
+          overTotal(col("top2").cast(DoubleType) / col("total2")).as("top2_frac"),
+          overTotal((col("total3") - col("dist3")).cast(DoubleType) / col("total3")).as("dup3_frac"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF top-3 terms per document. Scale shape: term frequencies are
     // one shuffle on (doc, term); document frequencies aggregate the
     // VOCABULARY (small by Zipf) and broadcast back, so the scoring join
@@ -94,7 +127,7 @@ object TextQueries {
           (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0))).as("tfidf"))
         .withColumn("rn", row_number().over(w).cast(IntegerType))
         .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("rn"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .select(col("doc_id"), col("rn"), col("term"), round6(col("tfidf")).as("tfidf"))
         .orderBy("doc_id", "rn")
     }
   )
@@ -123,9 +156,9 @@ object TextQueries {
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS awl,
          |    CAST(${sqlHits(StopEn)} AS DOUBLE) / len(t) AS sr
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
-         |SELECT doc_id, chars, words, round(awl, 6) AS avg_word_len,
-         |  round(sr, 6) AS stop_ratio,
-         |  round(0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr, 6) AS quality
+         |SELECT doc_id, chars, words, floor((awl) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+         |  floor((sr) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+         |  floor((0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr) * 1000000.0 + 0.5) / 1000000.0 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,
@@ -138,6 +171,32 @@ object TextQueries {
       s"""SELECT doc_id, ${fp("text")} AS fp_full, ${fp("substr(text, 1, 64)")} AS fp_head
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "t06_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |      i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  FROM toks),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS total2,
+        |    CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS dist2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS total3,
+        |    CAST(count(CASE WHEN n = 3 THEN 1 END) AS BIGINT) AS dist3
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, total2,
+        |  floor((CAST(total2 - dist2 AS DOUBLE) / total2) * 1000000.0 + 0.5) / 1000000.0 AS dup2_frac,
+        |  floor((CAST(top2 AS DOUBLE) / total2) * 1000000.0 + 0.5) / 1000000.0 AS top2_frac,
+        |  floor((CAST(total3 - dist3 AS DOUBLE) / total3) * 1000000.0 + 0.5) / 1000000.0 AS dup3_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -147,7 +206,7 @@ object TextQueries {
         |scored AS (
         |  SELECT doc_id, tfc.term AS term, tf * ln((nd + 1.0) / (df + 1.0)) AS tfidf
         |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
-        |SELECT doc_id, rn, term, round(tfidf, 6) AS tfidf FROM (
+        |SELECT doc_id, rn, term, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf FROM (
         |  SELECT doc_id, term, tfidf,
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn
         |  FROM scored)

@@ -103,6 +103,25 @@ class Recount3SourceSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(1) == 47L)
   }
 
+  test("COUNT(*) pushes into the scan and composes with filter pushdown") {
+    val df = read("gene", "SRP001,SRP002").groupBy().count()
+    assert(scanDescription(df).contains("pushed=[COUNT(*)]"))
+    assert(df.collect().head.getLong(0) == 11L)
+    // pushed count honors the exactly-consumed project/sample filters
+    val df2 = read("gene", "SRP001,SRP002")
+      .filter(col("project_id") === "SRP001" && col("sample_id") === "SRR002")
+      .groupBy().count()
+    val d2 = scanDescription(df2)
+    assert(d2.contains("pushed=[COUNT(*)]"))
+    assert(d2.contains("files=1") && d2.contains("samples=[SRR002]"))
+    assert(df2.collect().head.getLong(0) == 4L)
+    // group-by counts are NOT pushed (partial-only contract) — row scan
+    val df3 = read("gene", "SRP001,SRP002").groupBy("project_id").count()
+    assert(!scanDescription(df3).contains("pushed"))
+    assert(df3.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("SRP001", 8L), ("SRP002", 3L)))
+  }
+
   test("long scan agrees with the independent wide countsRead path, melted") {
     // two fully independent parsers over the same files: the DSv2
     // streaming line reader vs spark.read.csv in Readers.countsRead
