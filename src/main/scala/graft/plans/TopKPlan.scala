@@ -6,6 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSeq, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -60,11 +61,75 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Per-task bounded top-k heap store, shared by the interpreted
+  * `doExecute` path and the whole-stage-generated code (which calls
+  * [[insert]] directly — the structure lives OUTSIDE the generated class
+  * so the Janino-compiled code stays tiny). Keys and kept rows are
+  * copied on retention only; probe/reject paths never allocate.
+  */
+final class TopKRowBuffer(k: Int) {
+  import TopKRowBuffer._
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+
+  /** `group` and `row` may be transient (reused) buffers — copied iff kept. */
+  def insert(group: UnsafeRow, value: Double, tie: Long, row: UnsafeRow): Unit = {
+    val heap = heaps.get(group) match {
+      case Some(h) => h
+      case None =>
+        val h = mutable.PriorityQueue.empty[Entry](WorstFirst)
+        heaps.put(group.copy(), h)
+        h
+    }
+    if (heap.size < k) {
+      heap.enqueue((value, tie, row.copy()))
+    } else {
+      val (wv, wt, _) = heap.head
+      if (value > wv || (value == wv && tie < wt)) {
+        heap.dequeue()
+        heap.enqueue((value, tie, row.copy()))
+      }
+    }
+  }
+
+  def numGroups: Int = heaps.size
+
+  /** Surviving rows, group order then heap order (partial contract:
+    * unranked candidate set).
+    */
+  def partialRows: Iterator[UnsafeRow] =
+    heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+
+  /** Per-group entries, best-first (final contract: rank source). */
+  def rankedGroups: Iterator[Seq[Entry]] =
+    heaps.valuesIterator.map(_.dequeueAll.reverse)
+}
+
+object TopKRowBuffer {
+  /** (value, tie, row); "worse ranks higher" so the heap head is the
+    * weakest kept entry: smaller value first, then larger tie.
+    */
+  type Entry = (Double, Long, UnsafeRow)
+  val WorstFirst: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+}
+
 /** Bounded-heap per-group top-k. Partial mode runs on whatever
   * distribution the child has and emits surviving child rows; final mode
   * requires `ClusteredDistribution(group)` (EnsureRequirements plans the
   * exchange) and appends the rank column. Per-task memory is
   * O(groups-in-partition × k) — no full-group materialization anywhere.
+  *
+  * The PARTIAL side participates in WHOLE-STAGE CODEGEN (the blocking-
+  * operator pattern SortExec uses): fused with the child scan, the
+  * generated consume path evaluates group/value/tie straight off the
+  * scan's column variables and feeds the heap — no row materialization
+  * boundary between scan and top-k; the produce path then streams the
+  * survivors. The final side stays interpreted (it runs post-exchange on
+  * k × groups × partitions rows — codegen would buy nothing there).
   */
 case class TopKExec(
     groupExprs: Seq[Expression],
@@ -73,7 +138,8 @@ case class TopKExec(
     k: Int,
     partial: Boolean,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode
+    with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -92,64 +158,41 @@ case class TopKExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
-  // (value, tie, row); "worse ranks higher" so the heap head is the
-  // weakest kept entry: smaller value first, then larger tie
-  private type Entry = (Double, Long, UnsafeRow)
-  private val worstFirst: Ordering[Entry] = new Ordering[Entry] {
-    override def compare(a: Entry, b: Entry): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
-  }
+  /** Called from the generated code (and the interpreted path) — one
+    * fresh buffer per task.
+    */
+  def createBuffer(): TopKRowBuffer = new TopKRowBuffer(k)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (groups, v, t, kk, isPartial) = (groupExprs, valueExpr, tieExpr, k, partial)
-    val ord = worstFirst
+    val (groups, v, t, isPartial) = (groupExprs, valueExpr, tieExpr, partial)
     val finalOutput = output
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groups, childOutput)
-      // identity projection: stored rows must be (a) owned copies — the
-      // input iterator reuses row objects — and (b) UnsafeRow regardless
-      // of what the child produces
+      // identity projection: stored rows must be UnsafeRow regardless of
+      // what the child produces (the buffer copies what it keeps)
       val copyProj = UnsafeProjection.create(childOutput, childOutput)
       val vBound = BindReferences.bindReference(v, AttributeSeq(childOutput))
       val tBound = BindReferences.bindReference(t, AttributeSeq(childOutput))
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      val buffer = new TopKRowBuffer(k)
       iter.foreach { row =>
         val vv = vBound.eval(row)
         if (vv != null) {
-          val value = vv.asInstanceOf[Double]
-          val tie = tBound.eval(row).asInstanceOf[Long]
-          val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
-            mutable.PriorityQueue.empty[Entry](ord))
-          if (heap.size < kk) {
-            heap.enqueue((value, tie, copyProj(row).copy()))
-          } else {
-            val (wv, wt, _) = heap.head
-            if (value > wv || (value == wv && tie < wt)) {
-              heap.dequeue()
-              heap.enqueue((value, tie, copyProj(row).copy()))
-            }
-          }
+          buffer.insert(groupProj(row), vv.asInstanceOf[Double],
+            tBound.eval(row).asInstanceOf[Long], copyProj(row))
         }
       }
-      numGroups += heaps.size
+      numGroups += buffer.numGroups
       if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator.map { e =>
-          numOutputRows += 1
-          e._3
-        })
+        buffer.partialRows.map { r => numOutputRows += 1; r }
       } else {
         val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
         val joined = new JoinedRow
         val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-        heaps.valuesIterator.flatMap { heap =>
-          // dequeue order is worst -> best; reverse for rank 1 = best
-          val entries: Seq[Entry] = heap.dequeueAll
-          entries.reverseIterator.zipWithIndex.map { case (e, i) =>
+        buffer.rankedGroups.flatMap { entries =>
+          entries.iterator.zipWithIndex.map { case (e, i) =>
             rankRow.update(0, i + 1)
             numOutputRows += 1
             resultProj(joined(e._3, rankRow))
@@ -157,6 +200,74 @@ case class TopKExec(
         }
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen (partial side only) ----------------------
+
+  override def supportCodegen: Boolean = partial
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "topkNeedsInput",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferTerm = ctx.addMutableState(classOf[TopKRowBuffer].getName, "topkBuffer",
+      v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val iterTerm = ctx.addMutableState("scala.collection.Iterator", "topkOutput")
+    val fnName = ctx.freshName("addToTopK")
+    val addInputFn = ctx.addNewFunction(fnName,
+      s"""
+         |private void $fnName() throws java.io.IOException {
+         |  ${child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin, inlineToOuterClass = true)
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numGroups = metricTerm(ctx, "numGroups")
+    val outputRow = ctx.freshName("topkRow")
+    s"""
+       |if ($needInput) {
+       |  $addInputFn();
+       |  $numGroups.add($bufferTerm.numGroups());
+       |  $iterTerm = $bufferTerm.partialRows();
+       |  $needInput = false;
+       |}
+       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $iterTerm.next();
+       |  $numOutputRows.add(1);
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  // the buffer state name is minted in doProduce (which codegen calls
+  // before the child's consume reaches doConsume)
+  private var bufferTerm: String = _
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // rowVar.code (already built by consume()) embeds the evaluation of
+    // every input column; the expression codes below therefore reduce to
+    // plain variable reads (BoundReference consumes each input's code
+    // exactly once)
+    ctx.currentVars = input
+    ctx.INPUT_ROW = null
+    val keyCode = org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      .createCode(ctx, groupExprs.map(BindReferences.bindReference(_, AttributeSeq(child.output))))
+    val vEv = BindReferences.bindReference(valueExpr, AttributeSeq(child.output)).genCode(ctx)
+    val tEv = BindReferences.bindReference(tieExpr, AttributeSeq(child.output)).genCode(ctx)
+    s"""
+       |${row.code}
+       |${vEv.code}
+       |if (!(${vEv.isNull})) {
+       |  ${keyCode.code}
+       |  ${tEv.code}
+       |  $bufferTerm.insert(${keyCode.value}, ${vEv.value}, ${tEv.value},
+       |    (UnsafeRow) ${row.value});
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

@@ -285,30 +285,12 @@ object DedupQueries {
     // the standard iterative-graph shape on a 1000-executor cluster.
     // Only docs that appear in >= 1 pair are emitted (singletons are not
     // clusters). Oracle: the same fixpoint as a DuckDB recursive CTE.
+    // (graft.ops.ConnectedComponents also provides alternatingStar — the
+    // O(log)-rounds engine for DEEP components; ConnectedComponentsSpec
+    // pins both engines equal on random + pathological-chain graphs.)
     "d07_dedup_clusters" -> { (s, dir) =>
       val pr = neardupPairs(s, dir).select("doc_a", "doc_b")
-      val edges = pr
-        .union(pr.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
-      var done = false
-      while (!done) {
-        val nmin = edges
-          .join(labels.select(col("doc_id").as("src"), col("label").as("slabel")), "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("slabel")).as("nlabel"))
-        val upd = labels.join(nmin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("label"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
-          .localCheckpoint()
-        done = upd.filter(col("nl") < col("label")).isEmpty
-        labels = upd.select(col("doc_id"), col("nl").as("label"))
-      }
-      edges.unpersist()
-      labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+      graft.ops.ConnectedComponents.minLabel(pr)._1.orderBy("doc_id")
     },
 
     // Near-exact dedup on the PER-ROW expression minhash signature — the

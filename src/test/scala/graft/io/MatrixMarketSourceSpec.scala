@@ -47,6 +47,24 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(scans == Seq(Seq("value")), s"pruned read schema; got $scans")
   }
 
+  test("COUNT(*) answers from the nnz header without scanning the body") {
+    val df = spark.read.format("matrixmarket").load(mmPath).groupBy().count()
+    // recursive walk: AQE wrappers hide subtrees from a plain collect
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b.scan.description())
+      case other => other.children.flatMap(scans)
+    }
+    val descs = scans(df.queryExecution.executedPlan)
+    assert(descs.exists(_.contains("pushed=[COUNT(*) via nnz header]")),
+      s"expected pushed count scan, got: $descs")
+    assert(df.collect().head.getLong(0) == 5L)
+    // a truncated body would still trust the header — that is the
+    // contract: the count IS the declared nnz
+    assert(spark.read.format("matrixmarket").load(mmPath).count() == 5L)
+  }
+
   test("matrixMarketRead returns header dims + the v2 frame") {
     val (data, nRows, nCols, nnz) = Readers.matrixMarketRead(spark, mmPath)
     assert((nRows, nCols, nnz) == (3L, 4L, 5L))

@@ -72,6 +72,37 @@ class TopKPlanSpec extends SparkSpec {
     assert(got == Set((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("partial TopKExec fuses into whole-stage codegen and agrees with interpreted") {
+    // a codegen bug must fail the test, never silently fall back
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
+        .select("grp", "rn", "id", "value")
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val nodes = flatten(out.queryExecution.executedPlan)
+      val fusedPartial = nodes.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(w => flatten(w.child).exists {
+        case t: TopKExec => t.partial
+        case _ => false
+      })
+      assert(fusedPartial, s"partial TopKExec not inside WholeStageCodegen:\n" +
+        out.queryExecution.executedPlan)
+      // the final side stays interpreted (post-exchange, nothing to fuse)
+      assert(nodes.collect { case t: TopKExec if !t.partial => t }.nonEmpty)
+
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
+        .select("grp", "rn", "id", "value").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == interp)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("type validation and extensions hook") {
     assertThrows[IllegalArgumentException](
       TopKPlan.topKPerGroup(df, Seq("grp"), "nope", "id", 3))

@@ -28,13 +28,16 @@ class PlanHygieneSpec extends SparkSpec {
   //   x11      - range-predicate join pieces inside the salted demo
   //   s03      - IVF probe: queries crossJoin(broadcast(centroids)),
   //              the tiny coarse-quantizer table
+  //   s04      - SQ8 candidate stage: broadcast 10-query probe scanned
+  //              against the quantized codes (the compression tier IS a
+  //              full-scan-over-codes design; pruning tiers are s02/s03)
   private val nestedLoopByDesign =
     Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
-      "s03_ivf_topk")
+      "s03_ivf_topk", "s04_sq8_topk")
 
-  // runs a real streaming query inside the builder — not a static plan
-  private val excluded = Set("e05_stream_window")
+  // run a real streaming query inside the builder — not a static plan
+  private val excluded = Set("e05_stream_window", "e10_stream_session")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
