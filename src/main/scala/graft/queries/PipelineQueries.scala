@@ -125,6 +125,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Document CHUNKING: fixed token windows with overlap (stride <
+    // window) — the step that turns cleaned documents into training
+    // sequences. Window 64 tokens, stride 48 (16-token overlap so no
+    // boundary context is lost). Scale shape: starts come from a
+    // per-row `sequence` + one explode — no shuffle at all before the
+    // presentation sort; chunk index is derived arithmetically from the
+    // start offset, so no window function either. At 100 TB this is a
+    // map-only pass writing straight to the partitioned sink.
+    "p06_chunk" -> { (s, dir) =>
+      val W = 64
+      val S = 48
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / S).cast(LongType).as("chunk_id"),
+          col("start").cast(LongType).as("start"),
+          least(lit(W), size(col("t")) - col("start") + 1).cast(LongType).as("chunk_tokens"),
+          concat_ws(" ", slice(col("t"), col("start"), lit(W))).as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -211,6 +235,17 @@ object PipelineQueries {
          |  regexp_replace(text, '$PiiPattern', '[PII]', 'g') AS clean,
          |  CAST(length(regexp_replace(text, '$PiiPattern', '[PII]', 'g')) AS BIGINT) AS clean_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "p06_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(64, len(t) - start + 1) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(t[start : start + 63], ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

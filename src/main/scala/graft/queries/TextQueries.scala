@@ -108,6 +108,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Vocabulary coverage: the tokenizer-prep question "how many terms
+    // cover X% of the corpus" — term frequencies, Zipf-ordered, with a
+    // running coverage fraction; top 100 terms emitted. Scale shape: the
+    // (term) aggregate is the only corpus-sized shuffle; the running sum
+    // windows over the VOCABULARY (small by Zipf), and only after a
+    // count(*)-style reduction — an unpartitioned window over vocab rows,
+    // not corpus rows, is the documented single-task step.
+    "t07_vocab" -> { (s, dir) =>
+      val tf = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val wCum = org.apache.spark.sql.expressions.Window.partitionBy()
+        .orderBy(desc("n"), col("term"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tf.withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy().orderBy(desc("n"), col("term"))).cast(IntegerType))
+        .withColumn("coverage", round6(sum(col("n")).over(wCum).cast(DoubleType) / col("total")))
+        .filter(col("rank") <= 100)
+        .select(col("rank"), col("term"), col("n"), col("coverage"))
+        .orderBy("rank")
+    },
+
     // TF-IDF top-3 terms per document. Scale shape: term frequencies are
     // one shuffle on (doc, term); document frequencies aggregate the
     // VOCABULARY (small by Zipf) and broadcast back, so the scoring join
@@ -197,6 +221,20 @@ object TextQueries {
         |  floor((CAST(top2 AS DOUBLE) / total2) * 1000000.0 + 0.5) / 1000000.0 AS top2_frac,
         |  floor((CAST(total3 - dist3 AS DOUBLE) / total3) * 1000000.0 + 0.5) / 1000000.0 AS dup3_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    "t07_vocab" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |r AS (
+        |  SELECT term, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(sum(n) OVER () AS DOUBLE) AS cov
+        |  FROM tf)
+        |SELECT rank, term, n, floor((cov) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
