@@ -12,7 +12,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -133,7 +134,7 @@ object Recount3Source {
     private var projectKeep: Option[Set[String]] = None
     private var sampleKeep: Option[Set[String]] = None
     private var accepted: Array[Filter] = Array.empty
-    private var countStars: Int = 0
+    private var pushedAggs: Seq[PushedAgg] = Nil
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -163,58 +164,85 @@ object Recount3Source {
     }
     override def pushedFilters(): Array[Filter] = accepted
 
-    /** COUNT(*) pushdown (partial: each file returns its own count and
-      * Spark sums the partials — `supportCompletePushDown` stays false so
-      * multi-file tables merge correctly). The reader then counts
-      * `data lines x kept samples` per file WITHOUT splitting lines or
-      * materializing a row per cell — the long-format explosion (rows =
-      * lines x samples) never happens, which at corpus scale turns a
-      * count into a decompress-and-count-newlines pass. Spark only
-      * attempts aggregate pushdown when every filter was consumed by the
-      * scan, and this source consumes project/sample filters EXACTLY
-      * (file skip / header-column skip), so pushed counts honor them.
+    /** Aggregate pushdown (partial: each file returns one partial row
+      * and Spark merges — `supportCompletePushDown` stays false so
+      * multi-file tables combine correctly):
+      *   - COUNT(*): counted as `data lines x kept samples` per file
+      *     WITHOUT splitting lines or materializing a row per cell — the
+      *     long-format explosion never happens, so at corpus scale a
+      *     count is a decompress-and-count-newlines pass;
+      *   - MIN/MAX(project_id): answered from PLANNING-TIME metadata
+      *     (each counts file belongs to exactly one project, known from
+      *     the locator) — zero bytes of the file are read.
+      * Spark only attempts aggregate pushdown when every filter was
+      * consumed by the scan, and this source consumes project/sample
+      * filters EXACTLY (file skip / header-column skip), so pushed
+      * aggregates honor them.
       */
     override def pushAggregation(aggregation: Aggregation): Boolean = {
-      val ok = aggregation.groupByExpressions.isEmpty &&
-        aggregation.aggregateExpressions.nonEmpty &&
-        aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-      if (ok) countStars = aggregation.aggregateExpressions.length
-      ok
+      def pidRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+        e match {
+          case n: NamedReference => n.fieldNames.toSeq == Seq("project_id")
+          case _ => false
+        }
+      if (aggregation.groupByExpressions.nonEmpty) return false
+      val parsed = aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(AggCount)
+        case m: Min if pidRef(m.column) => Some(AggMinPid)
+        case m: Max if pidRef(m.column) => Some(AggMaxPid)
+        case _ => None
+      }
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
+      pushedAggs = parsed.flatten
+      true
     }
 
     override def build(): Scan = {
       val kept = projectKeep.fold(files)(keep => files.filter(f => keep(f.pid)))
-      if (countStars > 0) new R3CountScan(kept, sampleKeep, countStars)
+      if (pushedAggs.nonEmpty) new R3AggScan(kept, sampleKeep, pushedAggs)
       else new R3Scan(kept, required, sampleKeep)
     }
   }
 
-  /** Pushed-COUNT(*) scan: one partition per file, one output row per
-    * partition holding that file's (lines x kept-samples) count.
+  private[io] sealed trait PushedAgg
+  private[io] case object AggCount extends PushedAgg
+  private[io] case object AggMinPid extends PushedAgg
+  private[io] case object AggMaxPid extends PushedAgg
+
+  /** Pushed-aggregate scan: one partition per file, one partial row per
+    * partition (counts need one body pass; min/max project_id need NO
+    * file IO at all).
     */
-  private final class R3CountScan(files: Seq[R3File],
-      sampleKeep: Option[Set[String]], nCounts: Int) extends Scan with Batch {
-    override def readSchema(): StructType = StructType(
-      (0 until nCounts).map(i => StructField(s"count_star_$i", LongType, nullable = false)))
+  private final class R3AggScan(files: Seq[R3File],
+      sampleKeep: Option[Set[String]], aggs: Seq[PushedAgg]) extends Scan with Batch {
+    override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+      case (AggCount, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (AggMinPid, i) => StructField(s"min_pid_$i", StringType, nullable = false)
+      case (AggMaxPid, i) => StructField(s"max_pid_$i", StringType, nullable = false)
+    })
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => R3Partition(f.pid, f.path)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      R3CountReaderFactory(sampleKeep, nCounts)
-    override def description(): String =
-      s"recount3 files=${files.size} pushed=[COUNT(*)] " +
+      R3AggReaderFactory(sampleKeep, aggs)
+    override def description(): String = {
+      val names = aggs.map {
+        case AggCount => "COUNT(*)"
+        case AggMinPid => "MIN(project_id)"
+        case AggMaxPid => "MAX(project_id)"
+      }
+      s"recount3 files=${files.size} pushed=[${names.mkString(",")}] " +
         s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}"
+    }
   }
 
-  private final case class R3CountReaderFactory(sampleKeep: Option[Set[String]],
-      nCounts: Int) extends PartitionReaderFactory {
+  private final case class R3AggReaderFactory(sampleKeep: Option[Set[String]],
+      aggs: Seq[PushedAgg]) extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val part = p.asInstanceOf[R3Partition]
       new PartitionReader[InternalRow] {
         private var done = false
-        private var count = 0L
-        override def next(): Boolean = {
-          if (done) return false
+        private lazy val count: Long = {
           val raw: InputStream = java.nio.file.Files.newInputStream(Paths.get(part.path))
           val in = if (part.path.endsWith(".gz")) new GZIPInputStream(raw) else raw
           val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
@@ -231,13 +259,18 @@ object Recount3Source {
               if (!line.startsWith("#") && line.nonEmpty) lines += 1
               line = reader.readLine()
             }
-            count = lines * keptSamples
+            lines * keptSamples
           } finally reader.close()
+        }
+        override def next(): Boolean = {
+          if (done) return false
           done = true
           true
         }
-        override def get(): InternalRow =
-          InternalRow.fromSeq(Seq.fill(nCounts)(count))
+        override def get(): InternalRow = InternalRow.fromSeq(aggs.map {
+          case AggCount => count // body pass happens only if a count was asked
+          case AggMinPid | AggMaxPid => UTF8String.fromString(part.pid)
+        })
         override def close(): Unit = ()
       }
     }

@@ -41,7 +41,8 @@ case class TopKPerGroup(
     tieExpr: Expression,
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxPartialGroups: Int = Int.MaxValue) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is minted here, not read from the child — declare it or the
   // analyzer reports it as an attribute missing from the input
@@ -54,8 +55,10 @@ case class TopKPerGroup(
 /** Lowers [[TopKPerGroup]] to partial + final [[TopKExec]]. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, v, t, k, rank, child) =>
-      val partial = TopKExec(g, v, t, k, partial = true, rank, planLater(child))
+    case TopKPerGroup(g, v, t, k, rank, child, cap) =>
+      val partial = TopKExec(g, v, t, k, partial = true, rank, planLater(child), cap)
+      // the FINAL side must see every group it is asked to rank — the
+      // cap applies to the pre-shuffle heaps only
       TopKExec(g, v, t, k, partial = false, rank, partial) :: Nil
     case _ => Nil
   }
@@ -67,15 +70,33 @@ object TopKStrategy extends SparkStrategy {
   * so the Janino-compiled code stays tiny). Keys and kept rows are
   * copied on retention only; probe/reject paths never allocate.
   */
-final class TopKRowBuffer(k: Int) {
+final class TopKRowBuffer(k: Int, maxGroups: Int = Int.MaxValue) {
   import TopKRowBuffer._
   private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+  private var passedThrough = 0L
 
   /** `group` and `row` may be transient (reused) buffers — copied iff kept. */
   def insert(group: UnsafeRow, value: Double, tie: Long, row: UnsafeRow): Unit = {
+    val absorbed = handle(group, value, tie, row)
+    assert(absorbed, "insert() requires an uncapped buffer; use handle()")
+  }
+
+  /** Capped form: returns true when the row was absorbed (kept or
+    * correctly discarded as below its group's top-k), false when the
+    * buffer is at `maxGroups` and the group is UNSEEN — the caller must
+    * pass the row through to the exchange unfiltered. Pass-through keeps
+    * partial memory bounded at maxGroups × k rows for ANY group
+    * cardinality; the final exec ranks whatever arrives, so a
+    * passed-through superset is always correct (it just shuffles more).
+    */
+  def handle(group: UnsafeRow, value: Double, tie: Long, row: UnsafeRow): Boolean = {
     val heap = heaps.get(group) match {
       case Some(h) => h
       case None =>
+        if (heaps.size >= maxGroups) {
+          passedThrough += 1
+          return false
+        }
         val h = mutable.PriorityQueue.empty[Entry](WorstFirst)
         heaps.put(group.copy(), h)
         h
@@ -89,7 +110,10 @@ final class TopKRowBuffer(k: Int) {
         heap.enqueue((value, tie, row.copy()))
       }
     }
+    true
   }
+
+  def numPassedThrough: Long = passedThrough
 
   def numGroups: Int = heaps.size
 
@@ -138,14 +162,17 @@ case class TopKExec(
     k: Int,
     partial: Boolean,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode
+    child: SparkPlan,
+    maxPartialGroups: Int = Int.MaxValue) extends UnaryExecNode
     with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+      .createMetric(sparkContext, "number of groups"),
+    "numPassThrough" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows passed through (group cap)"))
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -159,13 +186,15 @@ case class TopKExec(
     else ClusteredDistribution(groupExprs) :: Nil
 
   /** Called from the generated code (and the interpreted path) — one
-    * fresh buffer per task.
+    * fresh buffer per task. Codegen only plans the uncapped form, so the
+    * generated insert() never trips the cap assertion.
     */
-  def createBuffer(): TopKRowBuffer = new TopKRowBuffer(k)
+  def createBuffer(): TopKRowBuffer = new TopKRowBuffer(k, maxPartialGroups)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val (groups, v, t, isPartial) = (groupExprs, valueExpr, tieExpr, partial)
+    val (kk, cap) = (k, maxPartialGroups)
     val finalOutput = output
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
@@ -176,18 +205,36 @@ case class TopKExec(
       val copyProj = UnsafeProjection.create(childOutput, childOutput)
       val vBound = BindReferences.bindReference(v, AttributeSeq(childOutput))
       val tBound = BindReferences.bindReference(t, AttributeSeq(childOutput))
-      val buffer = new TopKRowBuffer(k)
-      iter.foreach { row =>
-        val vv = vBound.eval(row)
-        if (vv != null) {
-          buffer.insert(groupProj(row), vv.asInstanceOf[Double],
-            tBound.eval(row).asInstanceOf[Long], copyProj(row))
-        }
-      }
-      numGroups += buffer.numGroups
+      val buffer = new TopKRowBuffer(kk, if (isPartial) cap else Int.MaxValue)
       if (isPartial) {
-        buffer.partialRows.map { r => numOutputRows += 1; r }
+        // pipelined: rows of groups beyond the cap stream straight to the
+        // output (memory stays maxGroups x k); kept heaps drain at the end
+        val numPassThrough = longMetric("numPassThrough")
+        val passThrough = iter.flatMap { row =>
+          val vv = vBound.eval(row)
+          if (vv == null) Iterator.empty
+          else if (buffer.handle(groupProj(row), vv.asInstanceOf[Double],
+            tBound.eval(row).asInstanceOf[Long], copyProj(row))) Iterator.empty
+          else {
+            numPassThrough += 1
+            numOutputRows += 1
+            Iterator.single(copyProj(row).copy(): InternalRow)
+          }
+        }
+        // lazy concat: the drain runs only after the input is exhausted
+        passThrough ++ {
+          numGroups += buffer.numGroups
+          buffer.partialRows.map { r => numOutputRows += 1; r: InternalRow }
+        }
       } else {
+        iter.foreach { row =>
+          val vv = vBound.eval(row)
+          if (vv != null) {
+            buffer.insert(groupProj(row), vv.asInstanceOf[Double],
+              tBound.eval(row).asInstanceOf[Long], copyProj(row))
+          }
+        }
+        numGroups += buffer.numGroups
         val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
         val joined = new JoinedRow
         val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
@@ -204,7 +251,10 @@ case class TopKExec(
 
   // ---- whole-stage codegen (partial side only) ----------------------
 
-  override def supportCodegen: Boolean = partial
+  // the capped (memory-hardened) form emits pass-through rows MID-stream,
+  // which the blocking codegen shape cannot do without buffering them all
+  // in the stage output list — so it trades fusion for bounded memory
+  override def supportCodegen: Boolean = partial && maxPartialGroups == Int.MaxValue
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
@@ -291,9 +341,16 @@ object TopKPlan {
     * ASC) within the group. Registers [[TopKStrategy]] on the session's
     * experimental strategies (idempotent).
     */
+  /** `maxPartialGroups` bounds pre-shuffle memory at maxGroups × k rows
+    * per task: rows of groups beyond the cap bypass the heaps and
+    * shuffle unfiltered (correct, just less reduction). Default
+    * unbounded = fully fused whole-stage-codegen partial.
+    */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      tieCol: String, k: Int, rankName: String = "rn"): DataFrame = {
+      tieCol: String, k: Int, rankName: String = "rn",
+      maxPartialGroups: Int = Int.MaxValue): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxPartialGroups > 0, s"maxPartialGroups must be positive, got $maxPartialGroups")
     val spark = df.sparkSession
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classicSpark.experimental.extraStrategies.contains(TopKStrategy)) {
@@ -309,6 +366,6 @@ object TopKPlan {
     require(t.dataType == LongType, s"tie column must be long, got ${t.dataType}")
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      TopKPerGroup(groupCols.map(attr), v, t, k, rankAttr, analyzed))
+      TopKPerGroup(groupCols.map(attr), v, t, k, rankAttr, analyzed, maxPartialGroups))
   }
 }

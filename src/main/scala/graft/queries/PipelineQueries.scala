@@ -134,18 +134,22 @@ object PipelineQueries {
     // start offset, so no window function either. At 100 TB this is a
     // map-only pass writing straight to the partitioned sink.
     "p06_chunk" -> { (s, dir) =>
-      val W = 64
-      val S = 48
-      val t = tokens(col("text"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), t.as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
-        .select(col("doc_id"),
-          ((col("start") - 1) / S).cast(LongType).as("chunk_id"),
-          col("start").cast(LongType).as("start"),
-          least(lit(W), size(col("t")) - col("start") + 1).cast(LongType).as("chunk_tokens"),
-          concat_ws(" ", slice(col("t"), col("start"), lit(W))).as("chunk"))
+      chunked(s, dir).orderBy("doc_id", "chunk_id")
+    },
+
+    // Sub-document (chunk-level) exact dedup — chunking chained into the
+    // content-hash dedup: duplicated passages collapse even when the
+    // documents containing them differ. Scale shape: the map-only chunk
+    // explode feeds ONE sha2(chunk) shuffle; min(struct) picks the
+    // keeper (lowest doc_id, then chunk_id) in the same aggregate as the
+    // multiplicity count — the p01 pattern one level below documents.
+    "p07_chunk_dedup" -> { (s, dir) =>
+      chunked(s, dir)
+        .groupBy(sha2(col("chunk"), 256).as("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"), col("chunk_tokens"))).as("kept"),
+          count(lit(1)).as("dups"))
+        .select(col("kept.doc_id").as("doc_id"), col("kept.chunk_id").as("chunk_id"),
+          col("kept.chunk_tokens").as("chunk_tokens"), col("dups"))
         .orderBy("doc_id", "chunk_id")
     },
 
@@ -167,6 +171,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** 64-token windows at stride 48 over `documents` (map-only; shared by
+    * p06/p07 and mirrored by [[ChunkSql]]).
+    */
+  private def chunked(s: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val t = tokens(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / S).cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start"),
+        least(lit(W), size(col("t")) - col("start") + 1).cast(LongType).as("chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("start"), lit(W))).as("chunk"))
+  }
+
+  /** DuckDB mirror of [[chunked]] (a WITH-clause body). */
+  private val ChunkSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |    CAST(start AS BIGINT) AS start,
+      |    CAST(least(64, len(t) - start + 1) AS BIGINT) AS chunk_tokens,
+      |    array_to_string(t[start : start + 63], ' ') AS chunk
+      |  FROM st)""".stripMargin
 
   /** Email-shaped matches plus blocklist words (word-boundary exact).
     * ASCII-only constructs so the Java-regex (Spark) and RE2 (DuckDB)
@@ -236,16 +272,19 @@ object PipelineQueries {
          |  CAST(length(regexp_replace(text, '$PiiPattern', '[PII]', 'g')) AS BIGINT) AS clean_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p06_chunk" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |st AS (
-        |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
-        |  CAST(start AS BIGINT) AS start,
-        |  CAST(least(64, len(t) - start + 1) AS BIGINT) AS chunk_tokens,
-        |  array_to_string(t[start : start + 63], ' ') AS chunk
-        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $ChunkSql
+         |SELECT doc_id, chunk_id, start, chunk_tokens, chunk
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "p07_chunk_dedup" ->
+      s"""WITH $ChunkSql,
+         |kept AS (
+         |  SELECT min({'doc_id': doc_id, 'chunk_id': chunk_id,
+         |              'chunk_tokens': chunk_tokens}) AS kept,
+         |         count(*) AS dups
+         |  FROM chunks GROUP BY sha256(chunk))
+         |SELECT kept.doc_id AS doc_id, kept.chunk_id AS chunk_id,
+         |  kept.chunk_tokens AS chunk_tokens, CAST(dups AS BIGINT) AS dups
+         |FROM kept ORDER BY doc_id, chunk_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -97,6 +97,31 @@ object Streaming {
     else keyed.dropDuplicates(Seq("sig_key"))
   }
 
+  /** Streaming sub-document dedup: chunk each arriving document into
+    * 64-token windows (stride 48 — the p06/p07 batch math, stateless so
+    * it runs in append mode) and drop chunks whose content hash was seen
+    * within the watermark horizon. The incremental form of
+    * p07_chunk_dedup: state holds one entry per distinct chunk hash
+    * inside the horizon, evicted by the watermark — bounded at any
+    * scale. `docs` must carry a TimestampType `ts` column.
+    */
+  def dedupChunksStream(docs: DataFrame, textCol: String = "text",
+      watermarkDelay: String = "1 hour", window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val t = split(col(textCol), " ")
+    val chunked = docs
+      .withColumn("t", t)
+      .withColumn("start", explode(sequence(lit(1), size(col("t")), lit(stride))))
+      .withColumn("chunk_id", ((col("start") - 1) / stride).cast("long"))
+      .withColumn("chunk", concat_ws(" ", slice(col("t"), col("start"), lit(window))))
+      .withColumn("chunk_key", sha2(col("chunk"), 256))
+      .drop("t", "start")
+    if (docs.isStreaming)
+      chunked.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(Seq("chunk_key"))
+    else chunked.dropDuplicates(Seq("chunk_key"))
+  }
+
   /** Stream-stream inner join bounded by an event-time interval: right
     * rows join left rows with the same key when `r.ts` falls within
     * `[l.ts - maxLag, l.ts]` (attribution shape: a click joins the views

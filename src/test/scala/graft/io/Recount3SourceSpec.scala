@@ -122,6 +122,22 @@ class Recount3SourceSpec extends SparkSpec {
       Set(("SRP001", 8L), ("SRP002", 3L)))
   }
 
+  test("MIN/MAX(project_id) pushes and answers from planning metadata") {
+    val df = read("gene", "SRP001,SRP002")
+      .agg(min("project_id").as("lo"), max("project_id").as("hi"),
+        count(lit(1)).as("n"))
+    val desc = scanDescription(df)
+    assert(desc.contains("MIN(project_id)") && desc.contains("MAX(project_id)") &&
+      desc.contains("COUNT(*)"), s"mixed pushdown expected, got: $desc")
+    val row = df.collect().head
+    assert((row.getString(0), row.getString(1), row.getLong(2)) ==
+      (("SRP001", "SRP002", 11L)))
+    // min/max over OTHER columns is refused -> plain row scan
+    val df2 = read("gene", "SRP001").agg(max("sample_id"))
+    assert(!scanDescription(df2).contains("pushed"))
+    assert(df2.collect().head.getString(0) == "SRR002")
+  }
+
   test("long scan agrees with the independent wide countsRead path, melted") {
     // two fully independent parsers over the same files: the DSv2
     // streaming line reader vs spark.read.csv in Readers.countsRead

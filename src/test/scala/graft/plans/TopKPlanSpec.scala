@@ -103,6 +103,28 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("group cap: bounded partial memory, pass-through rows, same answer") {
+    // cap=2 with 7 groups: most groups' rows bypass the heaps and
+    // shuffle unfiltered — result must be identical to uncapped
+    val capped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
+        maxPartialGroups = 2)
+      .select("grp", "rn", "id", "value")
+    val got = capped.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val uncapped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
+      .select("grp", "rn", "id", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == uncapped)
+    // pass-through actually engaged (5 of 7 groups per partition bypass)
+    val nodes = flatten(capped.queryExecution.executedPlan)
+    val partials = nodes.collect { case t: TopKExec if t.partial => t }
+    assert(partials.nonEmpty)
+    val passed = partials.map(_.metrics("numPassThrough").value).sum
+    assert(passed > 0, "expected pass-through rows under the group cap")
+    // capped partial must NOT claim codegen (mid-stream emission)
+    assert(!partials.head.supportCodegen)
+  }
+
   test("type validation and extensions hook") {
     assertThrows[IllegalArgumentException](
       TopKPlan.topKPerGroup(df, Seq("grp"), "nope", "id", 3))

@@ -209,6 +209,38 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.dedupNearStream(batch, "text").count() == 3)
   }
 
+  test("dedupChunksStream: chunk-level dedup across documents and triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("ts_ns", "doc_id", "text")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    // window 4 / stride 4 on tiny docs: doc 2 repeats doc 1's first
+    // 4-token chunk inside a DIFFERENT document; doc 3 is fresh
+    val out = Streaming.dedupChunksStream(docs, "text", "1 hour",
+      window = 4, stride = 4)
+    val ckpt = Files.createTempDirectory("graft-chunkdedup-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("chunkdedup")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val shared = "a b c d"
+    try {
+      mem.addData((1000L, 1L, s"$shared e f g h"), (2000L, 2L, s"$shared x y z w"))
+      q.processAllAvailable()
+      // later trigger, still in the watermark: the shared chunk stays dropped
+      mem.addData((3000L, 3L, s"$shared q r s t"))
+      q.processAllAvailable()
+      val got = spark.table("chunkdedup").select("doc_id", "chunk_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (1L, 1L), (2L, 1L), (3L, 1L)),
+        s"one owner per distinct chunk; got $got")
+    } finally q.stop()
+    // batch twin drops the same repeats
+    import spark.implicits._
+    val batch = Seq((1L, s"$shared e f g h"), (2L, s"$shared x y z w"))
+      .toDF("doc_id", "text")
+    assert(Streaming.dedupChunksStream(batch, "text", window = 4, stride = 4)
+      .count() == 3)
+  }
+
   test("dedupStream + enrich over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
