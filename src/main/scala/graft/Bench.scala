@@ -92,18 +92,26 @@ object Bench {
     // hit the persisted frames, so a plain min-of-N would hide the build;
     // instead the build runs twice WITH an eviction in between (two real
     // builds) and reports min + spread — a single-sample number was
-    // swinging 2x run-to-run purely on host stalls. The second build's
-    // frames stay persisted for the d-queries.
+    // swinging 2x run-to-run purely on host stalls. The prelude gets the
+    // SAME adaptive retries as queries (observed: both initial builds
+    // landing inside one multi-minute degradation window, min 22 s vs
+    // the 3-4 s steady state) — each retry re-evicts so every sample is
+    // a real build. The last build's frames stay persisted for the
+    // d-queries.
     val prelude = {
-      val t1 = timedOnce("d00_dedup_prelude",
-        graft.queries.DedupQueries.prewarm(spark, sfDir))
-      graft.queries.DedupQueries.evict(spark, sfDir)
-      val t2 = timedOnce("d00_dedup_prelude",
-        graft.queries.DedupQueries.prewarm(spark, sfDir))
-      (t1, t2) match {
-        case (Some(a), Some(b)) => Some((math.min(a, b), math.abs(a - b)))
-        case (a, b) => a.orElse(b).map(t => (t, 0.0))
+      def build(): Option[Double] = {
+        graft.queries.DedupQueries.evict(spark, sfDir)
+        timedOnce("d00_dedup_prelude",
+          graft.queries.DedupQueries.prewarm(spark, sfDir))
       }
+      var ts = Seq(build(), build()).flatten
+      var extra = 0
+      while (ts.nonEmpty && extra < 2 && ts.min > 5.0 && (ts.max - ts.min) > ts.min) {
+        System.err.println(f"[bench] retry d00_dedup_prelude: min ${ts.min}%.2fs spread ${ts.max - ts.min}%.2fs")
+        ts = ts ++ build()
+        extra += 1
+      }
+      if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
     }
 
     val results: Seq[(String, (Double, Double))] =

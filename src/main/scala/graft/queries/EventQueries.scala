@@ -247,6 +247,32 @@ object EventQueries {
         .orderBy("w_start_ns", "event_type")
     },
 
+    // The custom NATIVE aggregate under INCREMENTAL execution: the same
+    // graft_topk TypedImperativeAggregate e07 runs in batch here runs
+    // inside a complete-mode streaming aggregation — Spark keeps the
+    // serialized heap as per-group state between micro-batches (the
+    // byte-stream serde TopKAgg implements is exactly what the state
+    // store round-trips). Oracle = e07's SQL: the streamed answer must
+    // equal the batch answer once all input is consumed.
+    "e11_stream_topk" -> { (s, dir) =>
+      Tables(s, dir, "events") // sets nanosAsLong + registers graft_topk
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src.groupBy("event_type")
+        .agg(expr("graft_topk(value, event_id, 3)").as("top"))
+      val sink = "e11_stream_topk_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("rn"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+        .orderBy("event_type", "rn")
+    },
+
     // Session windows in a LIVE streaming query (e09 is the batch twin):
     // file stream -> watermark -> session_window aggregation -> APPEND
     // memory sink. Append mode is the production shape — a session row is
@@ -412,6 +438,12 @@ object EventQueries {
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "e07_topk_native" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "e11_stream_topk" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn

@@ -135,6 +135,21 @@ object ExtraQueries {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // exact distinct cardinality per group — the oracle-checkable twin
+    // of the approx_count_distinct sketch (at 100 TB the HLL sketch
+    // replaces count_distinct 1:1 in this call shape; QueriesSpec pins
+    // the sketch within 5% of this exact answer). Exact distinct is a
+    // two-shuffle plan (dedup on (type, user), then count); the sketch
+    // form is one shuffle with constant-size state — that swap is the
+    // documented scale path.
+    "x16_distinct_counts" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
     // fixed-width histogram over a double measure
     "x09_histogram" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -287,6 +302,10 @@ object ExtraQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "x16_distinct_counts" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,

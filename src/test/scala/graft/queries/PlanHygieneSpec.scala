@@ -37,7 +37,8 @@ class PlanHygieneSpec extends SparkSpec {
       "s03_ivf_topk", "s04_sq8_topk")
 
   // run a real streaming query inside the builder — not a static plan
-  private val excluded = Set("e05_stream_window", "e10_stream_session")
+  private val excluded =
+    Set("e05_stream_window", "e10_stream_session", "e11_stream_topk")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

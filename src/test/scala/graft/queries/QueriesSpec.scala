@@ -30,6 +30,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct sketch stays within 5% of the exact x16 answer") {
+    // x16's exact distinct is the oracle row; this pins the documented
+    // 100 TB swap (HLL sketch in the same call shape) to a real bound
+    val exact = SparkEntry.queries("x16_distinct_counts")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (t, a) =>
+      val e = exact(t)
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"sketch off by >5% for $t: approx $a vs exact $e")
+    }
+  }
+
   test("entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
