@@ -241,6 +241,30 @@ class StreamingSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("chunk math fuzz: boundaries and ids match an independent fold (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // token counts hit the edges: 0 (empty text), 1, W-1, W, W+1, multiples
+    // of the stride, and random lengths; tokens unique so nothing dedups
+    val counts = Seq(0, 1, 4, 5, 6, 7, 8, 10, 14, 15) ++ (1 to 20).map(_ => rnd.nextInt(40))
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val (w, s) = (7, 5)
+    val got = Streaming.dedupChunksStream(docs.toDF("doc_id", "text"),
+        "text", window = w, stride = s)
+      .select("doc_id", "chunk_id", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1) // "" splits to one empty token, as in SQL
+      Iterator.from(0).map(i => 1 + i * s).takeWhile(_ <= toks.length).map { start =>
+        (id, ((start - 1) / s).toLong,
+          toks.slice(start - 1, start - 1 + w).mkString(" "))
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("dedupStream + enrich over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
