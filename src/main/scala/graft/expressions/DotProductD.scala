@@ -69,5 +69,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5p60", exprs => Md5Prefix60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_slots", exprs => MinhashSlotsExpr(exprs(0)), "built-in")
   }
 }

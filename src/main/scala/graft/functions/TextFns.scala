@@ -77,16 +77,28 @@ object TextFns {
     * computes identically in a plain projection and inside an
     * append-mode stream (the property streaming near-dup needs — the
     * batch groupBy signature build is an aggregation a stream can't run
-    * without a watermark-windowed state).
+    * without a watermark-windowed state). Empty `hms` (doc shorter than
+    * one shingle) yields all-null slots — callers fall back to
+    * exact-content keys for those.
+    *
+    * Evaluated by the native fused-loop expression
+    * [[graft.expressions.MinhashSlotsExpr]] (one K×N primitive pass, one
+    * allocation — the built-in composition below traverses hms K times
+    * and allocates K arrays per row; it is kept as the property-tested
+    * reference: [[minhashSlotsBuiltin]]).
+    */
+  def minhashSlots(hms: Column): Column =
+    call_function("graft_minhash_slots", hms)
+
+  /** The built-in-functions composition minhashSlots replaces
+    * (equivalence pinned by MinhashSlotsSpec).
     *
     * `hms` MUST be a materialized attribute, not the hash expression
     * itself: lambdas re-evaluate captured outer EXPRESSIONS per element,
     * so capturing the md5 subtree would recompute it K times per
-    * shingle; capturing an attribute just reads it. Empty `hms` (doc
-    * shorter than one shingle) yields all-null slots — callers fall back
-    * to exact-content keys for those.
+    * shingle; capturing an attribute just reads it.
     */
-  def minhashSlots(hms: Column): Column =
+  def minhashSlotsBuiltin(hms: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)), k =>
       array_min(transform(hms, h =>
         (element_at(lit(MinhashA), k + 1) * h +

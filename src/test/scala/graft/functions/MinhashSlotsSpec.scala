@@ -46,4 +46,18 @@ class MinhashSlotsSpec extends SparkSpec {
       assert(got(t) == scalaSlots(t), s"slot mismatch for '${t.take(30)}'")
     }
   }
+
+  test("native fused expression == built-in composition on random hash arrays") {
+    graft.expressions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 200).map { i =>
+      i -> (0 until rnd.nextInt(30)).map(_ => rnd.nextLong().abs % MinhashP)
+    }
+    val df = rows.toDF("id", "hms")
+      .select(col("id"), minhashSlots(col("hms")).as("native"),
+        minhashSlotsBuiltin(col("hms")).as("builtin"))
+    val bad = df.filter(
+      not(col("native") <=> col("builtin"))).count()
+    assert(bad == 0, "native and built-in slot signatures diverged")
+  }
 }
