@@ -72,38 +72,30 @@ object DedupQueries {
     shingleSets(s, dir)
   }
 
-  /** (doc_id, gram) distinct word-3-gram shingles — exploded from the
-    * memoized per-doc sets so the tokenize+3-gram expression runs ONCE
-    * per corpus scan, shared with d05's set verification (it previously
-    * ran twice: once here, once in shingleSets — measured as the
-    * dominant prelude cost after md5).
-    */
-  private def docGrams(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir).select(col("doc_id"), explode(col("gs")).as("g"))
-
   /** Long-format minhash signatures: (doc_id, k, v), K rows per doc.
     *
-    * Plan shape: project (doc_id, hm=md5-hash) once per shingle, then ONE
-    * doc_id-keyed aggregate whose K min() accumulators each apply their
-    * (A(k)*hm+B(k))%P permutation — md5 runs once per shingle (the
-    * Project sits below the Aggregate boundary, so CollapseProject cannot
-    * inline it into the agg expressions), there is no ×K generator
-    * blow-up, and each input row makes one hash-map probe updating K
-    * accumulators instead of K probes. posexplode then restores the long
-    * (doc_id, k, v) contract downstream queries join on. An earlier form
-    * exploded every shingle ×K before a (doc_id, k) aggregate — that was
-    * the dominant d00 prelude cost (22.3 s at sf0.1 in the driver bench).
+    * Plan shape: SHUFFLE-FREE — per doc, hash the memoized shingle array
+    * once (h60 % P inside one `transform`), then the native fused-loop
+    * expression (graft_minhash_slots, MinhashSlotsExpr) computes all K
+    * slots in a single K×N primitive pass; posexplode restores the long
+    * (doc_id, k, v) contract downstream queries join on. The signature
+    * build is now a pure projection over the per-doc sets — two earlier
+    * forms each had a corpus-sized cost this removes: a ×K generator
+    * blow-up before a (doc_id, k) aggregate (22.3 s at sf0.1 in the
+    * driver bench), then a doc_id-keyed aggregate with K min()
+    * accumulators over exploded shingle rows (its shuffle was the last
+    * corpus-sized exchange in the prelude). Values are bit-identical
+    * (order-independent integer min). Docs with no shingles have no
+    * signature rows (the all-null slot array is filtered, matching the
+    * aggregate form's semantics).
     */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sig") {
-      val mins = (0 until MinhashK).map(k =>
-        min((lit(MinhashA(k)) * col("hm") + lit(MinhashB(k))) % P).as(s"m$k"))
-      val slots = array((0 until MinhashK).map(k => col(s"m$k")): _*)
-      docGrams(s, dir)
-        .select(col("doc_id"), (h60(col("g")) % P).as("hm"))
-        .groupBy("doc_id")
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"), posexplode(slots))
+      shingleSets(s, dir)
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"),
+          transform(col("gs"), g => h60(g) % P).as("hms"))
+        .select(col("doc_id"), posexplode(minhashSlots(col("hms"))))
         .toDF("doc_id", "k", "v")
     }
 
