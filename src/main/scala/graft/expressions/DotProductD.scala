@@ -71,5 +71,9 @@ object GraftFunctions {
       "graft_md5p60", exprs => Md5Prefix60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_slots", exprs => MinhashSlotsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => KmvDistinct(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -92,6 +92,24 @@ object EventQueries {
         .orderBy("event_type", "rn")
     },
 
+    // Sliding (hopping) windows via the BUILT-IN window(col, duration,
+    // slide) generator: 1 h windows every 30 min, so each event lands in
+    // duration/slide = 2 overlapping windows (x05/e05 are the tumbling
+    // forms). Scale shape: the window expansion is a map-side generator
+    // (2 rows per event), then ONE shuffle on (window, type) — identical
+    // to a tumbling aggregation at 2x generator volume; no window
+    // function, no sort. The oracle replicates each event to its two
+    // aligned window starts arithmetically (us integers, exact).
+    "e12_sliding_window" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("t", graft.streaming.Streaming.tsFromNanos(col("ts")))
+      ev.groupBy(window(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("total_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("cnt"), col("total_value"))
+        .orderBy("w_start_us", "event_type")
+    },
+
     // Multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic signature features (the decode stage itself is stubbed
     // in graft.multimodal — no image libs in this container).
@@ -343,6 +361,18 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // each event belongs to the window starting at floor(us/slide)*slide
+    // and the one slide earlier (duration = 2 x slide); us arithmetic is
+    // exact on both engines
+    "e12_sliding_window" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((us // 1800000000) * 1800000000) - o.off AS w_start_us, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1800000000]) AS off) o)
+        |SELECT w_start_us, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY w_start_us, event_type
+        |ORDER BY w_start_us, event_type""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,

@@ -12,6 +12,9 @@ import org.apache.spark.sql.types._
   */
 object ExtraQueries {
 
+  import graft.functions.NumFns.round6
+  import graft.functions.TextFns.h60
+
   private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
@@ -147,6 +150,34 @@ object ExtraQueries {
         .groupBy("event_type")
         .agg(count_distinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
+    // KMV (k-minimum-values) distinct sketch — the native bounded-state
+    // sketch tier beside x16's exact / approx_count_distinct pair. The
+    // graft_kmv TypedImperativeAggregate keeps the k smallest DISTINCT
+    // 60-bit hashes per group (a semilattice: partials merge by
+    // union-then-truncate, so only k longs per map task cross the
+    // shuffle). Because the state is exact order statistics of a
+    // deterministic hash — not HLL registers — the ESTIMATE itself is
+    // bit-reproducible and oracle-checked: DuckDB ranks the same
+    // md5-derived hashes and applies the same (k-1)/(kth/2^60)
+    // estimator. held < k means the sketch saw every distinct hash and
+    // the answer is exact (the sf0.001 groups take that path; sf0.01+
+    // engage the estimator).
+    "x17_kmv_distinct" -> { (s, dir) =>
+      val K = 64
+      val two60 = 1.152921504606846976e18 // 2^60, the h60 hash domain
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("graft_kmv",
+          h60(col("user_id").cast(StringType)), lit(K)).as("sk"))
+        .select(col("event_type"),
+          col("sk.held").as("held"),
+          col("sk.kth").as("kth"),
+          when(col("sk.held") < K, col("sk.held").cast(DoubleType))
+            .otherwise(round6(lit((K - 1).toDouble) /
+              (col("sk.kth").cast(DoubleType) / lit(two60)))).as("est_users"))
         .orderBy("event_type")
     },
 
@@ -306,6 +337,22 @@ object ExtraQueries {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x17_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type, CAST(least(nd, 64) AS INT) AS held, h AS kth,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |       ELSE floor((63.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS est_users
+        |FROM r WHERE rn = least(nd, 64)
+        |ORDER BY event_type""".stripMargin,
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -153,6 +153,38 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Sequence PACKING by token budget — the step after chunking/cleanup
+    // that assigns documents to fixed-token-budget training shards:
+    // every doc gets its global token OFFSET (cumulative tokens of all
+    // lower doc_ids) and shard = offset / budget. A naive window
+    // `sum() OVER (ORDER BY doc_id)` is a single-task global sort at
+    // scale; this is the classic TWO-LEVEL DISTRIBUTED PREFIX SUM
+    // instead: (1) per-range partial sums (one small aggregate, ranges =
+    // doc_id/R), (2) a running offset over the tiny per-range frame
+    // (|ranges| rows, one task), broadcast back, (3) within-range
+    // cumsum where each window partition is bounded at R rows. R is
+    // sized so both |ranges| and R fit a task; a third level covers any
+    // corpus. All-integer arithmetic — exact on both engines.
+    "p08_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096L // tokens per shard
+      val R = 500L  // docs per prefix-sum range
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tokens"))
+        .withColumn("rng", floor(col("doc_id") / R).cast(LongType))
+      val wr = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("rng").agg(sum("tokens").as("rt"))
+        .withColumn("roff", coalesce(sum(col("rt")).over(wr), lit(0L)))
+        .select("rng", "roff")
+      val ww = Window.partitionBy("rng").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(offsets), "rng")
+        .withColumn("off", col("roff") + coalesce(sum(col("tokens")).over(ww), lit(0L)))
+        .select(col("doc_id"), col("tokens"), col("off"),
+          floor(col("off") / B).cast(LongType).as("shard"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -285,6 +317,17 @@ object PipelineQueries {
          |SELECT kept.doc_id AS doc_id, kept.chunk_id AS chunk_id,
          |  kept.chunk_tokens AS chunk_tokens, CAST(dups AS BIGINT) AS dups
          |FROM kept ORDER BY doc_id, chunk_id""".stripMargin,
+    "p08_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d)
+        |SELECT doc_id, tokens, off, CAST(off // 4096 AS BIGINT) AS shard
+        |FROM o ORDER BY doc_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -132,6 +132,41 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // BM25 relevance scoring for a fixed query-term set — the retrieval
+    // twin of t05's TF-IDF (k1 = 1.2, b = 0.75, idf = ln((N-df+.5)/(df+.5)+1)).
+    // Scale shape: only rows matching the (tiny) query-term set survive
+    // the scan filter, so the (doc, term) aggregate is query-sized, not
+    // corpus-sized; df and the corpus stats (N, avgdl) are broadcast
+    // scalars. Per-term scores are pivoted into FIXED columns and added
+    // in literal order — a sum() over term rows would be
+    // order-nondeterministic in IEEE doubles across engines.
+    "t08_bm25" -> { (s, dir) =>
+      val q = Seq("data", "query", "hash")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables(s, dir, "documents")
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(q: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sumdl").cast(DoubleType) / col("n"))
+        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("sc", col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      val parts = q.map(t =>
+        coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+      scored.groupBy("doc_id")
+        .agg(parts.head, parts.tail: _*)
+        .select(col("doc_id"),
+          round6(q.map(t => col(s"s_$t")).reduce(_ + _)).as("bm25"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF top-3 terms per document. Scale shape: term frequencies are
     // one shuffle on (doc, term); document frequencies aggregate the
     // VOCABULARY (small by Zipf) and broadcast back, so the scoring join
@@ -235,6 +270,27 @@ object TextQueries {
         |  FROM tf)
         |SELECT rank, term, n, floor((cov) * 1000000.0 + 0.5) / 1000000.0 AS coverage
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "t08_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |       WHERE term IN ('data', 'query', 'hash') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |piv AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'data' THEN sc END), 0.0) AS s1,
+        |    coalesce(max(CASE WHEN term = 'query' THEN sc END), 0.0) AS s2,
+        |    coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, floor((s1 + s2 + s3) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |FROM piv ORDER BY doc_id""".stripMargin,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
