@@ -29,4 +29,24 @@ object NumFns {
   /** DuckDB mirror of [[round6]] — same multiply/add/floor/divide. */
   def sqlRound6(e: String): String =
     s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two
+    * non-negative integral columns: bit i of x lands at position 2i, bit
+    * i of y at 2i+1. Pure integer expressions — codegen'd, exact, and
+    * mirrored verbatim by [[sqlZvalue2]]. Sorting by the z-value
+    * clusters BOTH dimensions at once (locality for 2-D data skipping —
+    * see io.Writers.zorderWrite); 2·bits ≤ 62 keeps the value in a
+    * positive long.
+    */
+  def zvalue2(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of [[zvalue2]] — the same unrolled bit sum. */
+  def sqlZvalue2(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
 }

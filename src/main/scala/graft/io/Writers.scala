@@ -29,4 +29,26 @@ object Writers {
       else df
     arranged.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Z-order-clustered parquet write: range-partition + sort the rows by
+    * a Morton z-value (functions.NumFns.zvalue2) so each output file
+    * covers a small rectangle in BOTH clustered dimensions — parquet
+    * footer min/max stats then skip whole files for a selective filter
+    * on EITHER column. A linear sort clusters only its leading column
+    * (every file spans the full range of the other); that difference is
+    * what ZorderSpec measures. This is layout work at write time — one
+    * range exchange — bought back on every subsequent selective read;
+    * the standard lakehouse trade at 100 TB.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      zcol: org.apache.spark.sql.Column,
+      partitions: Int,
+      path: String,
+      mode: String = "overwrite"): Unit =
+    df.withColumn("__z", zcol)
+      .repartitionByRange(partitions, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
 }

@@ -181,6 +181,26 @@ object ExtraQueries {
         .orderBy("event_type")
     },
 
+    // Z-ORDER (Morton) clustering key over (customer, order-day) — the
+    // write-time layout that makes parquet min/max stats skip files for
+    // selective filters on EITHER dimension (a linear sort clusters only
+    // its leading column). The interleave is a pure unrolled integer bit
+    // sum (NumFns.zvalue2, codegen'd, oracle-mirrored verbatim);
+    // io.Writers.zorderWrite applies it as repartitionByRange + in-file
+    // sort, and ZorderSpec measures the skipping benefit against a
+    // linear layout. zbucket = zv >> 24 is the deterministic 256-way
+    // coarse tile (what a file-level assignment looks like without the
+    // range sampler's nondeterminism).
+    "x18_zorder" -> { (s, dir) =>
+      val zx = col("o_custkey").cast(LongType)
+      val zy = datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), zx.as("zx"), zy.as("zy"),
+          graft.functions.NumFns.zvalue2(zx, zy, 16).as("zv"))
+        .withColumn("zbucket", shiftright(col("zv"), 24))
+        .orderBy("o_orderkey")
+    },
+
     // fixed-width histogram over a double measure
     "x09_histogram" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -353,6 +373,16 @@ object ExtraQueries {
         |  END AS est_users
         |FROM r WHERE rn = least(nd, 64)
         |ORDER BY event_type""".stripMargin,
+    "x18_zorder" -> {
+      val z = graft.functions.NumFns.sqlZvalue2("zx", "zy", 16)
+      s"""WITH o AS (
+         |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS zx,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS zy
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, zx, zy, CAST($z AS BIGINT) AS zv FROM o)
+         |SELECT o_orderkey, zx, zy, zv, zv >> 24 AS zbucket
+         |FROM z ORDER BY o_orderkey""".stripMargin
+    },
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -344,6 +344,36 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/event_type=click").isDirectory)
   }
 
+  test("foreachBatch idempotent sink: a replayed batch id overwrites, never duplicates") {
+    // unit level: the write is idempotent per batch id
+    val out = Files.createTempDirectory("graft-fb-out").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Streaming.writeBatchIdempotent(b0, 0L, out)
+    Streaming.writeBatchIdempotent(b0, 0L, out) // replay of batch 0
+    Streaming.writeBatchIdempotent(Seq((3L, "c")).toDF("id", "s"), 1L, out)
+    val rows = spark.read.parquet(out).select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"batch-0 replay must overwrite its own partition; got $rows")
+    // a LATER batch must not disturb earlier partitions (dynamic, not
+    // whole-table, overwrite)
+    assert(new java.io.File(s"$out/batch_id=0").isDirectory &&
+      new java.io.File(s"$out/batch_id=1").isDirectory)
+
+    // end-to-end: the foreachBatch wiring lands streamed rows once
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out2 = Files.createTempDirectory("graft-fb-out2").toString
+    val ckpt = Files.createTempDirectory("graft-fb-ckpt").toString
+    val q = Streaming.idempotentParquetSink(mem.toDF().toDF("id", "s"), out2)
+      .option("checkpointLocation", ckpt).start()
+    try { mem.addData((10L, "x"), (11L, "y")); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.read.parquet(out2).select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((10L, "x"), (11L, "y")))
+  }
+
   test("windowedTypeStats over a MemoryStream: incremental windowed aggs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
