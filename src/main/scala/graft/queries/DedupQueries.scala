@@ -285,6 +285,22 @@ object DedupQueries {
       graft.ops.ConnectedComponents.minLabel(pr)._1.orderBy("doc_id")
     },
 
+    // The END of the near-dup pipeline: the cleaned corpus. Cluster the
+    // verified near-dup pairs (d07's connected components), keep only
+    // each cluster's min doc_id, and anti-join the losers away — what a
+    // training-data job actually materializes after d03/d05/d07 decide
+    // who duplicates whom. Scale shape: the loser list is |docs in
+    // clusters| (tiny next to the corpus), so the final pass is one
+    // broadcast-able anti-join over a single corpus scan.
+    "d09_dedup_keep" -> { (s, dir) =>
+      val labels = graft.ops.ConnectedComponents.minLabel(
+        neardupPairs(s, dir).select("doc_a", "doc_b"))._1
+      val losers = labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      Tables(s, dir, "documents").select("doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // Near-exact dedup on the PER-ROW expression minhash signature — the
     // same key math Streaming.dedupNearStream applies incrementally
     // (TextFns.minhashSlots; no aggregation between scan and key), so the
@@ -397,6 +413,36 @@ object DedupQueries {
          |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v)
          |SELECT v AS doc_id, min(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // the d07 fixpoint chain, then survivors = docs that are not a
+    // non-min member of any component
+    "d09_dedup_keep" ->
+      s"""WITH RECURSIVE $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v),
+         |losers AS (
+         |  SELECT v AS doc_id FROM (SELECT v, min(l) AS cl FROM reach GROUP BY v)
+         |  WHERE cl <> v)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // per-doc signature string from the shared sig CTE; docs absent from
     // sig (no shingles) fall back to exact text via the LEFT JOIN
     "d08_sig_dedup" ->

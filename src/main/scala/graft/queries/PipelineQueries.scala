@@ -185,6 +185,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic k-PER-STRATUM sampling ("hash reservoir"): each
+    // source keeps its k=10 docs with the smallest 52-bit hash priority —
+    // a uniform, reproducible sample whose membership is stable under
+    // reruns, retries, and cluster resizes (p03/p04 are the rate-based
+    // forms; this one guarantees exact-k). Executes through the custom
+    // TopKPerGroup PLAN OPERATOR (bounded per-partition heaps, only
+    // k x partitions rows per stratum reach the exchange — no window
+    // sort), with priority = -(h60 >> 8): 52 bits so the double-typed
+    // ordering column stays exact-integer, negated because the engine
+    // ranks descending.
+    "p09_sample_topk" -> { (s, dir) =>
+      val pri = -shiftright(h60(col("doc_id").cast(StringType)), 8).cast(DoubleType)
+      val df = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), pri.as("pri"))
+      graft.plans.TopKPlan.topKPerGroup(df, Seq("source"), "pri", "doc_id", 10)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -328,6 +347,16 @@ object PipelineQueries {
         |  FROM d)
         |SELECT doc_id, tokens, off, CAST(off // 4096 AS BIGINT) AS shard
         |FROM o ORDER BY doc_id""".stripMargin,
+    "p09_sample_topk" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 8) AS pri
+        |  FROM documents)
+        |SELECT source, rn, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INT) AS rn
+        |  FROM h)
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

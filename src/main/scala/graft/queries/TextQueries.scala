@@ -146,18 +146,22 @@ object TextQueries {
       val b = 0.75
       val docs = Tables(s, dir, "documents")
       val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      // corpus stats as driver-side scalars into the plan (one bounded
+      // 1-row agg, the t05 nDocs precedent) — a crossJoin(stats) would
+      // put a nested-loop join in the plan for two numbers. avgdl is
+      // exact-long division in IEEE double, same op the oracle runs.
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n
       val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .filter(col("term").isin(q: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(dfreq), "term")
         .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sumdl").cast(DoubleType) / col("n"))
-        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
         .withColumn("sc", col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
       val parts = q.map(t =>
         coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
       scored.groupBy("doc_id")
