@@ -30,6 +30,23 @@ object Writers {
     arranged.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or highly-parallel writer eventually needs: micro-batches and
+    * 1000-task jobs each leave one file per task, and at 100 TB the
+    * resulting footer/listing overhead dominates scan planning. Rewrites
+    * a parquet directory into `targetFiles` files (one coalescing
+    * exchange, no row changes) at `destPath`; callers swap directories
+    * atomically at the catalog/manifest level, never in place.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      destPath: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(destPath)
+
   /** Z-order-clustered parquet write: range-partition + sort the rows by
     * a Morton z-value (functions.NumFns.zvalue2) so each output file
     * covers a small rectangle in BOTH clustered dimensions — parquet

@@ -132,6 +132,41 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // COUNT-MIN sketch heavy hitters: estimated frequencies for the
+    // top-20 terms from a d=4 x w=256 counter grid instead of the full
+    // vocabulary. CMS is the frequency sketch whose merge is counter-wise
+    // ADDITION — commutative and order-independent — so unlike HLL
+    // registers the whole sketch, and therefore the ESTIMATE, is
+    // deterministic and oracle-checkable: DuckDB fills the same grid
+    // with the same (A_k*h + B_k) % P % w hashes and takes the same min
+    // over rows. est >= n always (CMS never undercounts); the
+    // overcount column makes the collision error visible. Scale shape:
+    // one corpus (term) shuffle, then everything is vocabulary-sized;
+    // at 100 TB the d x w grid (4 KB here) replaces a
+    // vocabulary-sized exact map wherever an overestimate bound is
+    // acceptable.
+    "t09_countmin" -> { (s, dir) =>
+      val W = 256
+      val D = 4
+      val tf = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .withColumn("hm", h60(col("term")) % lit(MinhashP))
+      val tagged = tf.select(col("term"), col("n"),
+          explode(array((0 until D).map(i =>
+            struct(lit(i).as("i"),
+              (((lit(MinhashA(i)) * col("hm") + lit(MinhashB(i))) % lit(MinhashP))
+                % W).as("b"))): _*)).as("ib"))
+        .select(col("term"), col("n"), col("ib.i").as("i"), col("ib.b").as("b"))
+      val counters = tagged.groupBy("i", "b").agg(sum("n").as("c"))
+      tagged.join(counters, Seq("i", "b"))
+        .groupBy("term").agg(max("n").as("n"), min("c").as("est"))
+        .orderBy(desc("n"), col("term")).limit(20)
+        .select(col("term"), col("n"), col("est"),
+          (col("est") - col("n")).as("overcount"))
+        .orderBy(desc("n"), col("term"))
+    },
+
     // BM25 relevance scoring for a fixed query-term set — the retrieval
     // twin of t05's TF-IDF (k1 = 1.2, b = 0.75, idf = ln((N-df+.5)/(df+.5)+1)).
     // Scale shape: only rows matching the (tiny) query-term set survive
@@ -274,6 +309,29 @@ object TextQueries {
         |  FROM tf)
         |SELECT rank, term, n, floor((cov) * 1000000.0 + 0.5) / 1000000.0 AS coverage
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "t09_countmin" -> {
+      val a = MinhashA.take(4).mkString("[", ", ", "]")
+      val b = MinhashB.take(4).mkString("[", ", ", "]")
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term),
+         |h AS (
+         |  SELECT term, n,
+         |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % $MinhashP AS hm
+         |  FROM tf),
+         |tagged AS (
+         |  SELECT term, n, i,
+         |    ((($a[i + 1] * hm + $b[i + 1]) % $MinhashP) % 256) AS b
+         |  FROM h, (SELECT unnest(range(0, 4)) AS i) d),
+         |counters AS (SELECT i, b, sum(n) AS c FROM tagged GROUP BY i, b),
+         |est AS (
+         |  SELECT term, max(n) AS n, min(c) AS est
+         |  FROM tagged JOIN counters USING (i, b) GROUP BY term)
+         |SELECT term, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est,
+         |  CAST(est - n AS BIGINT) AS overcount
+         |FROM est ORDER BY n DESC, term LIMIT 20""".stripMargin
+    },
     "t08_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),

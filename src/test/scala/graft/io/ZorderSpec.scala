@@ -33,6 +33,20 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("compact: 32 task-files become targetFiles with the same rows") {
+    val src = Files.createTempDirectory("graft-compact-src").toString
+    val dst = Files.createTempDirectory("graft-compact-dst").toString
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s")
+    df.repartition(32).write.mode("overwrite").parquet(src)
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 32)
+    Writers.compact(spark, src, dst, 4)
+    assert(parquetFiles(dst) == 4, s"expected 4 files, got ${parquetFiles(dst)}")
+    val got = spark.read.parquet(dst).select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 1000L), "compaction changed the row set")
+  }
+
   test("z-order layout skips files on the non-leading dimension; linear does not") {
     // a full 64x64 grid: every (x, y) cell once
     val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
