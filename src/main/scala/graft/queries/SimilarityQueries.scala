@@ -100,6 +100,64 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Product-quantization (PQ) top-k — the 5th ANN tier (brute s01,
+    // bucketed s02, clustered s03, scalar-quantized s04): the 64-dim
+    // vector splits into M=4 16-dim subvectors, each assigned a CODEBOOK
+    // entry per subspace (here: sign-LSH bucket -> decimal-exact bucket
+    // mean, the s03 centroid trick applied per subspace — a k-means
+    // codebook would be iteration-order-dependent and unmirrorable), so
+    // a vector's resident footprint is M code ids (4 bytes vs 256: the
+    // PQ compression story at 100 TB). Query scoring is ADC (asymmetric
+    // distance computation): one tiny LUT of query-subvector x codebook
+    // dots, candidates sum their M looked-up parts IN FIXED SUBSPACE
+    // ORDER (pivoted columns — engine-identical IEEE addition), top-C by
+    // ADC, exact-cosine rerank of the C survivors only. Scale shape:
+    // codebook + LUT broadcast; the candidate pass scans codes, not
+    // vectors.
+    "s05_pq_topk" -> { (s, dir) =>
+      val M = 4
+      val SubDim = 16
+      val C = 10
+      val v = vecsNorm(s, dir)
+      val sub = v.select(col("vec_id"),
+          posexplode(array((0 until M).map(m =>
+            slice(col("e"), m * SubDim + 1, SubDim)): _*)))
+        .toDF("vec_id", "m", "sub")
+        .withColumn("b", lshBucketN(col("sub"), SubDim))
+      val sums = (0 until SubDim).map(d =>
+        sum(element_at(col("sub"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
+      val cb = sub.groupBy("m", "b")
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("m"), col("b"),
+          array((0 until SubDim).map(d =>
+            col(s"s$d").cast(DoubleType) / col("n")): _*).as("cb"))
+      val lut = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("query_id"), col("m"), col("b"),
+          dotSeq(col("sub"), col("cb")).as("part"))
+      val codes = sub.select(col("vec_id").as("neighbor_id"), col("m"), col("b"))
+      val parts = (0 until M).map(m =>
+        max(when(col("m") === m, col("part"))).as(s"p$m"))
+      val adc = codes.join(broadcast(lut), Seq("m", "b"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(parts.head, parts.tail: _*)
+        .select(col("query_id"), col("neighbor_id"),
+          (0 until M).map(m => col(s"p$m")).reduce(_ + _).as("adc"))
+      val wCand = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      adc.withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= C)
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-style top-k: coarse quantizer = per-label spherical centroids
     // (elementwise decimal-exact mean of normalized vectors), probe the
     // best centroid, search only that cluster. At scale: centroids are a
@@ -204,6 +262,55 @@ object SimilarityQueries {
            |ranked AS (
            |  SELECT query_id, neighbor_id, c,
            |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+           |  FROM rr)
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      },
+      "s05_pq_topk" -> {
+        val subBucket = (0 until LshPlanes).map { j =>
+          s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "sub", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val lutDot = sqlDotSeqN("q.sub", "cb.cb", 16)
+        val rrDot = sqlDotSeq("qv.e", "cv.e")
+        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |sub0 AS (
+           |  SELECT vec_id, m, list_slice(e, m * 16 + 1, m * 16 + 16) AS sub
+           |  FROM v, (SELECT unnest(range(0, 4)) AS m) ms),
+           |sb AS (SELECT vec_id, m, sub, $subBucket AS b FROM sub0),
+           |pos AS (
+           |  SELECT m, b, i, sub[i] AS x
+           |  FROM sb, (SELECT unnest(range(1, 17)) AS i) idx),
+           |cbd AS (
+           |  SELECT m, b, i,
+           |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+           |  FROM pos GROUP BY m, b, i),
+           |cb AS (SELECT m, b, list(cx ORDER BY i) AS cb FROM cbd GROUP BY m, b),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, cb.m, cb.b, $lutDot AS part
+           |  FROM sb q JOIN cb ON q.m = cb.m WHERE q.vec_id < 10),
+           |adc AS (
+           |  SELECT query_id, s.vec_id AS neighbor_id,
+           |    max(CASE WHEN s.m = 0 THEN part END) AS p0,
+           |    max(CASE WHEN s.m = 1 THEN part END) AS p1,
+           |    max(CASE WHEN s.m = 2 THEN part END) AS p2,
+           |    max(CASE WHEN s.m = 3 THEN part END) AS p3
+           |  FROM sb s JOIN lut ON s.m = lut.m AND s.b = lut.b
+           |    AND s.vec_id <> lut.query_id
+           |  GROUP BY query_id, s.vec_id),
+           |cand AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY (p0 + p1 + p2 + p3) DESC, neighbor_id) AS crank
+           |  FROM adc),
+           |rr AS (
+           |  SELECT ca.query_id, ca.neighbor_id, $rrDot AS c
+           |  FROM cand ca
+           |  JOIN v qv ON qv.vec_id = ca.query_id
+           |  JOIN v cv ON cv.vec_id = ca.neighbor_id
+           |  WHERE ca.crank <= 10),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, c,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
            |  FROM rr)
            |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
