@@ -291,6 +291,37 @@ object EventQueries {
         .orderBy("event_type", "rn")
     },
 
+    // The KMV distinct sketch under INCREMENTAL execution: the same
+    // graft_kmv TypedImperativeAggregate x17 runs in batch runs inside a
+    // complete-mode streaming aggregation — the state store round-trips
+    // the serialized bounded hash set between micro-batches (the
+    // sketch's union-then-truncate merge is exactly what makes its
+    // streamed answer equal its batch answer once all input is
+    // consumed). Oracle = x17's SQL.
+    "e13_stream_kmv" -> { (s, dir) =>
+      Tables(s, dir, "events") // sets nanosAsLong + registers graft_kmv
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src.groupBy("event_type")
+        .agg(expr("graft_kmv(graft_md5p60(CAST(user_id AS STRING)), 64)").as("sk"))
+      val sink = "e13_stream_kmv_sink"
+      s.catalog.dropTempView(sink)
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val K = 64
+      val two60 = 1.152921504606846976e18
+      s.table(sink)
+        .select(col("event_type"),
+          col("sk.held").as("held"),
+          col("sk.kth").as("kth"),
+          when(col("sk.held") < K, col("sk.held").cast(DoubleType))
+            .otherwise(graft.functions.NumFns.round6(lit((K - 1).toDouble) /
+              (col("sk.kth").cast(DoubleType) / lit(two60)))).as("est_users"))
+        .orderBy("event_type")
+    },
+
     // Session windows in a LIVE streaming query (e09 is the batch twin):
     // file stream -> watermark -> session_window aggregation -> APPEND
     // memory sink. Append mode is the production shape — a session row is
@@ -479,6 +510,24 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // x17's estimator SQL verbatim: the streamed sketch must equal the
+    // batch sketch
+    "e13_stream_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type, CAST(least(nd, 64) AS INT) AS held, h AS kth,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |       ELSE floor((63.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS est_users
+        |FROM r WHERE rn = least(nd, 64)
+        |ORDER BY event_type""".stripMargin,
     "e05_stream_window" ->
       """SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000000 AS w_start_ns,
         |  (((epoch_ns(ts) // 1000) // 3600000000) + 1) * 3600000000000 AS w_end_ns,
