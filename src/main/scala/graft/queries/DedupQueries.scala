@@ -285,6 +285,27 @@ object DedupQueries {
       graft.ops.ConnectedComponents.minLabel(pr)._1.orderBy("doc_id")
     },
 
+    // Edit-distance verification over the LSH candidates — the fuzzy
+    // complement of d05's set-based Jaccard: Levenshtein similarity on
+    // the 64-char document prefixes (1 - lev/maxlen). Levenshtein is
+    // quadratic per pair, so at scale it runs ONLY on proposed candidate
+    // pairs and only on bounded prefixes — never corpus x corpus, never
+    // full texts. Both engines implement the identical unit-cost
+    // ins/del/sub recurrence, so the scores hash-match.
+    "d10_edit_verify" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+      val a = docs.toDF("doc_a", "pa")
+      val b = docs.toDF("doc_b", "pb")
+      lshCandidates(s, dir)
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast(LongType).as("lev"),
+          round6(lit(1.0) - levenshtein(col("pa"), col("pb")).cast(DoubleType) /
+            greatest(length(col("pa")), length(col("pb")))).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The END of the near-dup pipeline: the cleaned corpus. Cluster the
     // verified near-dup pairs (d07's connected components), keep only
     // each cluster's min doc_id, and anti-join the losers away — what a
@@ -413,6 +434,16 @@ object DedupQueries {
          |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v)
          |SELECT v AS doc_id, min(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    "d10_edit_verify" ->
+      s"""WITH $sqlSigs,
+         |$sqlCand,
+         |p AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+         |  floor((1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+         |    greatest(length(a.p), length(b.p))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |FROM cand JOIN p a ON doc_a = a.doc_id JOIN p b ON doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the d07 fixpoint chain, then survivors = docs that are not a
     // non-min member of any component
     "d09_dedup_keep" ->

@@ -132,6 +132,21 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
+    // shape): lowercase, strip non-alphanumerics, collapse whitespace.
+    // Pure codegen'd regex expressions at scan speed, no shuffle; at
+    // 100 TB this fuses into the same scan as the hashing that follows
+    // it. (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all.)
+    "t10_normalize" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")),
+            " +", " ").as("norm"))
+        .withColumn("norm_chars", length(col("norm")).cast(LongType))
+        .orderBy("doc_id")
+    },
+
     // COUNT-MIN sketch heavy hitters: estimated frequencies for the
     // top-20 terms from a d=4 x w=256 counter grid instead of the full
     // vocabulary. CMS is the frequency sketch whose merge is counter-wise
@@ -309,6 +324,13 @@ object TextQueries {
         |  FROM tf)
         |SELECT rank, term, n, floor((cov) * 1000000.0 + 0.5) / 1000000.0 AS coverage
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "t10_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g') AS norm,
+        |  CAST(length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |    ' +', ' ', 'g')) AS BIGINT) AS norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t09_countmin" -> {
       val a = MinhashA.take(4).mkString("[", ", ", "]")
       val b = MinhashB.take(4).mkString("[", ", ", "]")
