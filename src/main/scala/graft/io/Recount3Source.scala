@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -129,12 +129,25 @@ object Recount3Source {
 
   private final class R3ScanBuilder(files: Seq[R3File])
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters with SupportsPushDownAggregates {
+      with SupportsPushDownFilters with SupportsPushDownAggregates
+      with SupportsPushDownLimit {
     private var required: StructType = Schema
     private var projectKeep: Option[Set[String]] = None
     private var sampleKeep: Option[Set[String]] = None
     private var accepted: Array[Filter] = Array.empty
     private var pushedAggs: Seq[PushedAgg] = Nil
+    private var limit: Option[Int] = None
+
+    /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
+      * still applies the global limit): each reader stops decompressing
+      * and parsing after `limit` rows, turning `LIMIT n` over a corpus
+      * of wide counts files into an n-row read per file instead of a
+      * full decompress — the interactive-peek path at 100 TB.
+      */
+    override def pushLimit(l: Int): Boolean = {
+      limit = Some(l)
+      true
+    }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -200,7 +213,7 @@ object Recount3Source {
     override def build(): Scan = {
       val kept = projectKeep.fold(files)(keep => files.filter(f => keep(f.pid)))
       if (pushedAggs.nonEmpty) new R3AggScan(kept, sampleKeep, pushedAggs)
-      else new R3Scan(kept, required, sampleKeep)
+      else new R3Scan(kept, required, sampleKeep, limit)
     }
   }
 
@@ -277,26 +290,29 @@ object Recount3Source {
   }
 
   private final class R3Scan(files: Seq[R3File], required: StructType,
-      sampleKeep: Option[Set[String]]) extends Scan with Batch {
+      sampleKeep: Option[Set[String]], limit: Option[Int] = None)
+      extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => R3Partition(f.pid, f.path)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      R3ReaderFactory(required, sampleKeep)
+      R3ReaderFactory(required, sampleKeep, limit)
     // surfaced in explain() so specs (and users) can see the pruning
     override def description(): String =
       s"recount3 files=${files.size} " +
-        s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}"
+        s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}" +
+        limit.fold("")(l => s" limit=$l")
   }
 
   private final case class R3Partition(pid: String, path: String) extends InputPartition
 
   private final case class R3ReaderFactory(required: StructType,
-      sampleKeep: Option[Set[String]]) extends PartitionReaderFactory {
+      sampleKeep: Option[Set[String]], limit: Option[Int] = None)
+      extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val part = p.asInstanceOf[R3Partition]
-      new R3Reader(part.pid, part.path, required, sampleKeep)
+      new R3Reader(part.pid, part.path, required, sampleKeep, limit)
     }
   }
 
@@ -305,7 +321,10 @@ object Recount3Source {
     * sample). Only the pruned `required` fields are materialized.
     */
   private final class R3Reader(pid: String, path: String, required: StructType,
-      sampleKeep: Option[Set[String]]) extends PartitionReader[InternalRow] {
+      sampleKeep: Option[Set[String]], limit: Option[Int] = None)
+      extends PartitionReader[InternalRow] {
+
+    private var emitted: Long = 0L
 
     private val reader: BufferedReader = {
       val raw: InputStream = java.nio.file.Files.newInputStream(Paths.get(path))
@@ -340,6 +359,8 @@ object Recount3Source {
     })
 
     override def next(): Boolean = {
+      if (limit.exists(emitted >= _)) return false
+      emitted += 1
       if (parts != null && cursor < sampleIdx.length - 1) {
         cursor += 1
         true

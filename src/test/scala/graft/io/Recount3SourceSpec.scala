@@ -122,6 +122,17 @@ class Recount3SourceSpec extends SparkSpec {
       Set(("SRP001", 8L), ("SRP002", 3L)))
   }
 
+  test("LIMIT pushes into the scan: readers stop after n rows per file") {
+    val df = read("gene", "SRP001,SRP002").limit(3)
+    val desc = scanDescription(df)
+    assert(desc.contains("limit=3"), s"expected pushed limit in scan: $desc")
+    // partial pushdown: Spark still applies the global LIMIT on top
+    assert(df.collect().length == 3)
+    // a limit under a filter Catalyst can't push does NOT break rows
+    val df2 = read("gene", "SRP001,SRP002").limit(100)
+    assert(df2.collect().length == 11) // fewer rows than the limit: all emitted
+  }
+
   test("MIN/MAX(project_id) pushes and answers from planning metadata") {
     val df = read("gene", "SRP001,SRP002")
       .agg(min("project_id").as("lo"), max("project_id").as("hi"),

@@ -108,6 +108,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup under the RocksDB state store provider") {
+    // at 100 TB streaming state outgrows the JVM heap: RocksDB keeps it
+    // off-heap/on-disk with incremental checkpoints. The same transform
+    // must produce the same answers under either provider — this pins
+    // the dedup path (dropDuplicates state) against the RocksDB backend.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      val events = mem.toDF().toDF("ts_ns", "event_type", "value")
+        .select(Streaming.tsFromNanos(col("ts_ns")).as("ts"),
+          col("event_type"), col("value"))
+      val out = Streaming.dedupStream(events, Seq("event_type"))
+      val ckpt = Files.createTempDirectory("graft-rocksdb-ckpt").toString
+      val sink = "rocksdb_dedup"
+      spark.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData((1000L, "click", 1.0), (1000L, "click", 1.5), (2000L, "view", 2.0))
+        q.processAllAvailable()
+        mem.addData((1000L, "click", 9.9), (3000L, "buy", 3.0))
+        q.processAllAvailable()
+        // RocksDB actually served the state store for this query
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        val got = spark.table(sink).select("event_type", "value").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+        assert(got == Seq(("buy", 3.0), ("click", 1.0), ("view", 2.0)),
+          s"dedup answers must be provider-independent; got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize (streaming): late event within the watermark merges without regressing the session end") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 30L * 60 * 1000 * 1000 * 1000
