@@ -19,6 +19,7 @@ import graft.functions.NumFns.round6
 object EventQueries {
 
   private val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+  private val DayNs: Long = 86400L * 1000 * 1000 * 1000
 
   /** Exact decimal sum of a 2-decimal double, as double (see CoreQueries). */
   private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -90,6 +91,47 @@ object EventQueries {
         .filter(col("rn") <= 3)
         .select(col("event_type"), col("rn"), col("event_id"), col("value"))
         .orderBy("event_type", "rn")
+    },
+
+    // Ordered FUNNEL analysis (signup -> click -> purchase): per user,
+    // the first timestamp of each stage and the furthest stage reached
+    // in order (stage k requires stage k-1's first event to precede
+    // it). The product-analytics companion to sessionization — ONE
+    // shuffle on user_id carrying three conditional-min accumulators;
+    // the stage logic is pure integer ns comparisons afterwards.
+    "e14_funnel" -> { (s, dir) =>
+      // us-truncated ns (integer arithmetic) — DuckDB reads the
+      // TIMESTAMP(NANOS) column at us precision (the x13 parity rule)
+      val tsUs = col("ts") - pmod(col("ts"), lit(1000L))
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", tsUs)).as("s_ns"),
+          min(when(col("event_type") === "click", tsUs)).as("c_ns"),
+          min(when(col("event_type") === "purchase", tsUs)).as("p_ns"))
+        .withColumn("stage",
+          when(col("s_ns").isNull, 0L)
+            .when(col("c_ns").isNull || col("c_ns") <= col("s_ns"), 1L)
+            .when(col("p_ns").isNull || col("p_ns") <= col("c_ns"), 2L)
+            .otherwise(3L))
+        .orderBy("user_id")
+    },
+
+    // COHORT RETENTION: users grouped by their first-seen day, counted
+    // on each later active day as a (cohort_day, day_offset) matrix —
+    // the standard growth-analytics rollup. Scale shape: one (user)
+    // aggregate for cohort assignment, one distinct (user, day) pass,
+    // then a broadcast-able join back (cohorts frame is |users| rows)
+    // and a tiny (cohort, offset) aggregate. All integer day math.
+    "e15_cohort" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
     },
 
     // Sliding (hopping) windows via the BUILT-IN window(col, duration,
@@ -392,6 +434,29 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "e14_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS s_ns,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS c_ns,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p_ns
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, s_ns, c_ns, p_ns,
+        |  CAST(CASE WHEN s_ns IS NULL THEN 0
+        |       WHEN c_ns IS NULL OR c_ns <= s_ns THEN 1
+        |       WHEN p_ns IS NULL OR p_ns <= c_ns THEN 2
+        |       ELSE 3 END AS BIGINT) AS stage
+        |FROM f ORDER BY user_id""".stripMargin,
+    "e15_cohort" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // $DayNs AS day FROM events),
+         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+         |active AS (SELECT DISTINCT user_id, day FROM e)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |  count(*) AS active_users
+         |FROM active JOIN cohort USING (user_id)
+         |GROUP BY cohort_day, day_offset
+         |ORDER BY cohort_day, day_offset""".stripMargin,
     // each event belongs to the window starting at floor(us/slide)*slide
     // and the one slide earlier (duration = 2 x slide); us arithmetic is
     // exact on both engines

@@ -118,12 +118,19 @@ object SimilarityQueries {
       val M = 4
       val SubDim = 16
       val C = 10
-      val v = vecsNorm(s, dir)
+      // localCheckpoint: cb, the LUT, and the code table all read `sub`,
+      // and the rerank reads `v` twice — without materialization the
+      // normalize + subspace-LSH subtree is re-evaluated per reference
+      // (~3x the corpus work; measured 4.4 s -> ~2 s at sf0.1). Both
+      // frames are corpus-row-sized but narrow; at cluster scale this is
+      // the standard cache-the-codes step of a PQ index build.
+      val v = vecsNorm(s, dir).localCheckpoint()
       val sub = v.select(col("vec_id"),
           posexplode(array((0 until M).map(m =>
             slice(col("e"), m * SubDim + 1, SubDim)): _*)))
         .toDF("vec_id", "m", "sub")
         .withColumn("b", lshBucketN(col("sub"), SubDim))
+        .localCheckpoint()
       val sums = (0 until SubDim).map(d =>
         sum(element_at(col("sub"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
       val cb = sub.groupBy("m", "b")

@@ -132,6 +132,30 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // Language-ID EVALUATION: the t01 heuristic scored against the
+    // table's ground-truth `lang` column as a confusion matrix — the
+    // "how good is the classifier we filter with" step every language-
+    // filtered corpus needs before trusting the filter. One scan + one
+    // tiny (actual, predicted) aggregate. (zh has no stopword list, so
+    // its row shows where mass falls under an unsupported language.)
+    "t11_lang_confusion" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id") +: col("lang") +: langs.map { case (l, ws) =>
+          stopwordHits(toks, ws).cast(LongType).as(s"s_$l")
+        }: _*)
+      val best = greatest(langs.map(l => col(s"s_${l._1}")): _*)
+      val pred = when(best === 0, "unknown")
+        .when(col("s_en") === best, "en")
+        .when(col("s_de") === best, "de")
+        .when(col("s_es") === best, "es")
+        .otherwise("fr")
+      scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -324,6 +348,22 @@ object TextQueries {
         |  FROM tf)
         |SELECT rank, term, n, floor((cov) * 1000000.0 + 0.5) / 1000000.0 AS coverage
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "t11_lang_confusion" -> {
+      val scores = langs.map { case (l, ws) => s"CAST(${sqlHits(ws)} AS BIGINT) AS s_$l" }
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM toks),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+         |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM scored)
+         |SELECT lang, pred_lang, count(*) AS cnt
+         |FROM pred GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    },
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -19,17 +19,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Streaming {
 
-  /** Tumbling-window per-type stats with late-data handling. `events`
-    * must carry a TimestampType `ts` column (use tsFromNanos for the
-    * nanos-bigint shape Tables produces).
+  /** Tumbling- (or, with `slide`, hopping-) window per-type stats with
+    * late-data handling. `events` must carry a TimestampType `ts`
+    * column (use tsFromNanos for the nanos-bigint shape Tables
+    * produces). With a slide each event lands in windowLength/slide
+    * overlapping windows (e12_sliding_window is the batch twin).
     */
   def windowedTypeStats(
       events: DataFrame,
       windowLength: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame =
+      watermarkDelay: String = "2 hours",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("ts"), windowLength))(sl =>
+          window(col("ts"), windowLength, sl)).as("w"),
+        col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))

@@ -413,6 +413,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((10L, "x"), (11L, "y")))
   }
 
+  test("windowedTypeStats with a slide: each event lands in two overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("ts_ns", "event_type", "value")
+      .select(Streaming.tsFromNanos(col("ts_ns")).as("ts"),
+        col("event_type"), col("value"))
+    val agg = Streaming.windowedTypeStats(events, "1 hour", "2 hours",
+      slide = Some("30 minutes"))
+    val ckpt = Files.createTempDirectory("graft-slide-ckpt").toString
+    val sink = "wslide"
+    spark.catalog.dropTempView(sink)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      // one event at 45 min: belongs to the windows starting at 0:00 and
+      // 0:30, and to no other
+      mem.addData((45L * 60 * 1000 * 1000 * 1000, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .select(col("window_start").cast("long"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((0L, 1L), (1800L, 1L)),
+        s"one event must appear in exactly its two overlapping windows; got $got")
+    } finally q.stop()
+  }
+
   test("windowedTypeStats over a MemoryStream: incremental windowed aggs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
