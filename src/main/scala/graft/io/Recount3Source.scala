@@ -14,7 +14,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -291,9 +292,28 @@ object Recount3Source {
 
   private final class R3Scan(files: Seq[R3File], required: StructType,
       sampleKeep: Option[Set[String]], limit: Option[Int] = None)
-      extends Scan with Batch {
+      extends Scan with Batch with SupportsReportPartitioning {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+
+    /** The corpus layout IS a partitioning: every counts file belongs to
+      * exactly one project, and each input partition reports that key
+      * ([[R3Partition.partitionKey]]). Declaring it lets Spark satisfy
+      * `ClusteredDistribution(project_id)` straight from storage (with
+      * spark.sql.sources.v2.bucketing.enabled): a project-keyed
+      * aggregation or storage-partitioned join runs with NO shuffle of
+      * the long rows — at corpus scale that's the difference between a
+      * metadata regroup and exchanging every cell. Only reported when
+      * project_id survives column pruning (the key must be resolvable
+      * against the scan output).
+      */
+    override def outputPartitioning(): Partitioning =
+      if (required.fieldNames.contains("project_id"))
+        new KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("project_id")),
+          files.size)
+      else new UnknownPartitioning(files.size)
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => R3Partition(f.pid, f.path)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
@@ -305,7 +325,11 @@ object Recount3Source {
         limit.fold("")(l => s" limit=$l")
   }
 
-  private final case class R3Partition(pid: String, path: String) extends InputPartition
+  private final case class R3Partition(pid: String, path: String)
+      extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      InternalRow(UTF8String.fromString(pid))
+  }
 
   private final case class R3ReaderFactory(required: StructType,
       sampleKeep: Option[Set[String]], limit: Option[Int] = None)

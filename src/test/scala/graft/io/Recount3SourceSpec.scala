@@ -122,6 +122,28 @@ class Recount3SourceSpec extends SparkSpec {
       Set(("SRP001", 8L), ("SRP002", 3L)))
   }
 
+  test("reported storage partitioning: project-keyed aggregation plans NO shuffle") {
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = read("gene", "SRP001,SRP002").groupBy("project_id").count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage partitioning should satisfy the aggregate's distribution; plan:\n${plan.take(1500)}")
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("SRP001", 8L), ("SRP002", 3L)))
+      // pruning project_id away degrades to unknown partitioning (the
+      // key is no longer resolvable against the scan output) — still
+      // correct, just shuffled
+      val df2 = read("gene", "SRP001,SRP002").groupBy("sample_id").count()
+      assert(df2.collect().map(_.getLong(1)).sum == 11L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("LIMIT pushes into the scan: readers stop after n rows per file") {
     val df = read("gene", "SRP001,SRP002").limit(3)
     val desc = scanDescription(df)
