@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,11 +100,21 @@ object MatrixMarketSource {
 
   private final class MMScanBuilder(paths: Seq[String])
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates with SupportsPushDownLimit {
     private var required: StructType = Schema
     private var countStars: Int = 0
+    private var limit: Option[Int] = None
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+
+    /** PARTIAL limit pushdown (same contract as Recount3Source): each
+      * reader stops decompressing after n entries; Spark applies the
+      * global limit on top.
+      */
+    override def pushLimit(l: Int): Boolean = {
+      limit = Some(l)
+      true
+    }
 
     /** COUNT(*) never touches the file body: the MatrixMarket size
       * header DECLARES nnz (one entry per data line), so a pushed count
@@ -122,17 +132,19 @@ object MatrixMarketSource {
 
     override def build(): Scan =
       if (countStars > 0) new MMCountScan(paths, countStars)
-      else new MMScan(paths, required)
+      else new MMScan(paths, required, limit)
   }
 
-  private final class MMScan(paths: Seq[String], required: StructType)
-      extends Scan with Batch {
+  private final class MMScan(paths: Seq[String], required: StructType,
+      limit: Option[Int] = None) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       paths.map(MMPartition.apply).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MMReaderFactory(required)
+      MMReaderFactory(required, limit)
+    override def description(): String =
+      s"matrixmarket files=${paths.size}" + limit.fold("")(l => s" limit=$l")
   }
 
   /** Pushed-COUNT(*) scan: one row per file holding the header's nnz. */
@@ -170,26 +182,28 @@ object MatrixMarketSource {
 
   private final case class MMPartition(path: String) extends InputPartition
 
-  private final case class MMReaderFactory(required: StructType)
-      extends PartitionReaderFactory {
+  private final case class MMReaderFactory(required: StructType,
+      limit: Option[Int] = None) extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new MMReader(p.asInstanceOf[MMPartition].path, required)
+      new MMReader(p.asInstanceOf[MMPartition].path, required, limit)
   }
 
   /** Streams one file: skips %-comments and the size header, emits one
     * InternalRow per coordinate entry, materializing only the pruned
     * columns.
     */
-  private final class MMReader(path: String, required: StructType)
-      extends PartitionReader[InternalRow] {
+  private final class MMReader(path: String, required: StructType,
+      limit: Option[Int] = None) extends PartitionReader[InternalRow] {
     // index of each required column in the (row, col, value) triple
     private val fieldIdx: Array[Int] =
       required.fields.map(f => Schema.fieldIndex(f.name))
     private val reader = open(path)
     private var headerSkipped = false
+    private var emitted = 0L
     private var current: InternalRow = _
 
     override def next(): Boolean = {
+      if (limit.exists(emitted >= _)) { current = null; return false }
       var line = reader.readLine()
       while (line != null && (line.startsWith("%") || line.trim.isEmpty))
         line = reader.readLine()
@@ -202,6 +216,7 @@ object MatrixMarketSource {
         val p = line.trim.split("\\s+")
         current = InternalRow.fromSeq(
           fieldIdx.toIndexedSeq.map(i => p(i).toLong))
+        emitted += 1 // counts emitted DATA rows only (header skip recurses)
         true
       }
     }

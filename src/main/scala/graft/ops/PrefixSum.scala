@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed exclusive prefix sum over a long weight column in the
+  * total order of a long id column — the scale-safe form of
+  * `sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`,
+  * which Spark executes as a SINGLE-TASK global sort.
+  *
+  * Two-level shape (p08_pack's plan, audited in PLANS.md):
+  *   1. per-range partial sums — one aggregate over range = id/rangeWidth;
+  *   2. a running offset over the tiny |ranges|-row frame (one task),
+  *      broadcast back;
+  *   3. within-range cumulative sums, each window partition bounded at
+  *      rangeWidth ids.
+  * rangeWidth is chosen so both |ranges| and the per-range row count fit
+  * a task; a third level generalizes to any corpus.
+  *
+  * Ids need not be dense — ranges are id-value buckets, not row counts —
+  * but the offset is defined by id ORDER, so ties on (id) within a range
+  * fold in id order only if ids are unique (callers use unique keys).
+  */
+object PrefixSum {
+
+  /** Adds `offsetCol` = total weight of all rows with a smaller id. */
+  def exclusiveOffsets(df: DataFrame, idCol: String, weightCol: String,
+      rangeWidth: Long, offsetCol: String = "off"): DataFrame = {
+    val withRange = df.withColumn("__rng", floor(col(idCol) / rangeWidth).cast(LongType))
+    val wr = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRange.groupBy("__rng").agg(sum(weightCol).as("__rt"))
+      .withColumn("__roff", coalesce(sum(col("__rt")).over(wr), lit(0L)))
+      .select("__rng", "__roff")
+    val ww = Window.partitionBy("__rng").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withRange.join(broadcast(offsets), "__rng")
+      .withColumn(offsetCol,
+        col("__roff") + coalesce(sum(col(weightCol)).over(ww), lit(0L)))
+      .drop("__rng", "__roff")
+  }
+
+  /** [[exclusiveOffsets]] plus a budget shard id (offset / budget) —
+    * the sequence-packing assignment.
+    */
+  def packedShards(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, rangeWidth: Long): DataFrame =
+    exclusiveOffsets(df, idCol, weightCol, rangeWidth)
+      .withColumn("shard", floor(col("off") / budget).cast(LongType))
+
+  /** The single-window reference semantics (kept for spec equivalence —
+    * NOT the scale path).
+    */
+  private[graft] def naiveOffsets(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
+    val w = Window.orderBy(idCol).rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("off", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+  }
+
+  /** Column form of the shard id for callers composing manually. */
+  def shardOf(off: Column, budget: Long): Column =
+    floor(off / budget).cast(LongType)
+}

@@ -166,22 +166,11 @@ object PipelineQueries {
     // sized so both |ranges| and R fit a task; a third level covers any
     // corpus. All-integer arithmetic — exact on both engines.
     "p08_pack" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val B = 4096L // tokens per shard
-      val R = 500L  // docs per prefix-sum range
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("tokens"))
-        .withColumn("rng", floor(col("doc_id") / R).cast(LongType))
-      val wr = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy("rng").agg(sum("tokens").as("rt"))
-        .withColumn("roff", coalesce(sum(col("rt")).over(wr), lit(0L)))
-        .select("rng", "roff")
-      val ww = Window.partitionBy("rng").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs.join(broadcast(offsets), "rng")
-        .withColumn("off", col("roff") + coalesce(sum(col("tokens")).over(ww), lit(0L)))
-        .select(col("doc_id"), col("tokens"), col("off"),
-          floor(col("off") / B).cast(LongType).as("shard"))
+      graft.ops.PrefixSum
+        .packedShards(docs, "doc_id", "tokens", budget = 4096L, rangeWidth = 500L)
+        .select("doc_id", "tokens", "off", "shard")
         .orderBy("doc_id")
     },
 

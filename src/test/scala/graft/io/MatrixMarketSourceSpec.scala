@@ -47,6 +47,17 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(scans == Seq(Seq("value")), s"pruned read schema; got $scans")
   }
 
+  test("LIMIT pushes into the scan: the reader stops decompressing early") {
+    val df = spark.read.format("matrixmarket").load(mmPath).limit(2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.exists(_.contains("limit=2")), s"pushed limit in scan; got $scans")
+    assert(df.collect().length == 2)
+    // a limit above the row count still returns everything
+    assert(spark.read.format("matrixmarket").load(mmPath).limit(99).count() == 5L)
+  }
+
   test("COUNT(*) answers from the nnz header without scanning the body") {
     val df = spark.read.format("matrixmarket").load(mmPath).groupBy().count()
     // recursive walk: AQE wrappers hide subtrees from a plain collect
