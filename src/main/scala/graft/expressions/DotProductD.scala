@@ -75,5 +75,7 @@ object GraftFunctions {
       "graft_kmv",
       exprs => KmvDistinct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => FingerprintExpr(exprs(0)), "built-in")
   }
 }

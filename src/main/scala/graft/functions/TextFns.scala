@@ -117,9 +117,22 @@ object TextFns {
   /** Rolling polynomial fingerprint over characters:
     * fold(acc=0; acc = (acc*31 + ascii(char)) % 1e9+7). Sequential fold =>
     * deterministic and identical to the DuckDB list_reduce mirror.
+    *
+    * Evaluated by the native expression
+    * [[graft.expressions.FingerprintExpr]] (one primitive loop over the
+    * UTF-8 bytes; ASCII contract, same as the oracle). The HOF
+    * composition below allocated a single-char UTF8String per CHARACTER
+    * and ran an interpreted lambda per element — an allocation per byte
+    * of corpus. Equivalence pinned by FingerprintExprSpec.
     */
   val FpMod: Long = 1000000007L
   def fingerprint(c: Column): Column =
+    call_function("graft_fingerprint", c)
+
+  /** The built-in HOF composition fingerprint replaces (kept as the
+    * property-tested reference).
+    */
+  def fingerprintBuiltin(c: Column): Column =
     aggregate(
       split(c, ""),
       lit(0L),
