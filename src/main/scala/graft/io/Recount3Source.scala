@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -60,6 +60,13 @@ final class Recount3Source extends TableProvider with DataSourceRegister {
 }
 
 object Recount3Source {
+  /** Test instrumentation: the project ids the most recent R3Scan
+    * actually planned partitions for (AFTER any runtime filtering) —
+    * how Recount3SourceSpec observes dynamic file pruning, which is
+    * invisible in the planning-time description string.
+    */
+  @volatile private[io] var lastPlannedFiles: Seq[String] = Nil
+
 
   val Schema: StructType = StructType(Seq(
     StructField("project_id", StringType, nullable = false),
@@ -292,9 +299,31 @@ object Recount3Source {
 
   private final class R3Scan(files: Seq[R3File], required: StructType,
       sampleKeep: Option[Set[String]], limit: Option[Int] = None)
-      extends Scan with Batch with SupportsReportPartitioning {
+      extends Scan with Batch with SupportsReportPartitioning
+      with SupportsRuntimeFiltering {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+
+    /** RUNTIME file pruning (the DataSourceV2 dynamic-partition-pruning
+      * hook): when this scan joins a filtered dimension on project_id,
+      * Spark executes the dim side first and hands the observed key set
+      * here BEFORE planInputPartitions — whole files for projects the
+      * join cannot match are never opened. This is the same
+      * whole-file-skip the static pushed filter does, driven by values
+      * known only at runtime.
+      */
+    private var runtimeFiles: Seq[R3File] = files
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("project_id"))
+    override def filter(filters: Array[Filter]): Unit =
+      filters.foreach {
+        case EqualTo("project_id", v: String) =>
+          runtimeFiles = runtimeFiles.filter(_.pid == v)
+        case In("project_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+          val keep = vs.map(_.asInstanceOf[String]).toSet
+          runtimeFiles = runtimeFiles.filter(f => keep(f.pid))
+        case _ => ()
+      }
 
     /** The corpus layout IS a partitioning: every counts file belongs to
       * exactly one project, and each input partition reports that key
@@ -314,8 +343,10 @@ object Recount3Source {
             .identity("project_id")),
           files.size)
       else new UnknownPartitioning(files.size)
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => R3Partition(f.pid, f.path)).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      Recount3Source.lastPlannedFiles = runtimeFiles.map(_.pid)
+      runtimeFiles.map(f => R3Partition(f.pid, f.path)).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       R3ReaderFactory(required, sampleKeep, limit)
     // surfaced in explain() so specs (and users) can see the pruning

@@ -30,8 +30,36 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Engine selection with a convergence budget: run [[minLabel]] (the
+    * cheap-per-round engine, ideal for the shallow components near-dup
+    * graphs produce) for at most `diameterBudget` rounds; if the
+    * labels have not stabilized by then the graph is DEEP and the
+    * remaining distance-to-fixpoint is unbounded in the diameter, so
+    * restart on [[alternatingStar]] (O(log) rounds regardless of
+    * shape). The budget wastes at most `diameterBudget` cheap rounds
+    * before switching — the price of not needing to know the diameter
+    * up front, which at 100 TB nobody does.
+    */
+  def auto(pairs: DataFrame, diameterBudget: Int = 8): (DataFrame, Int) = {
+    val capped = pairs.persist()
+    try {
+      minLabelBounded(capped, diameterBudget) match {
+        case Some((labels, rounds)) => (labels, rounds)
+        case None =>
+          val (labels, starRounds) = alternatingStar(capped)
+          (labels, diameterBudget + starRounds)
+      }
+    } finally { capped.unpersist(); () }
+  }
+
   /** Min-label propagation; returns (labels, rounds). */
-  def minLabel(pairs: DataFrame): (DataFrame, Int) = {
+  def minLabel(pairs: DataFrame): (DataFrame, Int) =
+    minLabelBounded(pairs, Int.MaxValue).get
+
+  /** [[minLabel]] that gives up (None) after `maxRounds` un-converged
+    * rounds — the primitive [[auto]] builds on.
+    */
+  private def minLabelBounded(pairs: DataFrame, maxRounds: Int): Option[(DataFrame, Int)] = {
     val pr = pairs.toDF("src", "dst")
     val edges = pr
       .union(pr.select(col("dst"), col("src")))
@@ -42,7 +70,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var rounds = 0
     var done = false
-    while (!done) {
+    while (!done && rounds < maxRounds) {
       rounds += 1
       val nmin = edges
         .join(labels.select(col("doc_id").as("src"), col("label").as("slabel")), "src")
@@ -56,7 +84,8 @@ object ConnectedComponents {
       labels = upd.select(col("doc_id"), col("nl").as("label"))
     }
     edges.unpersist()
-    (labels.select(col("doc_id"), col("label").as("cluster_id")), rounds)
+    if (done) Some((labels.select(col("doc_id"), col("label").as("cluster_id")), rounds))
+    else None
   }
 
   /** Alternating small-star/large-star; returns (labels, rounds) where a

@@ -122,6 +122,31 @@ class Recount3SourceSpec extends SparkSpec {
       Set(("SRP001", 8L), ("SRP002", 3L)))
   }
 
+  test("runtime filtering: a join against a filtered dim prunes whole files dynamically") {
+    // dim carries ONE project; the scan must only plan that project's
+    // file once the runtime filter from the join arrives
+    import spark.implicits._
+    // the dim must be a REAL relation (a local Seq constant-folds its
+    // filter away and DPP sees no selective predicate to key on)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-rf-dim").toString
+    Seq(("SRP002", "keep"), ("SRP999", "drop")).toDF("project_id", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("tag") === "keep") // the selective predicate DPP keys on
+    val fact = read("gene", "SRP001,SRP002")
+    Recount3Source.lastPlannedFiles = Nil
+    val joined = fact.join(dim, "project_id")
+      .groupBy("project_id").count()
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("SRP002", 3L)))
+    // the executed plan carries the injected dynamic filter
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression runtime filter on the scan")
+    val planned = Recount3Source.lastPlannedFiles
+    assert(planned == Seq("SRP002"),
+      s"runtime filter should prune to the joined project's file; planned $planned")
+  }
+
   test("reported storage partitioning: project-keyed aggregation plans NO shuffle") {
     val key = "spark.sql.sources.v2.bucketing.enabled"
     val prev = spark.conf.getOption(key)

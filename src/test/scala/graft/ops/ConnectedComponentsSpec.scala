@@ -64,4 +64,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelsOf(ConnectedComponents.minLabel(df)._1) == expected)
     assert(labelsOf(ConnectedComponents.alternatingStar(df)._1) == expected)
   }
+
+  test("auto: shallow graphs stay on min-label, deep graphs fall back to the star engine") {
+    // shallow: two triangles — converges inside any budget, cheap engine
+    val shallow = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    val (sl, sRounds) = ConnectedComponents.auto(shallow, diameterBudget = 8)
+    assert(labelsOf(sl) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(sRounds <= 8, s"shallow graph must not trigger the fallback; rounds $sRounds")
+
+    // deep: a 48-node chain under a budget of 4 — min-label cannot
+    // converge, auto must switch engines and still produce exact labels
+    val chain = (0L until 47L).map(i => (i, i + 1)).toDF("src", "dst")
+    val expected = (0L to 47L).map(_ -> 0L).toMap
+    val (dl, dRounds) = ConnectedComponents.auto(chain, diameterBudget = 4)
+    assert(labelsOf(dl) == expected)
+    assert(dRounds > 4, s"deep graph must have paid the budget then switched; rounds $dRounds")
+  }
 }
