@@ -193,6 +193,42 @@ object PipelineQueries {
         .orderBy("source", "rn")
     },
 
+    // The WHOLE training-data pipeline as one oracle row — every stage
+    // is an operator already pinned on its own (t10 normalize, quality
+    // gate, p06 chunking, p07 chunk dedup, p08 packing), composed the
+    // way a real corpus job materializes its manifest: normalize ->
+    // keep docs >= 40 clean tokens -> 64/48 chunk windows over the
+    // NORMALIZED text -> content-hash chunk dedup (min keeper) ->
+    // two-level prefix-sum packing of survivors into 4096-token shards.
+    // Pinning the COMPOSITION catches stage-boundary bugs (schema
+    // drift, ordering assumptions) the per-stage oracles can't.
+    "p10_pipeline" -> { (s, dir) =>
+      val W = 64
+      val S = 48
+      val norm = regexp_replace(
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")), " +", " ")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(norm, " ").as("t"))
+        .filter(size(col("t")) >= 40)
+      val chunks = docs
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(S))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / S).cast(LongType).as("chunk_id"),
+          least(lit(W), size(col("t")) - col("start") + 1).cast(LongType).as("chunk_tokens"),
+          concat_ws(" ", slice(col("t"), col("start"), lit(W))).as("chunk"))
+      val kept = chunks
+        .groupBy(sha2(col("chunk"), 256).as("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"), col("chunk_tokens"))).as("kept"))
+        .select(col("kept.doc_id").as("doc_id"), col("kept.chunk_id").as("chunk_id"),
+          col("kept.chunk_tokens").as("chunk_tokens"))
+        .withColumn("key", col("doc_id") * 1024 + col("chunk_id"))
+      graft.ops.PrefixSum
+        .packedShards(kept, "key", "chunk_tokens", budget = 4096L, rangeWidth = 16384L)
+        .select("doc_id", "chunk_id", "chunk_tokens", "off", "shard")
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Deterministic stratified sampling: stratum = words-bucket, each
     // stratum kept at its own rate via an md5-derived bucket of doc_id —
     // reproducible across runs/retries/cluster sizes (rand() is not),
@@ -346,6 +382,37 @@ object PipelineQueries {
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INT) AS rn
         |  FROM h)
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    "p10_pipeline" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |      ' +', ' ', 'g') AS norm
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM n),
+        |f AS (SELECT doc_id, t FROM toks WHERE len(t) >= 40),
+        |st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start FROM f),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |    CAST(least(64, len(t) - start + 1) AS BIGINT) AS chunk_tokens,
+        |    array_to_string(t[start : start + 63], ' ') AS chunk
+        |  FROM st),
+        |kept AS (
+        |  SELECT min({'doc_id': doc_id, 'chunk_id': chunk_id,
+        |              'chunk_tokens': chunk_tokens}) AS k
+        |  FROM chunks GROUP BY sha256(chunk)),
+        |keyed AS (
+        |  SELECT k.doc_id AS doc_id, k.chunk_id AS chunk_id,
+        |    k.chunk_tokens AS chunk_tokens,
+        |    k.doc_id * 1024 + k.chunk_id AS key
+        |  FROM kept),
+        |o AS (
+        |  SELECT doc_id, chunk_id, chunk_tokens,
+        |    CAST(coalesce(sum(chunk_tokens) OVER (ORDER BY key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM keyed)
+        |SELECT doc_id, chunk_id, chunk_tokens, off, CAST(off // 4096 AS BIGINT) AS shard
+        |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
     "p03_stratified_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -169,6 +169,41 @@ class Recount3SourceSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join: two recount3 sides join on project_id with NO shuffle") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force a non-broadcast join so the exchange question is real
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = read("gene", "SRP001,SRP002")
+        .groupBy("project_id").agg(sum("value").as("total"))
+      val b = read("gene", "SRP001,SRP002")
+        .groupBy("project_id").agg(count(lit(1)).as("n"))
+      val joined = a.join(b, "project_id").orderBy("project_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the presentation sort's range exchange is expected; the join and
+      // both aggregations must run on the storage partitioning
+      val shuffles = plan.split("\n").count(l =>
+        l.contains("Exchange") && !l.contains("rangepartitioning"))
+      assert(shuffles == 0,
+        s"join + aggs should ride the reported partitioning; plan:\n${plan.take(2000)}")
+      val rows = joined.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // same answer as the wide loader path computes independently
+      val expected = read("gene", "SRP001,SRP002")
+        .groupBy("project_id")
+        .agg(sum("value").as("total"), count(lit(1)).as("n"))
+        .orderBy("project_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == expected, s"join result wrong: $rows vs $expected")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("LIMIT pushes into the scan: readers stop after n rows per file") {
     val df = read("gene", "SRP001,SRP002").limit(3)
     val desc = scanDescription(df)
