@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.LongType
   * Ids need not be dense — ranges are id-value buckets, not row counts —
   * but the offset is defined by id ORDER, so ties on (id) within a range
   * fold in id order only if ids are unique (callers use unique keys).
+  *
+  * The input is read TWICE (per-range totals + the main pass): callers
+  * whose input is an expensive derived chain should materialize it
+  * first (cache / localCheckpoint), or the offsets branch re-evaluates
+  * the chain — p10_pipeline's plan audit caught exactly that.
   */
 object PrefixSum {
 

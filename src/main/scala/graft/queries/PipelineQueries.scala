@@ -223,6 +223,11 @@ object PipelineQueries {
         .select(col("kept.doc_id").as("doc_id"), col("kept.chunk_id").as("chunk_id"),
           col("kept.chunk_tokens").as("chunk_tokens"))
         .withColumn("key", col("doc_id") * 1024 + col("chunk_id"))
+        // materialize before packing: the prefix sum reads its input
+        // twice (range totals + the main pass) and would otherwise
+        // re-run the whole normalize/chunk/dedup chain for the tiny
+        // offsets side (PLANS.md caught the second scan)
+        .localCheckpoint()
       graft.ops.PrefixSum
         .packedShards(kept, "key", "chunk_tokens", budget = 4096L, rangeWidth = 16384L)
         .select("doc_id", "chunk_id", "chunk_tokens", "off", "shard")
