@@ -165,6 +165,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN EVALUATION: recall@3 of the sign-LSH tier against the exact
+    // brute-force answer — the metric every approximate index reports,
+    // as an oracle row (the t11 pattern applied to similarity). Both
+    // inputs are the already-pinned s01/s02 queries, so this also pins
+    // their COMPOSITION; hits counts the per-query overlap of the two
+    // top-3 sets. Bucket collisions make some queries lose neighbors —
+    // that loss is exactly what this row measures and freezes.
+    "s06_lsh_recall" -> { (s, dir) =>
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("s02_lsh_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.intersect(approx)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round6(col("hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+
     // IVF-style top-k: coarse quantizer = per-label spherical centroids
     // (elementwise decimal-exact mean of normalized vectors), probe the
     // best centroid, search only that cluster. At scale: centroids are a
@@ -273,6 +295,37 @@ object SimilarityQueries {
            |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
       },
+      "s06_lsh_recall" ->
+        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |ex_scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ex_top AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ex_scored) WHERE r <= 3),
+           |b AS (
+           |  SELECT vec_id, e, $bucketExpr AS bucket
+           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+           |ap_scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM b q JOIN b c
+           |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ap_top AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ap_scored) WHERE r <= 3),
+           |hit AS (
+           |  SELECT query_id, count(*) AS hits FROM (
+           |    SELECT * FROM ex_top INTERSECT SELECT * FROM ap_top)
+           |  GROUP BY query_id),
+           |ex_n AS (SELECT query_id, count(*) AS n_exact FROM ex_top GROUP BY query_id)
+           |SELECT query_id, n_exact, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM ex_n LEFT JOIN hit USING (query_id)
+           |ORDER BY query_id""".stripMargin,
       "s05_pq_topk" -> {
         val subBucket = (0 until LshPlanes).map { j =>
           s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "sub", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"

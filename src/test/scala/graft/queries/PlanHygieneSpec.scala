@@ -31,10 +31,12 @@ class PlanHygieneSpec extends SparkSpec {
   //   s04      - SQ8 candidate stage: broadcast 10-query probe scanned
   //              against the quantized codes (the compression tier IS a
   //              full-scan-over-codes design; pruning tiers are s02/s03)
+  //   s06      - recall evaluation composes s01 (the documented
+  //              brute-force baseline) as its exact side
   private val nestedLoopByDesign =
     Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
-      "s03_ivf_topk", "s04_sq8_topk")
+      "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
