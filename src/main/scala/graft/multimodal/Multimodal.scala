@@ -114,22 +114,21 @@ object Multimodal {
     */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
     val cells = w * h
-    val out = new Array[Float](cells)
+    // accumulate in DOUBLE, divide, cast to float once — the same
+    // mirrorability rule as decodeStub (float += per step would be
+    // unreproducible in the m04 oracle's sequential list_reduce fold)
+    val acc = new Array[Double](cells)
     val counts = new Array[Int](cells)
     val n = math.max(payload.length, 1)
     var i = 0
     while (i < payload.length) {
       val cell = (i.toLong * cells / n).toInt
-      out(cell) += (payload(i) & 0xff) / 255.0f
+      acc(cell) += (payload(i) & 0xff) / 255.0
       counts(cell) += 1
       i += 1
     }
-    var c = 0
-    while (c < cells) {
-      if (counts(c) > 0) out(c) /= counts(c)
-      c += 1
-    }
-    out
+    Array.tabulate(cells)(c =>
+      if (counts(c) > 0) (acc(c) / counts(c)).toFloat else 0.0f)
   }
 
   /** Resize as the same per-partition batch transform as

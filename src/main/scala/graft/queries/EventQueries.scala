@@ -184,6 +184,24 @@ object EventQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Multimodal RESIZE as an oracle row (was spec-only): the
+    // mapPartitions batch resample pooled into a fixed 4x4 grid, long
+    // format. The stub's byte math — per cell, a sequential
+    // double-fold of ord/255 then one float cast — is replayed exactly
+    // by the oracle's list_reduce (the m03 contract); the grid cell of
+    // byte i is integer math on both engines.
+    "m04_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.fromStrings(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal
+        .resize(media.as[graft.multimodal.Multimodal.MediaRow], 4, 4)
+        .toDF()
+        .select(col("media_id"), posexplode(col("pixels")).as(Seq("cell", "px")))
+        .select(col("media_id"), col("cell").cast(LongType).as("cell"), col("px"))
+        .orderBy("media_id", "cell")
+    },
+
     // Sessionization via Spark's BUILT-IN session_window aggregation —
     // the third engine path for sessions beside e01's window-function
     // form and Streaming.sessionize's keyed state: one shuffle on
@@ -434,6 +452,23 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // cell membership: byte i (0-based) lands in cell (i*16) // n; the
+    // per-cell average folds sequentially in byte order (ASCII corpus:
+    // ord(char) == byte) and casts to REAL once, matching the stub
+    "m04_resize" ->
+      """WITH cells AS (SELECT unnest(range(0, 16)) AS cell),
+        |px AS (
+        |  SELECT doc_id AS media_id, cell,
+        |    list_filter(range(1, length(text) + 1),
+        |      i -> ((i - 1) * 16) // length(text) = cell) AS idx,
+        |    text
+        |  FROM documents, cells)
+        |SELECT media_id, CAST(cell AS BIGINT) AS cell,
+        |  CAST(CASE WHEN len(idx) = 0 THEN 0.0
+        |       ELSE list_reduce(list_prepend(0.0, list_transform(idx,
+        |              i -> ord(text[i]) / 255.0)), (a, x) -> a + x) / len(idx)
+        |  END AS REAL) AS px
+        |FROM px ORDER BY media_id, cell""".stripMargin,
     "e14_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
