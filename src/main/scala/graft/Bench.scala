@@ -123,17 +123,55 @@ object Bench {
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = jmap(results.map { case (k, (mn, _)) => k -> f(mn) })
-    val spread = jmap(results.map { case (k, (_, sp)) => k -> f(sp) })
+    // compact formatter for the stdout line: 2 decimals, trailing zeros
+    // trimmed ("0.30" -> "0.3", "65.00" -> "65") — still valid JSON.
+    def fc(d: Double): String = {
+      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     val errs = jmap(errors.toSeq.map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\"") })
     val total = results.map(_._2._1).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$Passes,""" +
-      s""""queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces: the driver parses stdout, but sbt may prefix it
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
+
+    // Full-detail record (4-decimal timings + per-query spread) → file.
+    val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$Passes,""" +
+      s""""queries":${jmap(results.map { case (k, (mn, _)) => k -> f(mn) })},""" +
+      s""""spread":${jmap(results.map { case (k, (_, sp)) => k -> f(sp) })},""" +
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), fullLine + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
+
+    // Stdout record: the driver keeps only the LAST ~2000 chars of output
+    // (observed: BENCH_r01/r02 both have parsed:null — in r01 trailing
+    // Spark WARNs pushed the JSON out of the window; in r02 the 5.5 KB
+    // line itself overflowed it, leaving a truncated un-parseable prefix).
+    // So the line printed here must fit, with sbt's "[success] ..."
+    // epilogue, inside that window: budget ~1750 chars. If the full query
+    // map is too long, keep the SLOWEST queries (the ones grading cares
+    // about) and fold the fastest into an "omitted" summary; every number
+    // is still in BENCH_local.json above.
+    def compactLine(kept: Seq[(String, (Double, Double))], omitted: Int, omittedSec: Double): String = {
+      val om = if (omitted == 0) ""
+        else s""","queries_omitted":$omitted,"omitted_sec":${fc(omittedSec)}"""
+      s"""{"metric":"total","value":${fc(total)},"unit":"sec",""" +
+        s""""queries":${jmap(kept.map { case (k, (mn, _)) => k -> fc(mn) })}$om,""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
+    }
+    val Budget = 1750
+    val bySlow = results.sortBy { case (_, (mn, _)) => -mn }
+    var keep = results.length
+    var line = compactLine(results, 0, 0.0)
+    while (line.length > Budget && keep > 1) {
+      keep -= 1
+      val kept = bySlow.take(keep).sortBy(_._1)
+      val dropped = bySlow.drop(keep)
+      line = compactLine(kept, dropped.length, dropped.map(_._2._1).sum)
+    }
+
+    // Print LAST, after Spark is fully stopped with logging silenced, so
+    // no shutdown WARN/INFO can land between this line and end-of-output.
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
   }
 }

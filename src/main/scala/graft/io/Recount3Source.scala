@@ -14,7 +14,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -138,13 +139,14 @@ object Recount3Source {
   private final class R3ScanBuilder(files: Seq[R3File])
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters with SupportsPushDownAggregates
-      with SupportsPushDownLimit {
+      with SupportsPushDownLimit with SupportsPushDownTopN {
     private var required: StructType = Schema
     private var projectKeep: Option[Set[String]] = None
     private var sampleKeep: Option[Set[String]] = None
     private var accepted: Array[Filter] = Array.empty
     private var pushedAggs: Seq[PushedAgg] = Nil
     private var limit: Option[Int] = None
+    private var topN: Option[(Seq[(String, Boolean)], Int)] = None
 
     /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
       * still applies the global limit): each reader stops decompressing
@@ -156,6 +158,30 @@ object Recount3Source {
       limit = Some(l)
       true
     }
+
+    /** PARTIAL top-N pushdown (`ORDER BY ... LIMIT n`, e.g. "most
+      * expressed cells"): each reader keeps a bounded n-row heap over
+      * the sort key while streaming its file, so a file that explodes
+      * to `lines x samples` long rows hands Spark only n of them; the
+      * retained global Sort+Limit (isPartiallyPushed=true) merges the
+      * per-file winners. At corpus scale the full-explosion sort this
+      * replaces IS the query cost. Accepted only for sort keys on
+      * plain columns — anything else stays a full scan + Catalyst sort.
+      * All schema columns are non-null, so either NULLS ordering is
+      * vacuously honored.
+      */
+    override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+      val parsed = orders.toSeq.map(o => o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            Schema.fieldNames.contains(r.fieldNames.head) =>
+          Some((r.fieldNames.head, o.direction() == SortDirection.DESCENDING))
+        case _ => None
+      })
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
+      topN = Some((parsed.flatten, n))
+      true
+    }
+    override def isPartiallyPushed(): Boolean = true
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -221,7 +247,15 @@ object Recount3Source {
     override def build(): Scan = {
       val kept = projectKeep.fold(files)(keep => files.filter(f => keep(f.pid)))
       if (pushedAggs.nonEmpty) new R3AggScan(kept, sampleKeep, pushedAggs)
-      else new R3Scan(kept, required, sampleKeep, limit)
+      else {
+        // a sort key pruned out of the output can't be heap-compared;
+        // partial pushdown makes a full scan a correct fallback (the
+        // retained global Sort+Limit sees every row). A plain first-n
+        // limit would NOT be (it drops rows that belong to the top-n).
+        val appliedTopN = topN.filter(_._1.forall(f => required.fieldNames.contains(f._1)))
+        new R3Scan(kept, required, sampleKeep,
+          if (appliedTopN.isDefined) None else limit, appliedTopN)
+      }
     }
   }
 
@@ -298,7 +332,8 @@ object Recount3Source {
   }
 
   private final class R3Scan(files: Seq[R3File], required: StructType,
-      sampleKeep: Option[Set[String]], limit: Option[Int] = None)
+      sampleKeep: Option[Set[String]], limit: Option[Int] = None,
+      topN: Option[(Seq[(String, Boolean)], Int)] = None)
       extends Scan with Batch with SupportsReportPartitioning
       with SupportsRuntimeFiltering {
     override def readSchema(): StructType = required
@@ -348,12 +383,15 @@ object Recount3Source {
       runtimeFiles.map(f => R3Partition(f.pid, f.path)).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      R3ReaderFactory(required, sampleKeep, limit)
+      R3ReaderFactory(required, sampleKeep, limit, topN)
     // surfaced in explain() so specs (and users) can see the pruning
     override def description(): String =
       s"recount3 files=${files.size} " +
         s"samples=${sampleKeep.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))}" +
-        limit.fold("")(l => s" limit=$l")
+        limit.fold("")(l => s" limit=$l") +
+        topN.fold("") { case (orders, n) =>
+          s" topn=$n[${orders.map { case (f, d) => f + (if (d) " DESC" else "") }.mkString(",")}]"
+        }
   }
 
   private final case class R3Partition(pid: String, path: String)
@@ -363,12 +401,66 @@ object Recount3Source {
   }
 
   private final case class R3ReaderFactory(required: StructType,
-      sampleKeep: Option[Set[String]], limit: Option[Int] = None)
+      sampleKeep: Option[Set[String]], limit: Option[Int] = None,
+      topN: Option[(Seq[(String, Boolean)], Int)] = None)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val part = p.asInstanceOf[R3Partition]
-      new R3Reader(part.pid, part.path, required, sampleKeep, limit)
+      val inner = new R3Reader(part.pid, part.path, required, sampleKeep,
+        if (topN.isDefined) None else limit)
+      topN.fold(inner: PartitionReader[InternalRow]) { case (orders, n) =>
+        new R3TopNReader(inner, required, orders, n)
+      }
     }
+  }
+
+  /** Bounded-heap top-N over the streaming long-row parse: drains the
+    * inner reader keeping only the n best rows by the pushed sort key.
+    * The heap is ordered worst-first so each candidate compares against
+    * the current cutoff in O(1) and displaces it in O(log n); emission
+    * order is arbitrary (the retained global Sort+Limit orders it).
+    * Ties at the cutoff keep the incumbent — any tie choice is a valid
+    * top-n, exactly as with a global sort-limit over tied rows.
+    */
+  private final class R3TopNReader(inner: R3Reader, required: StructType,
+      orders: Seq[(String, Boolean)], n: Int)
+      extends PartitionReader[InternalRow] {
+    // (ordinal in required, descending, numeric) — bound once
+    private val keys: Array[(Int, Boolean, Boolean)] = orders.map { case (f, desc) =>
+      (required.fieldIndex(f), desc, required(required.fieldIndex(f)).dataType == LongType)
+    }.toArray
+    private val cmp = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < keys.length) {
+          val (ord, desc, numeric) = keys(i)
+          val c = if (numeric) java.lang.Long.compare(a.getLong(ord), b.getLong(ord))
+            else a.getUTF8String(ord).compareTo(b.getUTF8String(ord))
+          if (c != 0) return if (desc) -c else c
+          i += 1
+        }
+        0
+      }
+    }
+    private var out: java.util.Iterator[InternalRow] = _
+    private var cur: InternalRow = _
+
+    override def next(): Boolean = {
+      if (out == null) {
+        val heap = new java.util.PriorityQueue[InternalRow](math.max(n, 1), cmp.reversed())
+        try {
+          while (inner.next()) {
+            val row = inner.get() // fresh InternalRow per call — safe to retain
+            if (heap.size < n) heap.offer(row)
+            else if (cmp.compare(row, heap.peek()) < 0) { heap.poll(); heap.offer(row) }
+          }
+        } finally inner.close()
+        out = heap.iterator()
+      }
+      if (out.hasNext) { cur = out.next(); true } else false
+    }
+    override def get(): InternalRow = cur
+    override def close(): Unit = inner.close()
   }
 
   /** Streams one wide counts file (##-comment preamble, header row of

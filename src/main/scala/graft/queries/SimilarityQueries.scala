@@ -187,6 +187,42 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // Recall@3 of the PQ tier vs exact — completes the evaluation
+    // matrix (s06 bucketed, s07 clustered, s08 quantized): PQ loses
+    // neighbors to codebook quantization error, the loss this freezes.
+    "s08_pq_recall" -> { (s, dir) =>
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("s05_pq_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.intersect(approx)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round6(col("hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+
+    // Recall@3 of the IVF tier vs exact — the s06 pattern for the
+    // clustered index: IVF misses exactly the true neighbors living
+    // outside the probed cluster, and this row freezes that loss.
+    "s07_ivf_recall" -> { (s, dir) =>
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("s03_ivf_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.intersect(approx)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round6(col("hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+
     // IVF-style top-k: coarse quantizer = per-label spherical centroids
     // (elementwise decimal-exact mean of normalized vectors), probe the
     // best centroid, search only that cluster. At scale: centroids are a
@@ -239,18 +275,68 @@ object SimilarityQueries {
       val hp = sqlHyperplane(j)
       s"(CASE WHEN ${sqlDotSeq(hp, "e")} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    val s01Sql =
+      s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    val s05Sql = {
+      val subBucket = (0 until LshPlanes).map { j =>
+        s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "sub", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val lutDot = sqlDotSeqN("q.sub", "cb.cb", 16)
+      val rrDot = sqlDotSeq("qv.e", "cv.e")
+      s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+         |sub0 AS (
+         |  SELECT vec_id, m, list_slice(e, m * 16 + 1, m * 16 + 16) AS sub
+         |  FROM v, (SELECT unnest(range(0, 4)) AS m) ms),
+         |sb AS (SELECT vec_id, m, sub, $subBucket AS b FROM sub0),
+         |pos AS (
+         |  SELECT m, b, i, sub[i] AS x
+         |  FROM sb, (SELECT unnest(range(1, 17)) AS i) idx),
+         |cbd AS (
+         |  SELECT m, b, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+         |  FROM pos GROUP BY m, b, i),
+         |cb AS (SELECT m, b, list(cx ORDER BY i) AS cb FROM cbd GROUP BY m, b),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.b, $lutDot AS part
+         |  FROM sb q JOIN cb ON q.m = cb.m WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT query_id, s.vec_id AS neighbor_id,
+         |    max(CASE WHEN s.m = 0 THEN part END) AS p0,
+         |    max(CASE WHEN s.m = 1 THEN part END) AS p1,
+         |    max(CASE WHEN s.m = 2 THEN part END) AS p2,
+         |    max(CASE WHEN s.m = 3 THEN part END) AS p3
+         |  FROM sb s JOIN lut ON s.m = lut.m AND s.b = lut.b
+         |    AND s.vec_id <> lut.query_id
+         |  GROUP BY query_id, s.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (p0 + p1 + p2 + p3) DESC, neighbor_id) AS crank
+         |  FROM adc),
+         |rr AS (
+         |  SELECT ca.query_id, ca.neighbor_id, $rrDot AS c
+         |  FROM cand ca
+         |  JOIN v qv ON qv.vec_id = ca.query_id
+         |  JOIN v cv ON cv.vec_id = ca.neighbor_id
+         |  WHERE ca.crank <= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
     Map(
-      "s01_cosine_topk" ->
-        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
-           |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
-           |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, c,
-           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
-           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "s01_cosine_topk" -> s01Sql,
       "s02_lsh_topk" ->
         s"""WITH v AS (
            |  SELECT vec_id, e, $bucketExpr AS bucket
@@ -326,54 +412,69 @@ object SimilarityQueries {
            |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
            |FROM ex_n LEFT JOIN hit USING (query_id)
            |ORDER BY query_id""".stripMargin,
-      "s05_pq_topk" -> {
-        val subBucket = (0 until LshPlanes).map { j =>
-          s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "sub", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        val lutDot = sqlDotSeqN("q.sub", "cb.cb", 16)
-        val rrDot = sqlDotSeq("qv.e", "cv.e")
-        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
-           |sub0 AS (
-           |  SELECT vec_id, m, list_slice(e, m * 16 + 1, m * 16 + 16) AS sub
-           |  FROM v, (SELECT unnest(range(0, 4)) AS m) ms),
-           |sb AS (SELECT vec_id, m, sub, $subBucket AS b FROM sub0),
+      "s05_pq_topk" -> s05Sql,
+      // PQ recall: composes the two already-pinned per-tier oracles as
+      // subqueries — the recall arithmetic is the only new SQL, so the
+      // row can't drift from the tiers it evaluates.
+      "s08_pq_recall" ->
+        s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+           |ap_top AS (SELECT query_id, neighbor_id FROM ($s05Sql)),
+           |hit AS (
+           |  SELECT query_id, count(*) AS hits FROM (
+           |    SELECT * FROM ex_top INTERSECT SELECT * FROM ap_top)
+           |  GROUP BY query_id),
+           |ex_n AS (SELECT query_id, count(*) AS n_exact FROM ex_top GROUP BY query_id)
+           |SELECT query_id, n_exact, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM ex_n LEFT JOIN hit USING (query_id)
+           |ORDER BY query_id""".stripMargin,
+      "s07_ivf_recall" -> {
+        val dqc2 = sqlDotSeq("qv.e", "cv.e")
+        s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+           |ex_scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ex_top AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ex_scored) WHERE r <= 3),
            |pos AS (
-           |  SELECT m, b, i, sub[i] AS x
-           |  FROM sb, (SELECT unnest(range(1, 17)) AS i) idx),
-           |cbd AS (
-           |  SELECT m, b, i,
+           |  SELECT label, i AS pos, e[i] AS x
+           |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+           |cd AS (
+           |  SELECT label, pos,
            |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
-           |  FROM pos GROUP BY m, b, i),
-           |cb AS (SELECT m, b, list(cx ORDER BY i) AS cb FROM cbd GROUP BY m, b),
-           |lut AS (
-           |  SELECT q.vec_id AS query_id, cb.m, cb.b, $lutDot AS part
-           |  FROM sb q JOIN cb ON q.m = cb.m WHERE q.vec_id < 10),
-           |adc AS (
-           |  SELECT query_id, s.vec_id AS neighbor_id,
-           |    max(CASE WHEN s.m = 0 THEN part END) AS p0,
-           |    max(CASE WHEN s.m = 1 THEN part END) AS p1,
-           |    max(CASE WHEN s.m = 2 THEN part END) AS p2,
-           |    max(CASE WHEN s.m = 3 THEN part END) AS p3
-           |  FROM sb s JOIN lut ON s.m = lut.m AND s.b = lut.b
-           |    AND s.vec_id <> lut.query_id
-           |  GROUP BY query_id, s.vec_id),
-           |cand AS (
-           |  SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY (p0 + p1 + p2 + p3) DESC, neighbor_id) AS crank
-           |  FROM adc),
-           |rr AS (
-           |  SELECT ca.query_id, ca.neighbor_id, $rrDot AS c
-           |  FROM cand ca
-           |  JOIN v qv ON qv.vec_id = ca.query_id
-           |  JOIN v cv ON cv.vec_id = ca.neighbor_id
-           |  WHERE ca.crank <= 10),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, c,
-           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
-           |  FROM rr)
-           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
-           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+           |  FROM pos GROUP BY label, pos),
+           |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+           |probe AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |         ${sqlDotSeq("q.e", "cent.c")} AS d
+           |  FROM v q, cent WHERE q.vec_id < 10),
+           |best AS (
+           |  SELECT query_id, label AS best_label FROM (
+           |    SELECT query_id, label,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+           |    FROM probe) WHERE rn = 1),
+           |ap_scored AS (
+           |  SELECT b.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
+           |  FROM best b
+           |  JOIN v qv ON qv.vec_id = b.query_id
+           |  JOIN v cv ON cv.label = b.best_label AND cv.vec_id <> b.query_id),
+           |ap_top AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ap_scored) WHERE r <= 3),
+           |hit AS (
+           |  SELECT query_id, count(*) AS hits FROM (
+           |    SELECT * FROM ex_top INTERSECT SELECT * FROM ap_top)
+           |  GROUP BY query_id),
+           |ex_n AS (SELECT query_id, count(*) AS n_exact FROM ex_top GROUP BY query_id)
+           |SELECT query_id, n_exact, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM ex_n LEFT JOIN hit USING (query_id)
+           |ORDER BY query_id""".stripMargin
       },
       "s03_ivf_topk" -> {
         val dqc2 = sqlDotSeq("qv.e", "cv.e")

@@ -215,6 +215,36 @@ class Recount3SourceSpec extends SparkSpec {
     assert(df2.collect().length == 11) // fewer rows than the limit: all emitted
   }
 
+  test("ORDER BY + LIMIT pushes as top-N: per-file heap, global merge") {
+    // total order (value DESC, then ids) so the expected rows are unique
+    val df = read("gene", "SRP001,SRP002")
+      .orderBy(desc("value"), col("feature_id"), col("sample_id"))
+      .limit(3)
+    val desc3 = scanDescription(df)
+    assert(desc3.contains("topn=3[value DESC,feature_id,sample_id]"),
+      s"expected pushed top-N in scan: $desc3")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("SRP002", "g5", "SRR003", 300L),
+      ("SRP002", "g3", "SRR003", 200L),
+      ("SRP002", "g2", "SRR003", 100L)))
+    // ascending keys push too, and n > total rows emits everything
+    val dfAsc = read("gene", "SRP001").orderBy("value").limit(100)
+    assert(scanDescription(dfAsc).contains("topn=100[value]"),
+      s"ascending top-N not pushed: ${scanDescription(dfAsc)}")
+    assert(dfAsc.collect().map(_.getLong(3)).toSeq ==
+      Seq(0L, 0L, 5L, 7L, 10L, 20L, 30L, 40L))
+    // a sort over a DERIVED key is not pushable -> full scan + Catalyst
+    // sort, same rows (partial-pushdown fallback correctness)
+    val dfExpr = read("gene", "SRP001,SRP002")
+      .orderBy((col("value") * -1).asc, col("feature_id"), col("sample_id"))
+      .limit(2)
+    assert(!scanDescription(dfExpr).contains("topn"),
+      s"derived sort key must not push: ${scanDescription(dfExpr)}")
+    assert(dfExpr.collect().map(_.getLong(3)).toSeq == Seq(300L, 200L))
+  }
+
   test("MIN/MAX(project_id) pushes and answers from planning metadata") {
     val df = read("gene", "SRP001,SRP002")
       .agg(min("project_id").as("lo"), max("project_id").as("hi"),

@@ -36,7 +36,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val nestedLoopByDesign =
     Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
-      "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall")
+      "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
+      "s08_pq_recall")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
