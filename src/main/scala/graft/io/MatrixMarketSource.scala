@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,10 +101,12 @@ object MatrixMarketSource {
 
   private final class MMScanBuilder(paths: Seq[String])
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates with SupportsPushDownLimit {
+      with SupportsPushDownAggregates with SupportsPushDownLimit
+      with SupportsPushDownTopN {
     private var required: StructType = Schema
     private var countStars: Int = 0
     private var limit: Option[Int] = None
+    private var topN: Option[(Seq[(String, Boolean)], Int)] = None
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
 
@@ -115,6 +118,26 @@ object MatrixMarketSource {
       limit = Some(l)
       true
     }
+
+    /** PARTIAL top-N pushdown, same contract as Recount3Source:
+      * `ORDER BY ... LIMIT n` (the "heaviest junction cells" query)
+      * keeps a bounded n-row heap per file instead of emitting every
+      * coordinate entry; the retained global Sort+Limit merges. All
+      * three columns are non-null longs, so any NULLS ordering is
+      * vacuously honored.
+      */
+    override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+      val parsed = orders.toSeq.map(o => o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            Schema.fieldNames.contains(r.fieldNames.head) =>
+          Some((r.fieldNames.head, o.direction() == SortDirection.DESCENDING))
+        case _ => None
+      })
+      if (parsed.isEmpty || parsed.exists(_.isEmpty)) return false
+      topN = Some((parsed.flatten, n))
+      true
+    }
+    override def isPartiallyPushed(): Boolean = true
 
     /** COUNT(*) never touches the file body: the MatrixMarket size
       * header DECLARES nnz (one entry per data line), so a pushed count
@@ -132,19 +155,30 @@ object MatrixMarketSource {
 
     override def build(): Scan =
       if (countStars > 0) new MMCountScan(paths, countStars)
-      else new MMScan(paths, required, limit)
+      else {
+        // a pruned-out sort key can't be heap-compared; the full scan is
+        // a correct partial-pushdown fallback (a plain first-n limit
+        // would not be — it drops rows that belong to the top-n)
+        val appliedTopN = topN.filter(_._1.forall(f => required.fieldNames.contains(f._1)))
+        new MMScan(paths, required,
+          if (appliedTopN.isDefined) None else limit, appliedTopN)
+      }
   }
 
   private final class MMScan(paths: Seq[String], required: StructType,
-      limit: Option[Int] = None) extends Scan with Batch {
+      limit: Option[Int] = None,
+      topN: Option[(Seq[(String, Boolean)], Int)] = None) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       paths.map(MMPartition.apply).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MMReaderFactory(required, limit)
+      MMReaderFactory(required, limit, topN)
     override def description(): String =
-      s"matrixmarket files=${paths.size}" + limit.fold("")(l => s" limit=$l")
+      s"matrixmarket files=${paths.size}" + limit.fold("")(l => s" limit=$l") +
+        topN.fold("") { case (orders, n) =>
+          s" topn=$n[${orders.map { case (f, d) => f + (if (d) " DESC" else "") }.mkString(",")}]"
+        }
   }
 
   /** Pushed-COUNT(*) scan: one row per file holding the header's nnz. */
@@ -183,9 +217,16 @@ object MatrixMarketSource {
   private final case class MMPartition(path: String) extends InputPartition
 
   private final case class MMReaderFactory(required: StructType,
-      limit: Option[Int] = None) extends PartitionReaderFactory {
-    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new MMReader(p.asInstanceOf[MMPartition].path, required, limit)
+      limit: Option[Int] = None,
+      topN: Option[(Seq[(String, Boolean)], Int)] = None)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val inner = new MMReader(p.asInstanceOf[MMPartition].path, required,
+        if (topN.isDefined) None else limit)
+      topN.fold(inner: PartitionReader[InternalRow]) { case (orders, n) =>
+        new TopNRowReader(inner, required, orders, n)
+      }
+    }
   }
 
   /** Streams one file: skips %-comments and the size header, emits one

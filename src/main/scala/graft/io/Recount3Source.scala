@@ -409,58 +409,9 @@ object Recount3Source {
       val inner = new R3Reader(part.pid, part.path, required, sampleKeep,
         if (topN.isDefined) None else limit)
       topN.fold(inner: PartitionReader[InternalRow]) { case (orders, n) =>
-        new R3TopNReader(inner, required, orders, n)
+        new TopNRowReader(inner, required, orders, n)
       }
     }
-  }
-
-  /** Bounded-heap top-N over the streaming long-row parse: drains the
-    * inner reader keeping only the n best rows by the pushed sort key.
-    * The heap is ordered worst-first so each candidate compares against
-    * the current cutoff in O(1) and displaces it in O(log n); emission
-    * order is arbitrary (the retained global Sort+Limit orders it).
-    * Ties at the cutoff keep the incumbent — any tie choice is a valid
-    * top-n, exactly as with a global sort-limit over tied rows.
-    */
-  private final class R3TopNReader(inner: R3Reader, required: StructType,
-      orders: Seq[(String, Boolean)], n: Int)
-      extends PartitionReader[InternalRow] {
-    // (ordinal in required, descending, numeric) — bound once
-    private val keys: Array[(Int, Boolean, Boolean)] = orders.map { case (f, desc) =>
-      (required.fieldIndex(f), desc, required(required.fieldIndex(f)).dataType == LongType)
-    }.toArray
-    private val cmp = new java.util.Comparator[InternalRow] {
-      override def compare(a: InternalRow, b: InternalRow): Int = {
-        var i = 0
-        while (i < keys.length) {
-          val (ord, desc, numeric) = keys(i)
-          val c = if (numeric) java.lang.Long.compare(a.getLong(ord), b.getLong(ord))
-            else a.getUTF8String(ord).compareTo(b.getUTF8String(ord))
-          if (c != 0) return if (desc) -c else c
-          i += 1
-        }
-        0
-      }
-    }
-    private var out: java.util.Iterator[InternalRow] = _
-    private var cur: InternalRow = _
-
-    override def next(): Boolean = {
-      if (out == null) {
-        val heap = new java.util.PriorityQueue[InternalRow](math.max(n, 1), cmp.reversed())
-        try {
-          while (inner.next()) {
-            val row = inner.get() // fresh InternalRow per call — safe to retain
-            if (heap.size < n) heap.offer(row)
-            else if (cmp.compare(row, heap.peek()) < 0) { heap.poll(); heap.offer(row) }
-          }
-        } finally inner.close()
-        out = heap.iterator()
-      }
-      if (out.hasNext) { cur = out.next(); true } else false
-    }
-    override def get(): InternalRow = cur
-    override def close(): Unit = inner.close()
   }
 
   /** Streams one wide counts file (##-comment preamble, header row of

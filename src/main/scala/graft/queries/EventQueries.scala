@@ -134,6 +134,29 @@ object EventQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // 7-day rolling distinct users per day (DAU / WAU / stickiness).
+    // COUNT(DISTINCT) over a sliding frame is not a window function, and
+    // a day-range theta-join plans as a nested loop — the scale shape is
+    // the e12 generator trick: each distinct (day, user) pair replicates
+    // to the 7 trailing-window days it contributes to, then ONE
+    // equi-shuffle aggregation per metric. 7x the DISTINCT-pair volume
+    // (not raw events) shuffles; no sort, no NLJ. Days appear iff they
+    // have events (inner join on the DAU side).
+    "e16_rolling_users" -> { (s, dir) =>
+      val du = Tables(s, dir, "events")
+        .select(expr(s"ts div $DayNs").as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("user_id"))
+        .select((col("day") + col("off")).as("day2"), col("user_id"))
+        .groupBy("day2").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("day2"))
+        .select(col("day"), col("dau"), col("wau"),
+          round6(col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // Sliding (hopping) windows via the BUILT-IN window(col, duration,
     // slide) generator: 1 h windows every 30 min, so each event lands in
     // duration/slide = 2 overlapping windows (x05/e05 are the tumbling
@@ -492,6 +515,17 @@ object EventQueries {
          |FROM active JOIN cohort USING (user_id)
          |GROUP BY cohort_day, day_offset
          |ORDER BY cohort_day, day_offset""".stripMargin,
+    "e16_rolling_users" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT epoch_ns(ts) // $DayNs AS day, user_id FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+         |ex AS (
+         |  SELECT day + off AS day2, user_id
+         |  FROM du, (SELECT unnest(range(0, 7)) AS off) o),
+         |wau AS (SELECT day2, count(DISTINCT user_id) AS wau FROM ex GROUP BY day2)
+         |SELECT day, dau, wau,
+         |  floor((CAST(dau AS DOUBLE) / wau) * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+         |FROM dau JOIN wau ON day = day2 ORDER BY day""".stripMargin,
     // each event belongs to the window starting at floor(us/slide)*slide
     // and the one slide earlier (duration = 2 x slide); us arithmetic is
     // exact on both engines

@@ -250,6 +250,39 @@ object PipelineQueries {
         .select(col("doc_id"), stratum.as("stratum"), bucket.as("bucket"), rate.as("rate"))
         .filter(col("bucket") < col("rate"))
         .orderBy("doc_id")
+    },
+
+    // CCNet-style corpus split: EXACT quality tertiles (head / middle /
+    // tail) over the whole corpus, composing the pinned t02 scorer.
+    // Exact global rank without the single-task
+    // `row_number() OVER (ORDER BY ...)` window: (quality DESC, doc_id)
+    // packs into one monotone long key — quality is round6'd so
+    // quality*1e6 is an exact integer in [0, 1e6] — and PrefixSum's
+    // two-level range decomposition (p08's packing operator, weight=1)
+    // computes each row's exclusive rank with bounded tasks + one
+    // broadcast of per-range offsets. rangeWidth 2^28 sub-divides each
+    // quality value into 8 doc_id ranges so a quality-heavy mode can't
+    // concentrate a window partition. Tertile cutoffs are exact-integer
+    // ceil(n/3) / ceil(2n/3); n is a bounded driver-side count of the
+    // materialized 2-column score frame (read 3x: count + PrefixSum's
+    // offsets and main passes).
+    "p11_quality_tertiles" -> { (s, dir) =>
+      val scored = TextQueries.queries("t02_quality")(s, dir)
+        .select(col("doc_id"), col("quality"))
+        .localCheckpoint()
+      val n = scored.count()
+      val t1 = (n + 2) / 3
+      val t2 = (2 * n + 2) / 3
+      val key = (lit(1000001L) - round(col("quality") * 1e6).cast(LongType)) *
+        lit(1L << 31) + col("doc_id")
+      graft.ops.PrefixSum.exclusiveOffsets(
+          scored.withColumn("__k", key).withColumn("__w", lit(1L)),
+          "__k", "__w", rangeWidth = 1L << 28)
+        .select(col("doc_id"), col("quality"),
+          when(col("off") < t1, "head")
+            .when(col("off") < t2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     }
   )
 
@@ -427,6 +460,23 @@ object PipelineQueries {
         |r AS (SELECT doc_id, stratum, bucket,
         |        ([10, 25, 50, 100])[stratum + 1] AS rate FROM f)
         |SELECT doc_id, stratum, bucket, CAST(rate AS BIGINT) AS rate
-        |FROM r WHERE bucket < rate ORDER BY doc_id""".stripMargin
+        |FROM r WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    // tertile assignment composes the pinned t02 scorer as a subquery;
+    // the oracle's single global window IS the naive semantics the
+    // two-level PrefixSum rank must reproduce exactly
+    "p11_quality_tertiles" -> {
+      val t02 = TextQueries.oracleSql("t02_quality")
+      s"""WITH f AS (SELECT doc_id, quality FROM ($t02)),
+         |r AS (
+         |  SELECT doc_id, quality,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS off,
+         |    count(*) OVER () AS n
+         |  FROM f)
+         |SELECT doc_id, quality,
+         |  CASE WHEN off < (n + 2) // 3 THEN 'head'
+         |       WHEN off < (2 * n + 2) // 3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
   )
 }

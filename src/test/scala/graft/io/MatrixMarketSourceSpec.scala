@@ -58,6 +58,27 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(spark.read.format("matrixmarket").load(mmPath).limit(99).count() == 5L)
   }
 
+  test("ORDER BY + LIMIT pushes as top-N: per-file heap, global merge") {
+    val df = spark.read.format("matrixmarket").load(mmPath)
+      .orderBy(desc("value"), col("row"), col("col")).limit(2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.exists(_.contains("topn=2[value DESC,row,col]")),
+      s"pushed top-N in scan; got $scans")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 2L, 9L), (1L, 1L, 7L)))
+    // ascending pushes too; n above the row count emits everything
+    val asc = spark.read.format("matrixmarket").load(mmPath)
+      .orderBy("value").limit(99)
+    val ascScans = asc.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(ascScans.exists(_.contains("topn=99[value]")),
+      s"ascending top-N; got $ascScans")
+    assert(asc.collect().map(_.getLong(2)).toSeq == Seq(1L, 2L, 4L, 7L, 9L))
+  }
+
   test("COUNT(*) answers from the nnz header without scanning the body") {
     val df = spark.read.format("matrixmarket").load(mmPath).groupBy().count()
     // recursive walk: AQE wrappers hide subtrees from a plain collect
