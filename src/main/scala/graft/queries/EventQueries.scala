@@ -146,13 +146,17 @@ object EventQueries {
       val du = Tables(s, dir, "events")
         .select(expr(s"ts div $DayNs").as("day"), col("user_id"))
         .distinct()
-      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-      val wau = du
-        .select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("user_id"))
-        .select((col("day") + col("off")).as("day2"), col("user_id"))
-        .groupBy("day2").agg(countDistinct(col("user_id")).as("wau"))
-      dau.join(wau, col("day") === col("day2"))
-        .select(col("day"), col("dau"), col("wau"),
+      // DAU rides the same expansion as the off=0 slice (a conditional
+      // distinct agg), so ONE scan + ONE distinct pass feeds both
+      // metrics — a separate DAU branch re-scanned and re-deduped the
+      // events table. dau > 0 keeps exactly the days that have events.
+      du.select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("user_id"))
+        .select((col("day") + col("off")).as("d"), col("off"), col("user_id"))
+        .groupBy("d")
+        .agg(countDistinct(col("user_id")).as("wau"),
+          countDistinct(when(col("off") === 0L, col("user_id"))).as("dau"))
+        .filter(col("dau") > 0)
+        .select(col("d").as("day"), col("dau"), col("wau"),
           round6(col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
         .orderBy("day")
     },
