@@ -150,12 +150,22 @@ object Bench {
     // map is too long, keep the SLOWEST queries (the ones grading cares
     // about) and fold the fastest into an "omitted" summary; every number
     // is still in BENCH_local.json above.
+    // errors are capped too (4 entries, 60-char messages + an
+    // errors_omitted count): a burst of failures must not overflow the
+    // window and take the whole line down with it — full messages are in
+    // BENCH_local.json
+    val errsCompact = {
+      val kept = errors.toSeq.take(4).map { case (k, v) =>
+        k -> ("\"" + v.take(60).replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\"") }
+      val extra = if (errors.size > 4) Seq("errors_omitted" -> (errors.size - 4).toString) else Nil
+      jmap(kept ++ extra)
+    }
     def compactLine(kept: Seq[(String, (Double, Double))], omitted: Int, omittedSec: Double): String = {
       val om = if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_sec":${fc(omittedSec)}"""
       s"""{"metric":"total","value":${fc(total)},"unit":"sec",""" +
         s""""queries":${jmap(kept.map { case (k, (mn, _)) => k -> fc(mn) })}$om,""" +
-        s""""errors":$errs,"sf":"$sfDir"}"""
+        s""""errors":$errsCompact,"sf":"$sfDir"}"""
     }
     val Budget = 1750
     val bySlow = results.sortBy { case (_, (mn, _)) => -mn }
