@@ -283,6 +283,33 @@ object PipelineQueries {
             .when(col("off") < t2, "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-reweighted source mix (the multilingual/domain
+    // sampling rule: q_s ∝ p_s^α, here α=0.5 — deliberately, because
+    // x^0.5 is IEEE sqrt, CORRECTLY ROUNDED and so engine-identical,
+    // where a general pow is not): per source, its corpus frequency,
+    // its temperature weight, and the boost the reweighting gives it
+    // (>1 for tail sources, <1 for head — the low-resource upsampling
+    // story). Scale shape: ONE source-keyed count shuffle; the
+    // cross-source totals are decimal sums (order-independent, s03's
+    // centroid trick) over the |sources|-row frame via unpartitioned
+    // windows (p04's trick) — applying the weights per-doc would be
+    // p04's broadcast join-back. round6 only at output.
+    "p12_temperature_mix" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window.partitionBy()
+      val counts = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast(DoubleType)).cast(DecimalType(28, 9)))
+      val freq = col("n_docs").cast(DoubleType) /
+        sum(col("n_docs")).over(W).cast(DoubleType)
+      val tw = col("w").cast(DoubleType) / sum(col("w")).over(W).cast(DoubleType)
+      counts
+        .select(col("source"), col("n_docs"),
+          round6(freq).as("freq"),
+          round6(tw).as("temp_weight"),
+          round6(tw / freq).as("boost"))
+        .orderBy("source")
     }
   )
 
@@ -477,6 +504,17 @@ object PipelineQueries {
          |       WHEN off < (2 * n + 2) // 3 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM r ORDER BY doc_id""".stripMargin
-    }
+    },
+    "p12_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,9)) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_docs) AS sn, sum(w) AS sw FROM c)
+        |SELECT source, n_docs,
+        |  floor((CAST(n_docs AS DOUBLE) / CAST(sn AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS freq,
+        |  floor((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS temp_weight,
+        |  floor(((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) / (CAST(n_docs AS DOUBLE) / CAST(sn AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS boost
+        |FROM c, t ORDER BY source""".stripMargin
   )
 }

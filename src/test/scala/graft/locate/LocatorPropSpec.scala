@@ -53,12 +53,14 @@ object LocatorPropSpec extends Properties("Locators") {
       (pids, dtype, ann) =>
         val urls = locator(dtype, pids, ann).urls
         pids.forall { pid =>
-          // own a URL via the dot-delimited filename segment ".{pid}." —
-          // a plain "/{pid}/" match can also catch another project whose
-          // 2-char shard happens to equal this pid
-          val mine = urls.filter(_.contains(s".$pid."))
+          // own a URL via the full "/{shard}/{pid}/" path segment — both
+          // delimiters make it collision-free (a ".{pid}." filename match
+          // is NOT: a random 2-char pid equal to an extension token like
+          // MM/RR/ID/MD matches every project's files — was a ~5%-per-run
+          // flake)
+          val mine = urls.filter(_.contains(s"/${Locators.shard(pid)}/$pid/"))
           mine.length == perProject(dtype) &&
-            mine.forall(_.contains(s"/${Locators.shard(pid)}/$pid/"))
+            mine.forall(_.contains(s".$pid."))
         }
     }
 
