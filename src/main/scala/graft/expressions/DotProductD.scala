@@ -77,5 +77,15 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint", exprs => FingerprintExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom",
+      exprs => BloomAgg(exprs(0), exprs(1), exprs(2), exprs(3)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      // m and k must be integer literals: they fold to constants here
+      exprs => BloomContains(exprs(0), exprs(1), exprs(2),
+        BloomBits.longLit(exprs(3), "m"), BloomBits.longLit(exprs(4), "k").toInt),
+      "built-in")
   }
 }

@@ -358,6 +358,33 @@ object DedupQueries {
         .filter(col("c") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round6(col("c")).as("cos"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // SEMANTIC dedup (SemDeDup shape): confine the quadratic cosine
+    // check to CLUSTERS of a coarse quantizer, then inside each cluster
+    // greedily drop the later (higher vec_id) member of every pair above
+    // the similarity threshold. Cluster key = `label` — the same
+    // deterministic stand-in for a k-means coarse quantizer that s03's
+    // IVF index uses (trained centroids are iteration-order-dependent
+    // and unmirrorable). Output = the dropped vectors with how many
+    // earlier close neighbors condemned them and the strongest one.
+    // Scale shape vs d06's all-pairs baseline: the self-join is EQUI on
+    // the cluster key, so candidate volume is Σ|cluster|² not n² — the
+    // entire point of SemDeDup at 100 TB is choosing enough clusters
+    // that Σ|cluster|² stays linear-ish; the greedy keep-lowest-id rule
+    // needs no iteration (one join + one aggregate, no fixpoint).
+    "d11_semdedup" -> { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), l2normalize(toDouble(col("embedding"))).as("e"))
+      val a = v.as("a")
+      val b = v.as("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.label").as("label"),
+          dotSeq(col("a.e"), col("b.e")).as("c"))
+        .filter(col("c") >= 0.3)
+        .groupBy("vec_id", "label")
+        .agg(count(lit(1)).as("n_close"), round6(max(col("c"))).as("max_cos"))
+        .orderBy("vec_id")
     }
   )
 
@@ -494,6 +521,17 @@ object DedupQueries {
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |WHERE c >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "d11_semdedup" -> {
+      val dab = sqlDotSeq("a.e", "b.e")
+      s"""WITH v AS (SELECT vec_id, label, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_id, b.label AS label, $dab AS c
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_id, label, count(*) AS n_close,
+         |  floor((max(c)) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
+         |FROM pairs WHERE c >= 0.3
+         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
     }
   )
 }

@@ -310,6 +310,103 @@ object PipelineQueries {
           round6(tw).as("temp_weight"),
           round6(tw / freq).as("boost"))
         .orderBy("source")
+    },
+
+    // Deterministic TRAIN/VAL/TEST split — the manifest step every
+    // training corpus needs: assignment is a pure function of doc_id
+    // (md5 bucket 90/5/5), so it is stable under reruns, retries,
+    // cluster resizes, and incremental corpus growth (a doc never
+    // migrates between splits when new data arrives — the property
+    // rand()-based splitting loses). Output = the per-split manifest
+    // summary (docs, tokens, fraction). Scale shape: one scan with the
+    // bucket fused in, one 3-group aggregate; the cross-split total
+    // rides an unpartitioned window over the 3-row frame (p12's trick).
+    "p13_split" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window.partitionBy()
+      val bucket = pmod(h60(col("doc_id").cast(StringType)), lit(100L))
+      val split = when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("toks"),
+          split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(col("split"), col("n_docs"), col("n_tokens"),
+          round6(col("n_docs").cast(DoubleType) /
+            sum(col("n_docs")).over(W).cast(DoubleType)).as("frac"))
+        .orderBy("split")
+    },
+
+    // Temperature mix APPLIED to a token budget — the step after p12's
+    // weights that a real mix config needs: given budget B tokens, each
+    // source's target token share is tw·B and epochs = target/actual is
+    // the repeat factor the sampler runs that source at (>1 = the
+    // low-resource source is seen more than once per pass — the
+    // LLaMA-style "epochs" column). Same determinism stance as p12:
+    // decimal cross-source sums, one fixed IEEE op order, round6 only
+    // at output. Scale shape: ONE source-keyed shuffle carrying two
+    // accumulators (count + token sum); everything after is
+    // |sources|-row arithmetic.
+    "p15_mix_epochs" -> { (s, dir) =>
+      val B = 1000000.0
+      val W = org.apache.spark.sql.expressions.Window.partitionBy()
+      val counts = Tables(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).cast(LongType).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_docs").cast(DoubleType)).cast(DecimalType(28, 9)))
+      val tw = col("w").cast(DoubleType) / sum(col("w")).over(W).cast(DoubleType)
+      counts
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round6(tw).as("temp_weight"),
+          round6(tw * B).as("target_tokens"),
+          round6(tw * B / col("n_tokens").cast(DoubleType)).as("epochs"))
+        .orderBy("source")
+    },
+
+    // BLOOM-FILTER decontamination — p02's benchmark-overlap check
+    // re-run through the native `graft_bloom` aggregate: the benchmark
+    // 3-gram set folds into a FIXED 8 KB bitset (m=2^16 bits, k=3
+    // md5-double-hashed positions) instead of a broadcast of the gram
+    // strings themselves, which is the shape that survives when the
+    // benchmark suite grows to millions of grams — the filter size
+    // never moves, merges are bitwise OR, and the probe is a codegen'd
+    // bit test per candidate gram. Bloom answers are one-sided: no
+    // contaminated gram is ever missed, but collisions overcount, so
+    // the row carries the exact count beside the bloom count and
+    // freezes the measured false-positive inflation per document.
+    // Scale shape: one gram scan builds the bitset (tiny partial/final
+    // agg), one gram scan probes it (1-row broadcast cross join), the
+    // exact side reuses p02's broadcast — no corpus-sized shuffle
+    // anywhere.
+    "p14_bloom_decontam" -> { (s, dir) =>
+      val M = 1L << 16
+      val K = 3
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
+        .withColumn("h1", h60(col("g")))
+        .withColumn("h2", h60(concat(lit("#"), col("g"))))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select("g", "h1", "h2").distinct()
+      val bloom = bench.agg(expr(s"graft_bloom(h1, h2, $M, $K)").as("bits"))
+      val exact = bench.select("g").withColumn("exact_hit", lit(1L))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .crossJoin(broadcast(bloom))
+        .join(broadcast(exact), Seq("g"), "left")
+        .select(col("doc_id"),
+          expr(s"graft_bloom_contains(bits, h1, h2, $M, $K)")
+            .cast(LongType).as("bloom_hit"),
+          coalesce(col("exact_hit"), lit(0L)).as("exact_hit"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("bloom_hit")).as("n_bloom"),
+          sum(col("exact_hit")).as("n_exact"))
+        .select(col("doc_id"), col("n_grams"), col("n_bloom"), col("n_exact"),
+          (col("n_bloom") - col("n_exact")).as("false_pos"),
+          round6(col("n_bloom").cast(DoubleType) / col("n_grams"))
+            .as("bloom_contamination"))
+        .orderBy("doc_id")
     }
   )
 
@@ -515,6 +612,71 @@ object PipelineQueries {
         |  floor((CAST(n_docs AS DOUBLE) / CAST(sn AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS freq,
         |  floor((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS temp_weight,
         |  floor(((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) / (CAST(n_docs AS DOUBLE) / CAST(sn AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS boost
-        |FROM c, t ORDER BY source""".stripMargin
+        |FROM c, t ORDER BY source""".stripMargin,
+    "p13_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 90 THEN 'train'
+        |              WHEN bucket < 95 THEN 'val'
+        |              ELSE 'test' END AS split, toks
+        |  FROM d),
+        |a AS (SELECT split, count(*) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_tokens FROM s GROUP BY split),
+        |t AS (SELECT sum(n_docs) AS tot FROM a)
+        |SELECT split, n_docs, n_tokens,
+        |  floor((CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS frac
+        |FROM a, t ORDER BY split""".stripMargin,
+    "p15_mix_epochs" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |    CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,9)) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS sw FROM c)
+        |SELECT source, n_docs, n_tokens,
+        |  floor((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS temp_weight,
+        |  floor((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS target_tokens,
+        |  floor(((CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000.0) / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS epochs
+        |FROM c, t ORDER BY source""".stripMargin,
+    // the bitset is replayed relationally: bits = the distinct
+    // (h1 + i*h2) mod m positions of the benchmark grams; a candidate
+    // gram bloom-hits iff all k of its positions are in that set —
+    // exactly the native filter's semantics, false positives included
+    "p14_bloom_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks),
+        |hg AS (
+        |  SELECT doc_id, g,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(concat('0x', substr(md5(concat('#', g)), 1, 15)) AS BIGINT) AS h2
+        |  FROM grams),
+        |bench AS (SELECT DISTINCT g, h1, h2 FROM hg WHERE doc_id % 20 = 0),
+        |bits AS (SELECT DISTINCT (h1 + i * h2) % 65536 AS p
+        |         FROM bench, (SELECT unnest(range(0, 3)) AS i) ii),
+        |cand AS (SELECT doc_id, g, h1, h2 FROM hg WHERE doc_id % 20 <> 0),
+        |probe AS (
+        |  SELECT c.doc_id, c.g, count(b.p) AS nset
+        |  FROM (SELECT doc_id, g, (h1 + i * h2) % 65536 AS p
+        |        FROM cand, (SELECT unnest(range(0, 3)) AS i) ii) c
+        |  LEFT JOIN bits b USING (p)
+        |  GROUP BY c.doc_id, c.g),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.nset = 3 THEN 1 ELSE 0 END AS bloom_hit,
+        |    CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        |  FROM probe p LEFT JOIN (SELECT DISTINCT g FROM bench) e USING (g))
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+        |  CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+        |  CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS false_pos,
+        |  floor((CAST(sum(bloom_hit) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS bloom_contamination
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -156,6 +156,30 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     },
 
+    // Hashed LINEAR QUALITY CLASSIFIER — the fastText-shaped filter
+    // (hashing-trick bag-of-words -> linear score -> keep/drop) that
+    // corpus pipelines run after the heuristic gates: bucket =
+    // h60(token) % 64, weight = integer in [-500, 500] derived from
+    // h60('w' || bucket) (a REAL deployment broadcasts trained weights;
+    // the derived table stands in so both engines share it without a
+    // side file — same stance as the PII lexicon). The whole score is
+    // one `aggregate` HOF fold per row — integer arithmetic end to end
+    // (exact on both engines; score = raw/(1000*n) only at output) and
+    // ZERO shuffles: unlike the explode+groupBy shape, at 100 TB this
+    // classifies at parquet-scan speed inside the same stage as the
+    // reading filter.
+    "t12_hash_classifier" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val raw = aggregate(t, lit(0L), (acc, x) =>
+        acc + (h60(concat(lit("w"), (h60(x) % 64).cast(StringType))) % 1001L - 500L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), size(t).cast(LongType).as("n_tokens"), raw.as("raw"))
+        .select(col("doc_id"), col("n_tokens"), col("raw"),
+          round6(col("raw").cast(DoubleType) / (col("n_tokens") * 1000.0)).as("score"),
+          when(col("raw") > 0, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -364,6 +388,19 @@ object TextQueries {
          |FROM pred GROUP BY lang, pred_lang
          |ORDER BY lang, pred_lang""".stripMargin
     },
+    "t12_hash_classifier" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(t, x ->
+        |      (CAST(concat('0x', substr(md5(concat('w', CAST(
+        |         CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64
+        |       AS VARCHAR))), 1, 15)) AS BIGINT) % 1001) - 500)) AS BIGINT) AS raw
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, raw,
+        |  floor((CAST(raw AS DOUBLE) / (n_tokens * 1000.0)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -128,6 +128,31 @@ object Streaming {
     else chunked.dropDuplicates(Seq("chunk_key"))
   }
 
+  /** Streaming DECONTAMINATION: flag each arriving document with how
+    * many of its distinct word-3-grams hit a Bloom bitset of the
+    * benchmark set (p14's filter, stream side). The bitset rides into
+    * the plan as an 8 KB binary LITERAL — no stream-static join, no
+    * state, pure append-mode expressions — which is the point at scale:
+    * the eval-suite index is pushed to every executor once, and a
+    * benchmark refresh is a new literal on query restart. Bloom is
+    * one-sided (no false negatives), so `n_bloom = 0` GUARANTEES the
+    * doc is clean; positives overcount by the FP rate and a batch
+    * exact pass (p02/p14) adjudicates quarantined docs offline.
+    * `m`/`k` must match the bits the [[graft.expressions.BloomAgg]]
+    * build used.
+    */
+  def decontaminateStream(docs: DataFrame, bits: Array[Byte], m: Long, k: Int,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFns._
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val grams = array_distinct(grams3(tokens(col(textCol))))
+    val hits = filter(grams, g => call_function("graft_bloom_contains",
+      lit(bits), h60(g), h60(concat(lit("#"), g)), lit(m), lit(k)))
+    docs
+      .withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("n_bloom", size(hits).cast("long"))
+  }
+
   /** Stream-stream inner join bounded by an event-time interval: right
     * rows join left rows with the same key when `r.ts` falls within
     * `[l.ts - maxLag, l.ts]` (attribution shape: a click joins the views

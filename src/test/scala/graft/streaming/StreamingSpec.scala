@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.dedupNearStream(batch, "text").count() == 3)
   }
 
+  test("decontaminateStream: broadcast bloom flags benchmark grams, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val M = 1L << 12
+    val K = 3
+    // benchmark set -> 8 KB bitset via the native aggregate
+    val bits = Seq("alpha beta gamma delta", "one two three four").toDF("text")
+      .select(explode(array_distinct(graft.functions.TextFns.grams3(
+        graft.functions.TextFns.tokens(col("text"))))).as("g"))
+      .distinct()
+      .select(call_function("graft_md5p60", col("g")).as("h1"),
+        call_function("graft_md5p60", concat(lit("#"), col("g"))).as("h2"))
+      .agg(expr(s"graft_bloom(h1, h2, $M, $K)").as("bits"))
+      .head().getAs[Array[Byte]](0)
+    val contaminated = "alpha beta gamma delta extra" // 2 of 3 grams are benchmark grams
+    val clean = "zz yy xx ww vv"
+    val mem = MemoryStream[(Long, String)]
+    val out = Streaming.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), bits, M, K)
+    val ckpt = Files.createTempDirectory("graft-decontam-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, contaminated), (2L, clean))
+      q.processAllAvailable()
+      val got = spark.table("decontam").select("doc_id", "n_grams", "n_bloom")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // no false negatives: both true benchmark grams flagged
+      assert(got(1L)._1 == 3L && got(1L)._2 >= 2L, s"contaminated doc under-flagged: $got")
+      assert(got(2L)._2 == 0L, s"clean doc false-flagged: $got")
+      // stateless transform: batch twin returns the identical flags
+      val batch = Streaming.decontaminateStream(
+        Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text"), bits, M, K)
+        .select("doc_id", "n_grams", "n_bloom")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch == got, s"stream/batch divergence: $batch vs $got")
+    } finally q.stop()
+  }
+
   test("dedupChunksStream: chunk-level dedup across documents and triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
