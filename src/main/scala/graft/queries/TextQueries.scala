@@ -180,6 +180,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Classifier EVALUATION — t12's learned-filter verdicts scored
+    // against the t02 heuristic gate (quality >= 0.5) as a 2x2
+    // confusion matrix: the "does the cheap classifier agree with the
+    // expensive heuristic" calibration step run before swapping one
+    // for the other in a filtering pipeline (the t11 pattern applied
+    // to quality filtering). Both inputs are already-pinned queries,
+    // so the row also pins their composition. One corpus-keyed join +
+    // a 4-row aggregate.
+    "t13_classifier_eval" -> { (s, dir) =>
+      val gate = queries("t02_quality")(s, dir)
+        .select(col("doc_id"),
+          when(col("quality") >= 0.5, "good").otherwise("poor").as("heuristic"))
+      val pred = queries("t12_hash_classifier")(s, dir)
+        .select(col("doc_id"), col("verdict"))
+      gate.join(pred, "doc_id")
+        .groupBy("heuristic", "verdict")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("heuristic", "verdict")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -296,6 +316,36 @@ object TextQueries {
   private def sqlHits(ws: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
+  // hoisted so t13's confusion matrix composes the pinned t02/t12 SQL
+  // as subqueries (the s08 pattern: the evaluation row cannot drift
+  // from the queries it evaluates)
+  private lazy val T02Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS awl,
+       |    CAST(${sqlHits(StopEn)} AS DOUBLE) / len(t) AS sr
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+       |SELECT doc_id, chars, words, floor((awl) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+       |  floor((sr) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       |  floor((0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr) * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  private val T12Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(t, x ->
+      |      (CAST(concat('0x', substr(md5(concat('w', CAST(
+      |         CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64
+      |       AS VARCHAR))), 1, 15)) AS BIGINT) % 1001) - 500)) AS BIGINT) AS raw
+      |  FROM toks)
+      |SELECT doc_id, n_tokens, raw,
+      |  floor((CAST(raw AS DOUBLE) / (n_tokens * 1000.0)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+      |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t01_langid" -> {
       val scores = langs.map { case (l, ws) => s"CAST(${sqlHits(ws)} AS BIGINT) AS s_$l" }
@@ -309,18 +359,7 @@ object TextQueries {
          |       ELSE 'fr' END AS pred_lang
          |FROM scored ORDER BY doc_id""".stripMargin
     },
-    "t02_quality" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS chars,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS awl,
-         |    CAST(${sqlHits(StopEn)} AS DOUBLE) / len(t) AS sr
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
-         |SELECT doc_id, chars, words, floor((awl) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
-         |  floor((sr) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
-         |  floor((0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr) * 1000000.0 + 0.5) / 1000000.0 AS quality
-         |FROM f ORDER BY doc_id""".stripMargin,
+    "t02_quality" -> T02Sql,
     "t03_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -388,19 +427,17 @@ object TextQueries {
          |FROM pred GROUP BY lang, pred_lang
          |ORDER BY lang, pred_lang""".stripMargin
     },
-    "t12_hash_classifier" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sc AS (
-        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-        |    CAST(list_sum(list_transform(t, x ->
-        |      (CAST(concat('0x', substr(md5(concat('w', CAST(
-        |         CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64
-        |       AS VARCHAR))), 1, 15)) AS BIGINT) % 1001) - 500)) AS BIGINT) AS raw
-        |  FROM toks)
-        |SELECT doc_id, n_tokens, raw,
-        |  floor((CAST(raw AS DOUBLE) / (n_tokens * 1000.0)) * 1000000.0 + 0.5) / 1000000.0 AS score,
-        |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS verdict
-        |FROM sc ORDER BY doc_id""".stripMargin,
+    "t12_hash_classifier" -> T12Sql,
+    "t13_classifier_eval" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN quality >= 0.5 THEN 'good' ELSE 'poor' END AS heuristic
+         |  FROM ($T02Sql)),
+         |p AS (SELECT doc_id, verdict FROM ($T12Sql))
+         |SELECT heuristic, verdict, count(*) AS cnt
+         |FROM h JOIN p USING (doc_id)
+         |GROUP BY heuristic, verdict
+         |ORDER BY heuristic, verdict""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** SHUFFLE BUDGETS: every query's static exchange count, pinned.
+  *
+  * The scale documentation (COVERAGE.md, PLANS.md) makes per-query
+  * claims like "one content-hash shuffle" or "map-only before the
+  * presentation sort" — this suite turns each claim into a regression
+  * guard: a refactor that sneaks an extra Exchange into a plan (a lost
+  * broadcast, a window where an aggregate belonged, a dropped
+  * partitioning reuse) fails here instead of surfacing as a silent
+  * slowdown at 100× the data. Budgets are the measured counts at pin
+  * time; counts BELOW budget are fine (improvements tighten the pin).
+  *
+  * Counting is on `executedPlan`'s string form: exchanges are inserted
+  * by EnsureRequirements during preparation (sparkPlan predates them),
+  * and AQE's wrapper hides children from collect(). `BroadcastExchange`
+  * is deliberately NOT counted — broadcasts are the cheap alternative
+  * the budgets push plans toward; the word boundary excludes it.
+  * Every budget INCLUDES the query's final presentation sort (one
+  * range exchange), so "1" means zero compute shuffles.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // run a real streaming query inside the builder — not a static plan
+  private val excluded =
+    Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
+      "e13_stream_kmv")
+
+  // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
+  // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose
+  // signature-build exchanges print inside the reused subtree
+  private val budget: Map[String, Int] = Map(
+    "d01_dedup_exact" -> 2, "d02_minhash_pairs" -> 16,
+    "d03_minhash_lsh" -> 15, "d04_simhash" -> 2,
+    "d05_ngram_jaccard" -> 15, "d06_embed_neardup" -> 1,
+    "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
+    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 15,
+    "d11_semdedup" -> 2,
+    "e01_sessionize" -> 2, "e02_running_window" -> 2,
+    "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
+    "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
+    "e08_topk_plan" -> 2, "e09_session_window" -> 2,
+    "e12_sliding_window" -> 2, "e14_funnel" -> 2,
+    "e15_cohort" -> 4, "e16_rolling_users" -> 4,
+    "m01_binary_meta" -> 1, "m02_frame_sample" -> 1,
+    "m03_media_neardup" -> 1, "m04_resize" -> 1,
+    "p01_clean_corpus" -> 2, "p02_contamination" -> 3,
+    "p03_stratified_sample" -> 1, "p04_source_mix" -> 3,
+    "p05_redact" -> 1, "p06_chunk" -> 1,
+    "p07_chunk_dedup" -> 2, "p08_pack" -> 4,
+    "p09_sample_topk" -> 2, "p10_pipeline" -> 4,
+    "p11_quality_tertiles" -> 4, "p12_temperature_mix" -> 2,
+    "p13_split" -> 2, "p14_bloom_decontam" -> 5,
+    "p15_mix_epochs" -> 2,
+    "q01_filter_isin" -> 1, "q02_group_count" -> 2,
+    "q03_distinct" -> 2, "q04_nway_join_agg" -> 2,
+    "q05_align_outer" -> 3, "q06_union_missing" -> 1,
+    "q07_regexp_extract" -> 1, "q08_split_unnest" -> 1,
+    "q09_cond_scale" -> 1, "q10_value_replace" -> 1,
+    "q11_pivot" -> 3, "q12_union_distinct" -> 2,
+    "q13_factor_join" -> 1, "q14_numeric_cols" -> 1,
+    "s01_cosine_topk" -> 2, "s02_lsh_topk" -> 2,
+    "s03_ivf_topk" -> 3, "s04_sq8_topk" -> 4,
+    "s05_pq_topk" -> 4, "s06_lsh_recall" -> 8,
+    "s07_ivf_recall" -> 9, "s08_pq_recall" -> 10,
+    "t01_langid" -> 1, "t02_quality" -> 1,
+    "t03_tokens" -> 1, "t04_fingerprint" -> 1,
+    "t05_tfidf" -> 5, "t06_repetition" -> 3,
+    "t07_vocab" -> 2, "t08_bm25" -> 5,
+    "t09_countmin" -> 3, "t10_normalize" -> 1,
+    "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
+    "t13_classifier_eval" -> 2,
+    "x01_semi_join" -> 1, "x02_anti_join" -> 1,
+    "x03_intersect" -> 2, "x04_except" -> 2,
+    "x05_window_tumbling" -> 2, "x06_date_parts" -> 2,
+    "x07_from_json" -> 1, "x08_rollup" -> 2,
+    "x09_histogram" -> 2, "x10_unpivot" -> 1,
+    "x11_skew_salted_join" -> 3, "x12_percentiles" -> 2,
+    "x13_asof_join" -> 3, "x14_range_join" -> 3,
+    "x15_cube" -> 2, "x16_distinct_counts" -> 3,
+    "x17_kmv_distinct" -> 2, "x18_zorder" -> 1)
+
+  private def shuffles(planStr: String): Int =
+    raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size
+
+  test("every query stays within its pinned shuffle budget") {
+    val names = SparkEntry.queries.keySet -- excluded
+    val unpinned = names -- budget.keySet
+    assert(unpinned.isEmpty,
+      s"new queries need a measured shuffle budget (tools.ShuffleCount): $unpinned")
+    val over = names.toSeq.sorted.flatMap { name =>
+      val n = shuffles(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString)
+      if (n > budget(name)) Some(s"$name: $n > ${budget(name)}") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded:\n${over.mkString("\n")}")
+  }
+}
