@@ -407,6 +407,56 @@ object PipelineQueries {
           round6(col("n_bloom").cast(DoubleType) / col("n_grams"))
             .as("bloom_contamination"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic EPOCH SHUFFLE — the global training-order
+    // permutation + sharding step that turns a curated corpus into the
+    // files a data loader streams: rank-hash rh = h60("e1:" + doc_id)
+    // is a pure function of (epoch seed, doc id), so the permutation is
+    // reproducible under reruns/retries/cluster resizes (rand() loses
+    // all three) and changing the seed prefix re-deals a fresh
+    // independent order per epoch. shard = rh mod N picks the output
+    // file; seq = rank of rh within the shard is the within-file read
+    // order. Scale shape: ONE hash shuffle on shard + a within-shard
+    // sort — exactly what `repartition(shard).sortWithinPartitions(rh)`
+    // does on the write path, no global sort anywhere; N here is 8 for
+    // the oracle, in production it tracks the target file count
+    // (thousands), so per-shard sorts stay bounded and parallel.
+    "p16_epoch_shuffle" -> { (s, dir) =>
+      val NShards = 8L
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("rh", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          h60(concat(lit("e1:"), col("doc_id").cast(StringType))).as("rh"))
+        .withColumn("shard", pmod(col("rh"), lit(NShards)))
+        .select(col("shard"), row_number().over(W).cast(LongType).as("seq"),
+          col("doc_id"))
+        .orderBy("shard", "seq")
+    },
+
+    // Sequence-LENGTH BUCKETING — the batch-shape step after packing's
+    // alternative: group docs into fixed 64-token-wide length buckets
+    // (cap = toks rounded up to the next multiple of 64) and freeze
+    // each bucket's padding bill if every doc pads to its bucket cap.
+    // pad_waste is the fraction of batch tokens that would be padding —
+    // the number a batching strategy is judged by (vs ~50%+ when
+    // padding everything to the global max; p08_pack is the 0-waste
+    // end of the spectrum). Integer-only bucket arithmetic (DIV), so
+    // the boundaries replay exactly cross-engine. Scale shape: one
+    // scan with the bucket fused in, one tiny aggregate over
+    // |buckets| groups.
+    "p17_length_buckets" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast(LongType).as("toks"))
+        .withColumn("cap", greatest(lit(64L), expr("((toks + 63) DIV 64) * 64")))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(col("cap"), col("n_docs"), col("n_tokens"),
+          (col("cap") * col("n_docs")).as("padded_tokens"),
+          round6(lit(1.0) - col("n_tokens").cast(DoubleType) /
+            (col("cap") * col("n_docs")).cast(DoubleType)).as("pad_waste"))
+        .orderBy("cap")
     }
   )
 
@@ -677,6 +727,24 @@ object PipelineQueries {
         |  CAST(sum(exact_hit) AS BIGINT) AS n_exact,
         |  CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS false_pos,
         |  floor((CAST(sum(bloom_hit) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS bloom_contamination
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p16_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('e1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS rh
+        |  FROM documents),
+        |s AS (SELECT doc_id, rh, rh % 8 AS shard FROM d)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rh, doc_id) AS BIGINT) AS seq,
+        |  doc_id
+        |FROM s ORDER BY shard, seq""".stripMargin,
+    "p17_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |b AS (SELECT greatest(64, ((toks + 63) // 64) * 64) AS cap, toks FROM d)
+        |SELECT cap, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  cap * count(*) AS padded_tokens,
+        |  floor((1.0 - CAST(sum(toks) AS DOUBLE) / CAST(cap * count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pad_waste
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin
   )
 }

@@ -200,6 +200,37 @@ object TextQueries {
         .orderBy("heuristic", "verdict")
     },
 
+    // Char-BIGRAM TYPICALITY — a gibberish/perplexity proxy with no
+    // model download: build the corpus's own character-bigram count
+    // table (the "language model"), then score each doc by the average
+    // corpus count of its bigrams. Prose lands high (its transitions
+    // are everyone's transitions); mojibake, base64 blobs, and
+    // keyboard-mash land low — the cheap first-pass filter before an
+    // actual LM perplexity gate. All-integer sums keep the score exact
+    // cross-engine (a log-prob variant would hash-mismatch on IEEE
+    // ULPs). Scale shape: the model aggregate partial-combines to
+    // <= 27^2 rows per partition (tiny), rides back as a BROADCAST
+    // join onto a second bigram scan, and the per-doc sum is one
+    // doc-keyed shuffle — no corpus-sized join ever.
+    "t14_bigram_typicality" -> { (s, dir) =>
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z ]", "").as("txt"))
+        .filter(length(col("txt")) >= 2)
+        .select(col("doc_id"), col("txt"),
+          explode(sequence(lit(1), length(col("txt")) - 1)).as("i"))
+        .select(col("doc_id"), expr("substring(txt, i, 2)").as("g"))
+      val bg = bigrams(Tables(s, dir, "documents"))
+      val model = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
+      bg.join(broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("familiarity"))
+        .select(col("doc_id"), col("n_bigrams"), col("familiarity"),
+          round6(col("familiarity").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("avg_count"))
+        .orderBy("doc_id")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -438,6 +469,21 @@ object TextQueries {
          |FROM h JOIN p USING (doc_id)
          |GROUP BY heuristic, verdict
          |ORDER BY heuristic, verdict""".stripMargin,
+    "t14_bigram_typicality" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS txt
+        |  FROM documents),
+        |d AS (SELECT doc_id, txt FROM n WHERE length(txt) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(txt)),
+        |    i -> substr(txt, CAST(i AS INT), 2))) AS g
+        |  FROM d),
+        |m AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(m.cnt) AS BIGINT) AS familiarity,
+        |  floor((CAST(sum(m.cnt) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_count
+        |FROM bg JOIN m USING (g)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

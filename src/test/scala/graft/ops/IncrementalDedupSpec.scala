@@ -44,4 +44,24 @@ class IncrementalDedupSpec extends SparkSpec {
     // schema passthrough: survivors keep the batch columns
     assert(out3.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("bloom-prefiltered variant is exact, even under heavy collisions") {
+    // identical 3-day replay through processWithBloom on fresh indexes;
+    // m=64 bits over 4+ index hashes forces real false positives, so
+    // exactness here proves the maybe-side anti-join catches them, and
+    // one-sidedness (no false negatives) proves no duplicate sneaks in
+    for (m <- Seq(64L, 1L << 20)) {
+      val idx = Files.createTempDirectory("graft-dedup-bloom").toString + "/index"
+      def run(rows: Seq[(Long, String)]): Set[Long] =
+        IncrementalDedup.processWithBloom(rows.toDF("doc_id", "text"),
+          "doc_id", "text", idx, m = m, k = 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(run(Seq((3L, "aa bb"), (1L, "xx yy"), (2L, "aa bb"))) == Set(1L, 2L))
+      assert(run(Seq((10L, "aa bb"), (12L, "cc dd"), (11L, "cc dd"), (13L, "ee")))
+        == Set(11L, 13L), s"m=$m")
+      assert(run(Seq((20L, "aa bb"), (21L, "cc dd"), (22L, "ee"), (23L, "xx yy")))
+        .isEmpty, s"m=$m: replayed content must never re-enter")
+      assert(spark.read.parquet(idx).distinct().count() == 4)
+    }
+  }
 }

@@ -55,7 +55,8 @@ class PlanBudgetSpec extends SparkSpec {
     "p09_sample_topk" -> 2, "p10_pipeline" -> 4,
     "p11_quality_tertiles" -> 4, "p12_temperature_mix" -> 2,
     "p13_split" -> 2, "p14_bloom_decontam" -> 5,
-    "p15_mix_epochs" -> 2,
+    "p15_mix_epochs" -> 2, "p16_epoch_shuffle" -> 2,
+    "p17_length_buckets" -> 2,
     "q01_filter_isin" -> 1, "q02_group_count" -> 2,
     "q03_distinct" -> 2, "q04_nway_join_agg" -> 2,
     "q05_align_outer" -> 3, "q06_union_missing" -> 1,
@@ -73,7 +74,7 @@ class PlanBudgetSpec extends SparkSpec {
     "t07_vocab" -> 2, "t08_bm25" -> 5,
     "t09_countmin" -> 3, "t10_normalize" -> 1,
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
-    "t13_classifier_eval" -> 2,
+    "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 3,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
     "x03_intersect" -> 2, "x04_except" -> 2,
     "x05_window_tumbling" -> 2, "x06_date_parts" -> 2,
