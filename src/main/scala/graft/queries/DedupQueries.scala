@@ -177,6 +177,23 @@ object DedupQueries {
        |  FROM hm, ks GROUP BY doc_id, k)""".stripMargin
   }
 
+  /** Parameterized banding CTEs for the d12 sweep: bsig$r/small$r/cand$r
+    * with r slots per band (sqlCand is the fixed r=4 production config).
+    */
+  private def sqlCandR(r: Int): String =
+    s"""bsig$r AS (
+       |  SELECT doc_id, CAST(k // $r AS INT) AS band,
+       |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bs
+       |  FROM sig GROUP BY doc_id, CAST(k // $r AS INT)),
+       |small$r AS (
+       |  SELECT band, bs FROM bsig$r GROUP BY band, bs
+       |  HAVING count(*) <= $MaxBucket),
+       |cand$r AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
+       |  FROM bsig$r l
+       |  JOIN small$r s ON l.band = s.band AND l.bs = s.bs
+       |  JOIN bsig$r rr ON l.band = rr.band AND l.bs = rr.bs AND l.doc_id < rr.doc_id)""".stripMargin
+
   /** Shared candidate-generation CTEs (banding + MaxBucket cap),
     * mirroring lshCandidates. Appends `bsig`, `small`, `cand`.
     */
@@ -385,6 +402,59 @@ object DedupQueries {
         .groupBy("vec_id", "label")
         .agg(count(lit(1)).as("n_close"), round6(max(col("c"))).as("max_cos"))
         .orderBy("vec_id")
+    },
+
+    // LSH band-TUNING sweep — the (bands × rows-per-band) choice is THE
+    // dedup-quality knob (it sets the Jaccard threshold where the
+    // candidate s-curve flips), and this row measures it instead of
+    // folkloring it: for each rows-per-band r in {1,2,4,8} (bands=K/r),
+    // banded candidates are generated under the same MaxBucket cap,
+    // the UNION of all configs' pairs is verified ONCE with exact
+    // n-gram Jaccard (>= 0.5 = true near-dup), and each config scores
+    // precision = true/proposed and recall = true/reference (reference
+    // = every true pair any config surfaced — the d-series twin of the
+    // s06-s08 ANN recall matrix). Scale shape: per-config work is the
+    // d03 bucket join (never all-pairs); exact verification touches
+    // only the candidate union; per-config stats ride one explode +
+    // tiny aggregate, and the 1-row reference count broadcasts back.
+    "d12_lsh_tuning" -> { (s, dir) =>
+      val sig = minhashSigs(s, dir)
+      def candFor(r: Int): DataFrame = {
+        val bsig = sig.withColumn("band", (col("k") / r).cast(IntegerType))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("v")))),
+            x => x.getField("v").cast(StringType)), ",").as("bs"))
+        val small = bsig.groupBy("band", "bs")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+        val pruned = bsig.join(small.select("band", "bs"), Seq("band", "bs"))
+        pruned.as("l").join(pruned.as("r"),
+            col("l.band") === col("r.band") && col("l.bs") === col("r.bs") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("r", lit(r.toLong))
+      }
+      val allc = Seq(1, 2, 4, 8).map(candFor).reduce(_ unionByName _)
+      val pairs = allc.groupBy("doc_a", "doc_b").agg(collect_set(col("r")).as("rs"))
+      val sets = shingleSets(s, dir)
+      val inter = size(array_intersect(col("gsa"), col("gsb")))
+      val scored = pairs
+        .join(sets.toDF("doc_a", "gsa"), "doc_a")
+        .join(sets.toDF("doc_b", "gsb"), "doc_b")
+        .select(col("rs"), (inter.cast(DoubleType) /
+          (size(col("gsa")) + size(col("gsb")) - inter)).as("j"))
+        .select(col("rs"), when(col("j") >= 0.5, 1L).otherwise(0L).as("is_true"))
+      val ref = scored.agg(sum(col("is_true")).as("n_ref"))
+      scored.select(explode(col("rs")).as("rows_per_band"), col("is_true"))
+        .groupBy("rows_per_band")
+        .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
+        .crossJoin(broadcast(ref))
+        .select(col("rows_per_band"),
+          expr(s"$MinhashK DIV rows_per_band").as("bands"),
+          col("n_cand"), col("n_true"),
+          round6(col("n_true").cast(DoubleType) / col("n_cand").cast(DoubleType)).as("prec"),
+          round6(col("n_true").cast(DoubleType) / col("n_ref").cast(DoubleType)).as("recall"))
+        .orderBy("rows_per_band")
     }
   )
 
@@ -532,6 +602,34 @@ object DedupQueries {
          |  floor((max(c)) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
          |FROM pairs WHERE c >= 0.3
          |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+    },
+    "d12_lsh_tuning" -> {
+      val rs = Seq(1, 2, 4, 8)
+      s"""WITH $sqlSigs,
+         |${rs.map(sqlCandR).mkString(",\n")},
+         |allc AS (${rs.map(r => s"SELECT $r AS r, doc_a, doc_b FROM cand$r")
+                      .mkString(" UNION ALL ")}),
+         |dp AS (SELECT DISTINCT doc_a, doc_b FROM allc),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |tr AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+         |    THEN 1 ELSE 0 END AS is_true
+         |  FROM dp JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id),
+         |ref AS (SELECT CAST(sum(is_true) AS BIGINT) AS n_ref FROM tr),
+         |st AS (
+         |  SELECT r, count(*) AS n_cand, CAST(sum(is_true) AS BIGINT) AS n_true
+         |  FROM allc JOIN tr USING (doc_a, doc_b) GROUP BY r)
+         |SELECT CAST(r AS BIGINT) AS rows_per_band,
+         |  CAST($MinhashK // r AS BIGINT) AS bands, n_cand, n_true,
+         |  floor((CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS prec,
+         |  floor((CAST(n_true AS DOUBLE) / CAST(n_ref AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM st, ref ORDER BY rows_per_band""".stripMargin
     }
   )
 }

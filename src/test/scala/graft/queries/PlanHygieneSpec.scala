@@ -36,11 +36,13 @@ class PlanHygieneSpec extends SparkSpec {
   //   p14      - scalar-subquery shape: the corpus cross-joins the
   //              broadcast 1-ROW bloom-bitset frame (8 KB binary) —
   //              a BNLJ with a single build row by construction
+  //   d12      - same 1-row-build shape: per-config stats cross-join
+  //              the broadcast 1-ROW reference-count frame
   private val nestedLoopByDesign =
     Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
-      "s08_pq_recall", "p14_bloom_decontam")
+      "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
