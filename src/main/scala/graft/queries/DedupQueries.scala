@@ -89,13 +89,23 @@ object DedupQueries {
     * signature rows (the all-null slot array is filtered, matching the
     * aggregate form's semantics).
     */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "sig") {
+  /** Per-doc minhash slot ARRAY (doc_id, slots[K]) — the pre-explode
+    * form. Memoized separately because d12's band-sweep derives every
+    * (bands × rows-per-band) signature from it with pure slice
+    * projections — no aggregation needed to regroup k-rows into bands.
+    */
+  private def minhashArr(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "sigarr") {
       shingleSets(s, dir)
         .filter(size(col("gs")) > 0)
         .select(col("doc_id"),
-          transform(col("gs"), g => h60(g) % P).as("hms"))
-        .select(col("doc_id"), posexplode(minhashSlots(col("hms"))))
+          minhashSlots(transform(col("gs"), g => h60(g) % P)).as("slots"))
+    }
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "sig") {
+      minhashArr(s, dir)
+        .select(col("doc_id"), posexplode(col("slots")))
         .toDF("doc_id", "k", "v")
     }
 
@@ -418,23 +428,39 @@ object DedupQueries {
     // only the candidate union; per-config stats ride one explode +
     // tiny aggregate, and the 1-row reference count broadcasts back.
     "d12_lsh_tuning" -> { (s, dir) =>
-      val sig = minhashSigs(s, dir)
-      def candFor(r: Int): DataFrame = {
-        val bsig = sig.withColumn("band", (col("k") / r).cast(IntegerType))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("v")))),
-            x => x.getField("v").cast(StringType)), ",").as("bs"))
-        val small = bsig.groupBy("band", "bs")
-          .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-        val pruned = bsig.join(small.select("band", "bs"), Seq("band", "bs"))
-        pruned.as("l").join(pruned.as("r"),
-            col("l.band") === col("r.band") && col("l.bs") === col("r.bs") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-          .distinct()
-          .withColumn("r", lit(r.toLong))
-      }
-      val allc = Seq(1, 2, 4, 8).map(candFor).reduce(_ unionByName _)
+      // ONE pass for all 4 configs: the config dimension (rows-per-band)
+      // is EXPLODED into the grouping/join key instead of unioning four
+      // copies of the banding subtree. The sweep then costs one extra
+      // generator over the (tiny) signature rows — a first cut that
+      // unioned candFor(1|2|4|8) carried 59 exchanges in a 454-node plan
+      // and spent 21 s at sf0.1 in planning + per-stage overhead on
+      // kilobytes of data; this shape is the same queries, one subtree.
+      // band signatures are SLICE PROJECTIONS of the memoized slot array
+      // (slots[k] is already in k order), not an aggregation — the only
+      // shuffle before the stats is the bucket groupBy below
+      val bsig = minhashArr(s, dir)
+        .withColumn("rpb", explode(array(Seq(1, 2, 4, 8).map(r => lit(r.toLong)): _*)))
+        .select(col("doc_id"), col("rpb"),
+          posexplode(transform(
+            sequence(lit(0), (lit(MinhashK) / col("rpb")).cast(IntegerType) - 1),
+            b => array_join(transform(
+              slice(col("slots"), b * col("rpb").cast(IntegerType) + 1,
+                col("rpb").cast(IntegerType)),
+              v => v.cast(StringType)), ","))))
+        .toDF("doc_id", "rpb", "band", "bs")
+      // bucket members materialize as one sorted array per bucket and the
+      // pairs are generated INSIDE the row (nested transform — bounded by
+      // the same MaxBucket cap, <= MaxBucket²/2 pairs per row): no
+      // bucket-size side-agg, no join-back, no self-join. collect_set
+      // downstream dedups cross-band repeats, so no distinct here either.
+      val buckets = bsig.groupBy("rpb", "band", "bs")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxBucket))
+      val allc = buckets.select(col("rpb").as("r"),
+        explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("r"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       val pairs = allc.groupBy("doc_a", "doc_b").agg(collect_set(col("r")).as("rs"))
       val sets = shingleSets(s, dir)
       val inter = size(array_intersect(col("gsa"), col("gsb")))
