@@ -439,6 +439,41 @@ object EventQueries {
           (unix_micros(col("w.end")) * 1000L).as("w_end_ns"),
           col("cnt"), col("total_value"))
         .orderBy("user_id", "w_start_ns")
+    },
+
+    // STREAM-STREAM interval join in a LIVE query (StreamingSpec pins the
+    // transform on MemoryStreams; this runs it under the driver's oracle):
+    // the events file feeds two filtered streams, and each click joins
+    // the views the same user made in the preceding 2 hours. Both sides
+    // carry watermarks and the interval lives in the JOIN CONDITION, so
+    // Spark derives a state-eviction bound for each side (state is
+    // O(rate × horizon), never unbounded — the property that holds at any
+    // scale). Inner-join rows emit as soon as both sides arrive (append
+    // mode), so the streamed answer equals the batch interval join the
+    // oracle runs.
+    "e17_stream_join" -> { (s, dir) =>
+      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .select("user_id", "event_id", "event_type", "ts")
+      val clicks = src.filter(col("event_type") === "click")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val joined = graft.streaming.Streaming.streamIntervalJoin(
+        clicks, views, "user_id", "2 hours")
+      val sink = "e17_stream_join_sink"
+      s.catalog.dropTempView(sink)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("l_event_id").as("click_id"),
+          col("r_event_id").as("view_id"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "view_id")
     }
   )
 
@@ -630,6 +665,15 @@ object EventQueries {
         |  cnt, total_value
         |FROM sess, wm WHERE e_us <= wm_us
         |ORDER BY user_id, w_start_ns""".stripMargin,
+    "e17_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id, (cus - vus) AS gap_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND vus >= cus - 7200000000 AND vus <= cus
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -201,6 +201,29 @@ object ExtraQueries {
         .orderBy("o_orderkey")
     },
 
+    // latest-record-per-key compaction (the CDC/upsert "merge-on-read
+    // resolve" step: of each key's change stream, keep the newest row).
+    // ONE max(struct) aggregate — a single shuffle with map-side partial
+    // merge, no per-key window sort; the (ts, event_id) prefix makes the
+    // struct max total and deterministic (event_id unique). This is the
+    // shape that compacts a 100 TB changelog: reducers hold one struct
+    // per key, never a key's full history.
+    "x19_latest_by_key" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        // micro-aligned nanos: DuckDB reads the nanos column at micros
+        // precision, so the oracle's epoch_ns is tsn - tsn % 1000 (x14
+        // does the same; sub-microsecond ties resolve via event_id
+        // identically in both engines)
+        .select(col("user_id"), struct((col("ts") - pmod(col("ts"), lit(1000L))).as("tsn"),
+          col("event_id"), col("event_type"), col("value")).as("rec"))
+        .groupBy("user_id")
+        .agg(max(col("rec")).as("m"))
+        .select(col("user_id"), col("m.tsn").as("last_ts_ns"),
+          col("m.event_id").as("last_event"),
+          col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+        .orderBy("user_id")
+    },
+
     // fixed-width histogram over a double measure
     "x09_histogram" -> { (s, dir) =>
       Tables(s, dir, "events")
@@ -383,6 +406,17 @@ object ExtraQueries {
          |SELECT o_orderkey, zx, zy, zv, zv >> 24 AS zbucket
          |FROM z ORDER BY o_orderkey""".stripMargin
     },
+    // struct max compares fields positionally in both engines; the
+    // (tsn, event_id) prefix is unique, so the winner is identical
+    "x19_latest_by_key" ->
+      """WITH e AS (
+        |  SELECT user_id, {'tsn': epoch_ns(ts), 'event_id': event_id,
+        |    'event_type': event_type, 'value': value} AS rec
+        |  FROM events),
+        |m AS (SELECT user_id, max(rec) AS mx FROM e GROUP BY user_id)
+        |SELECT user_id, mx.tsn AS last_ts_ns, mx.event_id AS last_event,
+        |  mx.event_type AS last_type, mx.value AS last_value
+        |FROM m ORDER BY user_id""".stripMargin,
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -28,7 +28,7 @@ class PlanBudgetSpec extends SparkSpec {
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
-      "e13_stream_kmv")
+      "e13_stream_kmv", "e17_stream_join")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
   // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose
@@ -83,7 +83,8 @@ class PlanBudgetSpec extends SparkSpec {
     "x11_skew_salted_join" -> 3, "x12_percentiles" -> 2,
     "x13_asof_join" -> 3, "x14_range_join" -> 3,
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
-    "x17_kmv_distinct" -> 2, "x18_zorder" -> 1)
+    "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
+    "x19_latest_by_key" -> 2)
 
   private def shuffles(planStr: String): Int =
     raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size
