@@ -265,6 +265,29 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
         .orderBy("query_id", "rank")
+    },
+
+    // Mean reciprocal rank of the TRUE nearest neighbor (s01 rank 1)
+    // inside each approximate tier's top-3 — the rank-aware eval beside
+    // the s06-s08 recall matrix: recall says how many neighbors survive,
+    // MRR says where the one that matters lands. Reciprocal ranks are
+    // integer sixths (6 div rank ∈ {6,3,2}, 0 when absent), so the mean
+    // is one exact integer sum + one double division — replays exactly.
+    "s09_ann_mrr" -> { (s, dir) =>
+      val nn1 = queries("s01_cosine_topk")(s, dir)
+        .filter(col("rank") === 1).select(col("query_id"), col("neighbor_id"))
+      def tier(name: String, q: String): DataFrame =
+        nn1.join(queries(q)(s, dir)
+            .select(col("query_id"), col("neighbor_id"), col("rank")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_queries"), count(col("rank")).as("n_found"),
+            round6(sum(coalesce(expr("6 div rank"), lit(0L))).cast(DoubleType) /
+              (count(lit(1)) * lit(6.0))).as("mrr"))
+          .select(lit(name).as("tier"), col("n_queries"), col("n_found"), col("mrr"))
+      tier("lsh", "s02_lsh_topk")
+        .unionByName(tier("ivf", "s03_ivf_topk"))
+        .unionByName(tier("pq", "s05_pq_topk"))
+        .orderBy("tier")
     }
   )
 
@@ -335,22 +358,73 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }
+    val s02Sql =
+      s"""WITH v AS (
+         |  SELECT vec_id, e, $bucketExpr AS bucket
+         |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+         |  FROM v q JOIN v c
+         |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    val s03Sql = {
+      val dqc2 = sqlDotSeq("qv.e", "cv.e")
+      s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+         |pos AS (
+         |  SELECT label, i AS pos, e[i] AS x
+         |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+         |cd AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+         |  FROM pos GROUP BY label, pos),
+         |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+         |probe AS (
+         |  SELECT q.vec_id AS query_id, cent.label,
+         |         ${sqlDotSeq("q.e", "cent.c")} AS d
+         |  FROM v q, cent WHERE q.vec_id < 10),
+         |best AS (
+         |  SELECT query_id, label AS best_label FROM (
+         |    SELECT query_id, label,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+         |    FROM probe) WHERE rn = 1),
+         |scored AS (
+         |  SELECT b.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
+         |  FROM best b
+         |  JOIN v qv ON qv.vec_id = b.query_id
+         |  JOIN v cv ON cv.label = b.best_label AND cv.vec_id <> b.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
+    // MRR composes one nn1 probe with each pinned tier SQL — the only
+    // new SQL is the reciprocal-rank arithmetic, in integer sixths
+    def mrrLeg(tier: String, cte: String): String =
+      s"""SELECT '$tier' AS tier, count(*) AS n_queries, count(a.rank) AS n_found,
+         |    floor((CAST(sum(COALESCE(6 // a.rank, 0)) AS DOUBLE) / (count(*) * 6.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr
+         |  FROM nn1 LEFT JOIN $cte a USING (query_id, neighbor_id)""".stripMargin
     Map(
       "s01_cosine_topk" -> s01Sql,
-      "s02_lsh_topk" ->
-        s"""WITH v AS (
-           |  SELECT vec_id, e, $bucketExpr AS bucket
-           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
-           |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
-           |  FROM v q JOIN v c
-           |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, c,
-           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
-           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "s02_lsh_topk" -> s02Sql,
+      "s09_ann_mrr" ->
+        s"""WITH nn1 AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rank = 1),
+           |alsh AS (SELECT query_id, neighbor_id, rank FROM ($s02Sql)),
+           |aivf AS (SELECT query_id, neighbor_id, rank FROM ($s03Sql)),
+           |apq AS (SELECT query_id, neighbor_id, rank FROM ($s05Sql)),
+           |m AS (
+           |  ${mrrLeg("ivf", "aivf")}
+           |  UNION ALL
+           |  ${mrrLeg("lsh", "alsh")}
+           |  UNION ALL
+           |  ${mrrLeg("pq", "apq")})
+           |SELECT tier, n_queries, n_found, mrr FROM m ORDER BY tier""".stripMargin,
       "s04_sq8_topk" -> {
         val qdot = sqlDotSeq("q.q", "c.q")
         val rdot = sqlDotSeq("qe", "ce")
@@ -476,38 +550,7 @@ object SimilarityQueries {
            |FROM ex_n LEFT JOIN hit USING (query_id)
            |ORDER BY query_id""".stripMargin
       },
-      "s03_ivf_topk" -> {
-        val dqc2 = sqlDotSeq("qv.e", "cv.e")
-        s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
-           |pos AS (
-           |  SELECT label, i AS pos, e[i] AS x
-           |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
-           |cd AS (
-           |  SELECT label, pos,
-           |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
-           |  FROM pos GROUP BY label, pos),
-           |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
-           |probe AS (
-           |  SELECT q.vec_id AS query_id, cent.label,
-           |         ${sqlDotSeq("q.e", "cent.c")} AS d
-           |  FROM v q, cent WHERE q.vec_id < 10),
-           |best AS (
-           |  SELECT query_id, label AS best_label FROM (
-           |    SELECT query_id, label,
-           |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
-           |    FROM probe) WHERE rn = 1),
-           |scored AS (
-           |  SELECT b.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
-           |  FROM best b
-           |  JOIN v qv ON qv.vec_id = b.query_id
-           |  JOIN v cv ON cv.label = b.best_label AND cv.vec_id <> b.query_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, c,
-           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
-           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-      }
+      "s03_ivf_topk" -> s03Sql
     )
   }
 }
