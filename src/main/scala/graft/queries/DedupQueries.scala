@@ -70,7 +70,18 @@ object DedupQueries {
   def prewarm(s: SparkSession, dir: String): Unit = {
     lshCandidates(s, dir)
     shingleSets(s, dir)
+    sweepCandidates(s, dir)
   }
+
+  /** Memoized full-corpus band-sweep candidates (r, doc_a, doc_b) —
+    * shared by d12 (sweep stats) and d13 (the apply stage filters to the
+    * chosen config). ~|candidates| rows, dominated by the permissive r=1
+    * config; a few MB, not data-scale.
+    */
+  private def sweepCandidates(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "sweep") {
+      bandSweepCandidates(minhashArr(s, dir))
+    }
 
   /** Long-format minhash signatures: (doc_id, k, v), K rows per doc.
     *
@@ -190,19 +201,19 @@ object DedupQueries {
   /** Parameterized banding CTEs for the d12 sweep: bsig$r/small$r/cand$r
     * with r slots per band (sqlCand is the fixed r=4 production config).
     */
-  private def sqlCandR(r: Int): String =
-    s"""bsig$r AS (
+  private def sqlCandR(r: Int, src: String = "sig", tag: String = ""): String =
+    s"""bsig$tag$r AS (
        |  SELECT doc_id, CAST(k // $r AS INT) AS band,
        |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bs
-       |  FROM sig GROUP BY doc_id, CAST(k // $r AS INT)),
-       |small$r AS (
-       |  SELECT band, bs FROM bsig$r GROUP BY band, bs
+       |  FROM $src GROUP BY doc_id, CAST(k // $r AS INT)),
+       |small$tag$r AS (
+       |  SELECT band, bs FROM bsig$tag$r GROUP BY band, bs
        |  HAVING count(*) <= $MaxBucket),
-       |cand$r AS (
+       |cand$tag$r AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
-       |  FROM bsig$r l
-       |  JOIN small$r s ON l.band = s.band AND l.bs = s.bs
-       |  JOIN bsig$r rr ON l.band = rr.band AND l.bs = rr.bs AND l.doc_id < rr.doc_id)""".stripMargin
+       |  FROM bsig$tag$r l
+       |  JOIN small$tag$r s ON l.band = s.band AND l.bs = s.bs
+       |  JOIN bsig$tag$r rr ON l.band = rr.band AND l.bs = rr.bs AND l.doc_id < rr.doc_id)""".stripMargin
 
   /** Shared candidate-generation CTEs (banding + MaxBucket cap),
     * mirroring lshCandidates. Appends `bsig`, `small`, `cand`.
@@ -428,61 +439,129 @@ object DedupQueries {
     // only the candidate union; per-config stats ride one explode +
     // tiny aggregate, and the 1-row reference count broadcasts back.
     "d12_lsh_tuning" -> { (s, dir) =>
-      // ONE pass for all 4 configs: the config dimension (rows-per-band)
-      // is EXPLODED into the grouping/join key instead of unioning four
-      // copies of the banding subtree. The sweep then costs one extra
-      // generator over the (tiny) signature rows — a first cut that
-      // unioned candFor(1|2|4|8) carried 59 exchanges in a 454-node plan
-      // and spent 21 s at sf0.1 in planning + per-stage overhead on
-      // kilobytes of data; this shape is the same queries, one subtree.
-      // band signatures are SLICE PROJECTIONS of the memoized slot array
-      // (slots[k] is already in k order), not an aggregation — the only
-      // shuffle before the stats is the bucket groupBy below
-      val bsig = minhashArr(s, dir)
-        .withColumn("rpb", explode(array(Seq(1, 2, 4, 8).map(r => lit(r.toLong)): _*)))
-        .select(col("doc_id"), col("rpb"),
-          posexplode(transform(
-            sequence(lit(0), (lit(MinhashK) / col("rpb")).cast(IntegerType) - 1),
-            b => array_join(transform(
-              slice(col("slots"), b * col("rpb").cast(IntegerType) + 1,
-                col("rpb").cast(IntegerType)),
-              v => v.cast(StringType)), ","))))
-        .toDF("doc_id", "rpb", "band", "bs")
-      // bucket members materialize as one sorted array per bucket and the
-      // pairs are generated INSIDE the row (nested transform — bounded by
-      // the same MaxBucket cap, <= MaxBucket²/2 pairs per row): no
-      // bucket-size side-agg, no join-back, no self-join. collect_set
-      // downstream dedups cross-band repeats, so no distinct here either.
-      val buckets = bsig.groupBy("rpb", "band", "bs")
-        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, MaxBucket))
-      val allc = buckets.select(col("rpb").as("r"),
-        explode(flatten(transform(col("ds"), (a, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("r"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      val pairs = allc.groupBy("doc_a", "doc_b").agg(collect_set(col("r")).as("rs"))
-      val sets = shingleSets(s, dir)
-      val inter = size(array_intersect(col("gsa"), col("gsb")))
-      val scored = pairs
-        .join(sets.toDF("doc_a", "gsa"), "doc_a")
-        .join(sets.toDF("doc_b", "gsb"), "doc_b")
-        .select(col("rs"), (inter.cast(DoubleType) /
-          (size(col("gsa")) + size(col("gsb")) - inter)).as("j"))
-        .select(col("rs"), when(col("j") >= 0.5, 1L).otherwise(0L).as("is_true"))
-      val ref = scored.agg(sum(col("is_true")).as("n_ref"))
-      scored.select(explode(col("rs")).as("rows_per_band"), col("is_true"))
-        .groupBy("rows_per_band")
-        .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
-        .crossJoin(broadcast(ref))
+      sweepStats(s, dir, sweepCandidates(s, dir))
         .select(col("rows_per_band"),
           expr(s"$MinhashK DIV rows_per_band").as("bands"),
           col("n_cand"), col("n_true"),
           round6(col("n_true").cast(DoubleType) / col("n_cand").cast(DoubleType)).as("prec"),
           round6(col("n_true").cast(DoubleType) / col("n_ref").cast(DoubleType)).as("recall"))
         .orderBy("rows_per_band")
+    },
+
+    // SELF-TUNED dedup — the d12 sweep closed into a decision: tune on a
+    // deterministic 50% sample (sweep all 4 banding configs, exact-verify
+    // their candidate union, score F1), pick the best config (ties ->
+    // cheapest, i.e. largest rows-per-band; a no-signal sample falls back
+    // to r=8), then run the FULL-corpus dedup with only the chosen
+    // config: banding -> exact Jaccard verify -> connected components ->
+    // keep-list (cluster minimum survives). This is the 100 TB operating
+    // shape: the sweep prices each config on a sample it can afford, and
+    // the corpus pays for exactly one config. Output = kept doc_ids +
+    // the chosen rows_per_band (constant column, 1-row broadcast).
+    "d13_auto_dedup" -> { (s, dir) =>
+      val arr = minhashArr(s, dir)
+      val stats = sweepStats(s, dir,
+        bandSweepCandidates(arr.filter(col("doc_id") % 2 === 0)))
+      val prec = col("n_true").cast(DoubleType) / col("n_cand").cast(DoubleType)
+      val rec = when(col("n_ref") > 0,
+        col("n_true").cast(DoubleType) / col("n_ref").cast(DoubleType)).otherwise(lit(0.0))
+      val scored = stats.select(col("rows_per_band"),
+        when(prec + rec > 0.0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0)).as("f1"))
+      // the 1-row choice is materialized ONCE (localCheckpoint): it is
+      // referenced by both the apply-stage join and the output column,
+      // and without the checkpoint each reference re-runs the whole
+      // sample sweep (measured 2x the query)
+      val chosen = scored
+        .unionByName(s.range(1).select(lit(8L).as("rows_per_band"), lit(-1.0).as("f1")))
+        .orderBy(desc("f1"), desc("rows_per_band"))
+        .limit(1).select(col("rows_per_band").as("chosen_r"))
+        .localCheckpoint()
+      val pr = sweepCandidates(s, dir)
+        .join(broadcast(chosen), col("r") === col("chosen_r"))
+        .select("doc_a", "doc_b").distinct()
+        .transform(exactVerified(s, dir, _))
+      val losers = graft.ops.ConnectedComponents.minLabel(pr)._1
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id")
+      Tables(s, dir, "documents").select("doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .crossJoin(broadcast(chosen))
+        .select(col("doc_id"), col("chosen_r"))
+        .orderBy("doc_id")
     }
   )
+
+  /** One-pass banded candidate pairs for EVERY rows-per-band config in
+    * {1,2,4,8}: (r, doc_a, doc_b), cross-band repeats possible. The
+    * config dimension is EXPLODED into the grouping/join key instead of
+    * unioning four copies of the banding subtree (a first cut that
+    * unioned per-config subtrees carried 59 exchanges in a 454-node plan
+    * and spent 21 s at sf0.1 in planning + per-stage overhead on
+    * kilobytes of data). Band signatures are SLICE PROJECTIONS of the
+    * memoized slot array (slots[k] is already in k order), not an
+    * aggregation; bucket members materialize as one sorted array per
+    * bucket and the pairs are generated INSIDE the row (nested
+    * transform, <= MaxBucket²/2 pairs per row under the same cap): the
+    * only shuffles are the bucket groupBy and whatever the caller adds.
+    */
+  private def bandSweepCandidates(arr: DataFrame): DataFrame = {
+    val bsig = arr
+      .withColumn("rpb", explode(array(Seq(1, 2, 4, 8).map(r => lit(r.toLong)): _*)))
+      .select(col("doc_id"), col("rpb"),
+        posexplode(transform(
+          sequence(lit(0), (lit(MinhashK) / col("rpb")).cast(IntegerType) - 1),
+          b => array_join(transform(
+            slice(col("slots"), b * col("rpb").cast(IntegerType) + 1,
+              col("rpb").cast(IntegerType)),
+            v => v.cast(StringType)), ","))))
+      .toDF("doc_id", "rpb", "band", "bs")
+    bsig.groupBy("rpb", "band", "bs")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxBucket))
+      .select(col("rpb").as("r"),
+        explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("r"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+  }
+
+  /** Exact n-gram-Jaccard filter (j >= 0.5) over candidate (doc_a,
+    * doc_b) pairs — the shared propose-then-verify tail. */
+  private def exactVerified(s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val sets = shingleSets(s, dir)
+    val inter = size(array_intersect(col("gsa"), col("gsb")))
+    cand
+      .join(sets.toDF("doc_a", "gsa"), "doc_a")
+      .join(sets.toDF("doc_b", "gsb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (inter.cast(DoubleType) /
+        (size(col("gsa")) + size(col("gsb")) - inter)).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("doc_a", "doc_b")
+  }
+
+  /** The d12 sweep over a given slot-array frame (full corpus for d12,
+    * the 50% sample for d13), given its (r, doc_a, doc_b) candidates: per-config candidate count, exact-verified
+    * true-pair count, and the 1-row reference count (union of true pairs
+    * any config surfaced) broadcast back.
+    */
+  private def sweepStats(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    val pairs = cands
+      .groupBy("doc_a", "doc_b").agg(collect_set(col("r")).as("rs"))
+    val sets = shingleSets(s, dir)
+    val inter = size(array_intersect(col("gsa"), col("gsb")))
+    val scored = pairs
+      .join(sets.toDF("doc_a", "gsa"), "doc_a")
+      .join(sets.toDF("doc_b", "gsb"), "doc_b")
+      .select(col("rs"), (inter.cast(DoubleType) /
+        (size(col("gsa")) + size(col("gsb")) - inter)).as("j"))
+      .select(col("rs"), when(col("j") >= 0.5, 1L).otherwise(0L).as("is_true"))
+    val ref = scored.agg(sum(col("is_true")).as("n_ref"))
+    scored.select(explode(col("rs")).as("rows_per_band"), col("is_true"))
+      .groupBy("rows_per_band")
+      .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
+      .crossJoin(broadcast(ref))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -632,7 +711,7 @@ object DedupQueries {
     "d12_lsh_tuning" -> {
       val rs = Seq(1, 2, 4, 8)
       s"""WITH $sqlSigs,
-         |${rs.map(sqlCandR).mkString(",\n")},
+         |${rs.map(r => sqlCandR(r)).mkString(",\n")},
          |allc AS (${rs.map(r => s"SELECT $r AS r, doc_a, doc_b FROM cand$r")
                       .mkString(" UNION ALL ")}),
          |dp AS (SELECT DISTINCT doc_a, doc_b FROM allc),
@@ -656,6 +735,72 @@ object DedupQueries {
          |  floor((CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS prec,
          |  floor((CAST(n_true AS DOUBLE) / CAST(n_ref AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall
          |FROM st, ref ORDER BY rows_per_band""".stripMargin
+    },
+    // the whole tune-then-apply pipeline in one statement: sample sweep
+    // (s-tagged banding CTEs over the 50% sample) -> F1 argmax with the
+    // r=8 fallback row -> full-corpus banding (f-tagged) filtered to the
+    // chosen config -> exact verify -> recursive-CTE components -> keep
+    "d13_auto_dedup" -> {
+      val rs = Seq(1, 2, 4, 8)
+      s"""WITH RECURSIVE $sqlSigs,
+         |ssig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+         |${rs.map(r => sqlCandR(r, "ssig", "s")).mkString(",\n")},
+         |sallc AS (${rs.map(r => s"SELECT $r AS r, doc_a, doc_b FROM cands$r")
+                      .mkString(" UNION ALL ")}),
+         |sdp AS (SELECT DISTINCT doc_a, doc_b FROM sallc),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |str AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+         |    THEN 1 ELSE 0 END AS is_true
+         |  FROM sdp JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id),
+         |sref AS (SELECT CAST(sum(is_true) AS BIGINT) AS n_ref FROM str),
+         |sstat AS (
+         |  SELECT r, count(*) AS n_cand, CAST(sum(is_true) AS BIGINT) AS n_true
+         |  FROM sallc JOIN str USING (doc_a, doc_b) GROUP BY r),
+         |sf1 AS (
+         |  SELECT rows_per_band,
+         |    CASE WHEN p + rec > 0.0 THEN 2.0 * p * rec / (p + rec) ELSE 0.0 END AS f1
+         |  FROM (
+         |    SELECT r AS rows_per_band,
+         |      CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+         |      CASE WHEN n_ref > 0 THEN CAST(n_true AS DOUBLE) / CAST(n_ref AS DOUBLE)
+         |           ELSE 0.0 END AS rec
+         |    FROM sstat, sref)),
+         |chosen AS (
+         |  SELECT CAST(rows_per_band AS BIGINT) AS chosen_r FROM (
+         |    SELECT rows_per_band, f1,
+         |      row_number() OVER (ORDER BY f1 DESC, rows_per_band DESC) AS rn
+         |    FROM (SELECT * FROM sf1 UNION ALL SELECT 8, -1.0)) WHERE rn = 1),
+         |${rs.map(r => sqlCandR(r, "sig", "f")).mkString(",\n")},
+         |fallc AS (${rs.map(r => s"SELECT $r AS r, doc_a, doc_b FROM candf$r")
+                      .mkString(" UNION ALL ")}),
+         |fc AS (SELECT DISTINCT doc_a, doc_b FROM fallc JOIN chosen ON r = chosen_r),
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |    FROM fc JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r2.l FROM reach r2 JOIN e ON e.s = r2.v),
+         |losers AS (
+         |  SELECT v AS doc_id FROM (SELECT v, min(l) AS cl FROM reach GROUP BY v)
+         |  WHERE cl <> v)
+         |SELECT d.doc_id, chosen_r FROM documents d, chosen
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin
     }
   )
 }

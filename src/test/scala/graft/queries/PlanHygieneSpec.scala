@@ -40,12 +40,14 @@ class PlanHygieneSpec extends SparkSpec {
   //              the broadcast 1-ROW reference-count frame
   //   s09      - composes s01/s03/s05 (their documented shapes above)
   //              as the exact probe + approximate tiers it evaluates
+  //   d13      - keep-list cross-joins the broadcast 1-ROW chosen-config
+  //              frame (the d12/p14 single-build-row shape)
   private val nestedLoopByDesign =
     Set("d06_embed_neardup", "s01_cosine_topk", "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
-      "s09_ann_mrr")
+      "s09_ann_mrr", "d13_auto_dedup")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
