@@ -213,18 +213,36 @@ object TextQueries {
     // join onto a second bigram scan, and the per-doc sum is one
     // doc-keyed shuffle — no corpus-sized join ever.
     "t14_bigram_typicality" -> { (s, dir) =>
-      def bigrams(df: DataFrame): DataFrame = df
-        .select(col("doc_id"),
-          regexp_replace(lower(col("text")), "[^a-z ]", "").as("txt"))
-        .filter(length(col("txt")) >= 2)
-        .select(col("doc_id"), col("txt"),
-          explode(sequence(lit(1), length(col("txt")) - 1)).as("i"))
-        .select(col("doc_id"), expr("substring(txt, i, 2)").as("g"))
-      val bg = bigrams(Tables(s, dir, "documents"))
-      val model = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
-      bg.join(broadcast(model), "g")
+      // the char-bigram stream is generated ONCE, from a per-row array,
+      // so the generate emits bare (doc_id, g) pairs — an earlier form
+      // exploded an index column and cut substrings AFTER the generate,
+      // so every exploded row carried the full document string, and it
+      // did that twice (model + score side): 11 s at sf0.1 of pure
+      // memory bandwidth. The bigram array is built with zip_with over
+      // two slices of the char split — array INPUTS, not a lambda that
+      // captures `txt`, because CollapseProject inlines the cleaning
+      // regex into a capturing lambda and re-runs it PER ELEMENT
+      // (measured O(len²): still 7 s). The (doc_id, g) aggregate then
+      // collapses occurrences map-side before any exchange; the
+      // <= 27²-row model derives from those counts (its exchange
+      // reuses the same subtree), and the score join multiplies counts
+      // instead of probing one broadcast row per occurrence.
+      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
+      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
+      val gcounts = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
+          (a, b) => concat(a, b))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      // both branches (model + score join) read the counts; the shared
+      // (doc_id, g) exchange is runtime-reused (verified: an explicit
+      // localCheckpoint here was NOT faster), so the 15M-row bigram
+      // generate runs once
+      val model = gcounts.groupBy("g").agg(sum(col("n")).as("cnt"))
+      gcounts.join(broadcast(model), "g")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("familiarity"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("cnt")).as("familiarity"))
         .select(col("doc_id"), col("n_bigrams"), col("familiarity"),
           round6(col("familiarity").cast(DoubleType) /
             col("n_bigrams").cast(DoubleType)).as("avg_count"))

@@ -30,6 +30,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("d13 self-tuned dedup: exactly one legal chosen config, keepers are real docs") {
+    val df = SparkEntry.queries("d13_auto_dedup")(spark, dir).cache()
+    try {
+      val rs = df.select("chosen_r").distinct().collect().map(_.getLong(0))
+      assert(rs.length == 1 && Set(1L, 2L, 4L, 8L)(rs.head),
+        s"chosen_r must be one banding config, got ${rs.mkString(",")}")
+      val docs = Tables(spark, dir, "documents").select("doc_id")
+      assert(df.join(docs, Seq("doc_id"), "left_anti").count() == 0,
+        "every keeper must be an existing doc_id")
+      val kept = df.count()
+      assert(kept > 0 && kept <= docs.count())
+    } finally { df.unpersist(); () }
+  }
+
   test("approx_count_distinct sketch stays within 5% of the exact x16 answer") {
     // x16's exact distinct is the oracle row; this pins the documented
     // 100 TB swap (HLL sketch in the same call shape) to a real bound
