@@ -18,6 +18,22 @@ import graft.functions.NumFns.round6
   */
 object EventQueries {
 
+  /** Run a live streaming query with shuffle partitions scoped small
+    * (x08 save/restore pattern): each stateful streaming operator opens
+    * one state store PER shuffle partition, and at the bench's tiny
+    * per-partition volume 32 of them are pure fixed init/commit cost
+    * (measured ~40% of e17). The conf is read at start() and restored
+    * after stop(), so the shared session is untouched; at scale this
+    * knob is sized to the stream rate instead.
+    */
+  private def scopedStream[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try body finally { prev.fold(s.conf.unset(key))(s.conf.set(key, _)) }
+  }
+
+
   private val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
   private val DayNs: Long = 86400L * 1000 * 1000 * 1000
 
@@ -342,9 +358,11 @@ object EventQueries {
       val agg = graft.streaming.Streaming.windowedTypeStats(src, "1 hour", "2 hours")
       val sink = "e05_stream_window_sink"
       s.catalog.dropTempView(sink)
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select((unix_micros(col("window_start")) * 1000L).as("w_start_ns"),
           (unix_micros(col("window_end")) * 1000L).as("w_end_ns"),
@@ -368,9 +386,11 @@ object EventQueries {
         .agg(expr("graft_topk(value, event_id, 3)").as("top"))
       val sink = "e11_stream_topk_sink"
       s.catalog.dropTempView(sink)
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("event_type"), posexplode(col("top")))
         .select(col("event_type"), (col("pos") + 1).cast(IntegerType).as("rn"),
@@ -394,9 +414,11 @@ object EventQueries {
         .agg(expr("graft_kmv(graft_md5p60(CAST(user_id AS STRING)), 64)").as("sk"))
       val sink = "e13_stream_kmv_sink"
       s.catalog.dropTempView(sink)
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val K = 64
       val two60 = 1.152921504606846976e18
       s.table(sink)
@@ -430,9 +452,11 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("total_value"))
       val sink = "e10_stream_session_sink"
       s.catalog.dropTempView(sink)
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"),
           (unix_micros(col("w.start")) * 1000L).as("w_start_ns"),
@@ -466,21 +490,11 @@ object EventQueries {
         clicks, views, "user_id", "2 hours")
       val sink = "e17_stream_join_sink"
       s.catalog.dropTempView(sink)
-      // SCOPED (x08 pattern): a stream-stream join opens FOUR state
-      // stores per shuffle partition; at the bench's tiny per-partition
-      // volume 32 partitions are pure fixed cost (~state-store
-      // init/commit, measured ~40% of the query). The conf is read at
-      // start() and restored after stop(), so the shared session is
-      // untouched. At scale this knob is sized to the stream rate, not
-      // pinned small.
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "8")
-      try {
+      scopedStream(s) {
         val q = joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-      } finally { prev.fold(s.conf.unset(key))(s.conf.set(key, _)) }
+      }
       s.table(sink)
         .select(col("user_id"), col("l_event_id").as("click_id"),
           col("r_event_id").as("view_id"),
