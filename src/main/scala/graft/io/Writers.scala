@@ -68,4 +68,35 @@ object Writers {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path)
+
+  /** Epoch-shuffle shard writer — the p16_epoch_shuffle manifest made
+    * physical: every row lands in partition `shard = h60("e{epoch}:" +
+    * id) mod shards`, and rows INSIDE a shard file sit in the manifest's
+    * training order (rank hash, id-tiebroken), so a trainer streams each
+    * shard file sequentially with no shuffle at read time. Re-running
+    * the same epoch is layout-stable (pure hash of the id); a new epoch
+    * re-deals both order and shard with ONE hash shuffle + within-shard
+    * sort — never a global sort, the property that holds at 100 TB.
+    */
+  def epochShardWrite(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      shards: Int,
+      path: String,
+      mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.functions.TextFns.h60
+    val rh = h60(concat(lit(s"e$epoch:"), col(idCol).cast("string")))
+    // the sort leads with the partition column: the partitioned writer
+    // REQUIRES rows sorted by its partition keys and would add its own
+    // Sort(shard) otherwise — and the optimizer then eliminates this one
+    // as redundant, destroying the training order
+    df.withColumn("__rh", rh)
+      .withColumn("shard", pmod(col("__rh"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__rh"), col(idCol))
+      .drop("__rh")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
 }
