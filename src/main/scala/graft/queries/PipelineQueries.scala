@@ -457,6 +457,32 @@ object PipelineQueries {
           round6(lit(1.0) - col("n_tokens").cast(DoubleType) /
             (col("cap") * col("n_docs")).cast(DoubleType)).as("pad_waste"))
         .orderBy("cap")
+    },
+
+    // CORPUS DATASHEET — the one-row summary card every shipped dataset
+    // carries (datasheets-for-datasets shape): volume (docs, tokens,
+    // chars), provenance cardinalities (sources, languages), and the
+    // exact-duplication rate. ONE scan, one aggregation (the three
+    // distinct counts ride the same Expand), all integer-exact except
+    // the two round6 ratios. At 100 TB this replaces "run five ad-hoc
+    // queries and paste numbers into a wiki".
+    "p18_datasheet" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(sha2(col("text"), 256)).as("n_unique"),
+          sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          (col("n_docs") - col("n_unique")).as("exact_dup_docs"),
+          round6((col("n_docs") - col("n_unique")).cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("dup_rate"),
+          col("n_tokens"),
+          round6(col("n_tokens").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("mean_tokens"),
+          col("n_chars_total"))
     }
   )
 
@@ -745,6 +771,22 @@ object PipelineQueries {
         |SELECT cap, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
         |  cap * count(*) AS padded_tokens,
         |  floor((1.0 - CAST(sum(toks) AS DOUBLE) / CAST(cap * count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pad_waste
-        |FROM b GROUP BY cap ORDER BY cap""".stripMargin
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
+    "p18_datasheet" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |  FROM documents)
+        |SELECT n_docs, n_sources, n_langs,
+        |  n_docs - n_unique AS exact_dup_docs,
+        |  floor((CAST(n_docs - n_unique AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+        |  n_tokens,
+        |  floor((CAST(n_tokens AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens,
+        |  n_chars_total
+        |FROM a""".stripMargin
   )
 }
