@@ -105,7 +105,7 @@ object DedupQueries {
     * (bands × rows-per-band) signature from it with pure slice
     * projections — no aggregation needed to regroup k-rows into bands.
     */
-  private def minhashArr(s: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashArr(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sigarr") {
       shingleSets(s, dir)
         .filter(size(col("gs")) > 0)
@@ -133,7 +133,7 @@ object DedupQueries {
     * = the 4 slot values of a band joined in k order; candidates agree on
     * at least one full band whose bucket is under MaxBucket.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "cand") {
       val sig = minhashSigs(s, dir)
         .withColumn("band", (col("k") / 4).cast(IntegerType))
@@ -505,7 +505,7 @@ object DedupQueries {
     * transform, <= MaxBucket²/2 pairs per row under the same cap): the
     * only shuffles are the bucket groupBy and whatever the caller adds.
     */
-  private def bandSweepCandidates(arr: DataFrame): DataFrame = {
+  private[queries] def bandSweepCandidates(arr: DataFrame): DataFrame = {
     val bsig = arr
       .withColumn("rpb", explode(array(Seq(1, 2, 4, 8).map(r => lit(r.toLong)): _*)))
       .select(col("doc_id"), col("rpb"),
