@@ -249,6 +249,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Distributed BPE tokenizer TRAINING (ops.BpeLearn, Sennrich
+    // merges) as an oracle row: one corpus-sized word-count aggregate,
+    // then 8 learn rounds over the VOCABULARY only (pair stats → argmax
+    // → string-replace merge application, localCheckpoint per round).
+    // The segmentation-as-string trick makes greedy merge application a
+    // literal `replace`, identical in both engines, so the whole
+    // training loop hash-matches a generated 8-layer oracle.
+    "t15_bpe_merges" -> { (s, dir) =>
+      graft.ops.BpeLearn.learnMerges(
+        graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text"), 8)
+        .orderBy("rank")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -502,6 +515,39 @@ object TextQueries {
         |  floor((CAST(sum(m.cnt) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_count
         |FROM bg JOIN m USING (g)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+    // the learner replayed as generated per-round CTE layers: pair
+    // stats -> argmax (same tie-break) -> replace-merge, 8 rounds
+    "t15_bpe_merges" -> {
+      val N = 8
+      val layers = (0 until N).map { i =>
+        s"""s$i AS (SELECT cnt, list_filter(string_split(seg, ' '), x -> x <> '') AS sy FROM w$i),
+           |p$i AS (
+           |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS s
+           |  FROM (SELECT cnt, unnest(list_zip(list_slice(sy, 1, len(sy) - 1),
+           |                                    list_slice(sy, 2, len(sy)))) AS pr
+           |        FROM s$i)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, s FROM p$i ORDER BY s DESC, l, r LIMIT 1),
+           |w${i + 1} AS (
+           |  SELECT replace(seg, ' ' || l || ' ' || r, ' ' || l || r) AS seg, cnt
+           |  FROM w$i, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY word),
+         |w0 AS (
+         |  SELECT ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+         |    i -> word[i]), ' ') || ' </w>' AS seg, cnt
+         |  FROM wc),
+         |$layers
+         |SELECT * FROM (
+         |  ${(0 until N).map(i =>
+              s"SELECT CAST(${i + 1} AS BIGINT) AS rank, l, r, l || r AS merged, s AS pair_count FROM b$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin
+    },
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
