@@ -262,6 +262,22 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // The trained tokenizer APPLIED: replay t15's 8 merges over the
+    // vocabulary (ops.BpeLearn.applyMerges — same replace semantics as
+    // training) and emit the top-50 subword pieces by corpus-weighted
+    // occurrence count: the piece-frequency table a tokenizer ships
+    // with. Vocabulary-sized throughout after the one word-count
+    // aggregate.
+    "t16_bpe_vocab" -> { (s, dir) =>
+      val words = graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text")
+      val merges = graft.ops.BpeLearn.learnMerges(words, 8)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.BpeLearn.applyMerges(words, merges)
+        .select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), col("piece")).limit(50)
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -408,6 +424,36 @@ object TextQueries {
       |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS verdict
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  private val BpeRounds = 8
+
+  /** wc (corpus word counts) + w0 (initial char segmentation) — the
+    * prolog shared by the t15/t16 BPE oracles. */
+  private def bpeProlog: String =
+    """wc AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |    FROM documents)
+      |  GROUP BY word),
+      |w0 AS (
+      |  SELECT ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+      |    i -> word[i]), ' ') || ' </w>' AS seg, cnt
+      |  FROM wc)""".stripMargin
+
+  /** One CTE layer per learn round: pair stats -> argmax -> merge. */
+  private def bpeLayers: String = (0 until BpeRounds).map { i =>
+    s"""s$i AS (SELECT cnt, list_filter(string_split(seg, ' '), x -> x <> '') AS sy FROM w$i),
+       |p$i AS (
+       |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS s
+       |  FROM (SELECT cnt, unnest(list_zip(list_slice(sy, 1, len(sy) - 1),
+       |                                    list_slice(sy, 2, len(sy)))) AS pr
+       |        FROM s$i)
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT l, r, s FROM p$i ORDER BY s DESC, l, r LIMIT 1),
+       |w${i + 1} AS (
+       |  SELECT replace(seg, ' ' || l || ' ' || r, ' ' || l || r) AS seg, cnt
+       |  FROM w$i, b$i)""".stripMargin
+  }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
     "t01_langid" -> {
       val scores = langs.map { case (l, ws) => s"CAST(${sqlHits(ws)} AS BIGINT) AS s_$l" }
@@ -517,37 +563,22 @@ object TextQueries {
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // the learner replayed as generated per-round CTE layers: pair
     // stats -> argmax (same tie-break) -> replace-merge, 8 rounds
-    "t15_bpe_merges" -> {
-      val N = 8
-      val layers = (0 until N).map { i =>
-        s"""s$i AS (SELECT cnt, list_filter(string_split(seg, ' '), x -> x <> '') AS sy FROM w$i),
-           |p$i AS (
-           |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS s
-           |  FROM (SELECT cnt, unnest(list_zip(list_slice(sy, 1, len(sy) - 1),
-           |                                    list_slice(sy, 2, len(sy)))) AS pr
-           |        FROM s$i)
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, s FROM p$i ORDER BY s DESC, l, r LIMIT 1),
-           |w${i + 1} AS (
-           |  SELECT replace(seg, ' ' || l || ' ' || r, ' ' || l || r) AS seg, cnt
-           |  FROM w$i, b$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH wc AS (
-         |  SELECT word, count(*) AS cnt FROM (
-         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-         |    FROM documents)
-         |  GROUP BY word),
-         |w0 AS (
-         |  SELECT ' ' || array_to_string(list_transform(range(1, len(word) + 1),
-         |    i -> word[i]), ' ') || ' </w>' AS seg, cnt
-         |  FROM wc),
-         |$layers
+    "t15_bpe_merges" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers
          |SELECT * FROM (
-         |  ${(0 until N).map(i =>
+         |  ${(0 until BpeRounds).map(i =>
               s"SELECT CAST(${i + 1} AS BIGINT) AS rank, l, r, l || r AS merged, s AS pair_count FROM b$i")
              .mkString(" UNION ALL ")})
-         |ORDER BY rank""".stripMargin
-    },
+         |ORDER BY rank""".stripMargin,
+    // the final layer's segmentation IS the tokenized vocabulary
+    "t16_bpe_vocab" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(list_filter(string_split(seg, ' '), x -> x <> '')) AS piece
+         |  FROM w$BpeRounds)
+         |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
