@@ -382,15 +382,24 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
-    // Embedding-cosine near-dup pairs (oracle-checkable all-pairs baseline;
-    // the LSH-bucketed scale path is s02_lsh_topk). Vectors are
-    // L2-normalized once so the pair stage is a single dot product.
+    // Embedding-cosine near-dup pairs, cluster-confined: candidate pairs
+    // come only from within a coarse-quantizer cluster (key = `label`,
+    // the same deterministic k-means stand-in d11/s03 use), then the
+    // exact cosine verifies each candidate — propose-then-verify, the
+    // embedding twin of d03→d05. A vector's near-dups land in its coarse
+    // cluster by construction (that is what the quantizer is FOR), so
+    // cross-cluster pairs are out of contract. Scale shape: the self-join
+    // is EQUI on the cluster key — candidate volume is Σ|cluster|², not
+    // n²; vectors are L2-normalized once in a linear pre-pass so each
+    // verification is a single dot product. This retired the suite's
+    // last all-pairs plan (the r03 theta-join baseline cost 5.5 s at
+    // sf0.1 and dies at 100×; this shape survives).
     "d06_embed_neardup" -> { (s, dir) =>
       val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+        .select(col("vec_id"), col("label"), l2normalize(toDouble(col("embedding"))).as("e"))
       val a = v.as("a")
       val b = v.as("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.4)
@@ -690,10 +699,10 @@ object DedupQueries {
          |FROM keyed GROUP BY sig_key ORDER BY keep_id""".stripMargin,
     "d06_embed_neardup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
-      s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, label, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
          |SELECT vec_a, vec_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $dab AS c
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE c >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
     },
