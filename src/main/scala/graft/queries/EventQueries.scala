@@ -348,12 +348,7 @@ object EventQueries {
     // corpus; a production caller uses append mode + a parquet/kafka sink.
     // Window bounds re-emitted as nanos bigints for oracle dtype parity.
     "e05_stream_window" -> { (s, dir) =>
-      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source monitors a DIRECTORY; the tables are
-      // single files, so stream the sf dir filtered to the events file
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = Tables.eventsStream(s, dir)
         .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
       val agg = graft.streaming.Streaming.windowedTypeStats(src, "1 hour", "2 hours")
       val sink = "e05_stream_window_sink"
@@ -378,10 +373,7 @@ object EventQueries {
     // store round-trips). Oracle = e07's SQL: the streamed answer must
     // equal the batch answer once all input is consumed.
     "e11_stream_topk" -> { (s, dir) =>
-      Tables(s, dir, "events") // sets nanosAsLong + registers graft_topk
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = Tables.eventsStream(s, dir) // registers graft_topk
       val agg = src.groupBy("event_type")
         .agg(expr("graft_topk(value, event_id, 3)").as("top"))
       val sink = "e11_stream_topk_sink"
@@ -406,10 +398,7 @@ object EventQueries {
     // streamed answer equal its batch answer once all input is
     // consumed). Oracle = x17's SQL.
     "e13_stream_kmv" -> { (s, dir) =>
-      Tables(s, dir, "events") // sets nanosAsLong + registers graft_kmv
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = Tables.eventsStream(s, dir) // registers graft_kmv
       val agg = src.groupBy("event_type")
         .agg(expr("graft_kmv(graft_md5p60(CAST(user_id AS STRING)), 64)").as("sk"))
       val sink = "e13_stream_kmv_sink"
@@ -441,10 +430,7 @@ object EventQueries {
     // final watermark (max event time - delay) — sessions still inside
     // the horizon when input ends are correctly absent from both sides.
     "e10_stream_session" -> { (s, dir) =>
-      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = Tables.eventsStream(s, dir)
         .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts")))
         .withWatermark("ts2", "2 hours")
       val agg = src
@@ -476,10 +462,7 @@ object EventQueries {
     // mode), so the streamed answer equals the batch interval join the
     // oracle runs.
     "e17_stream_join" -> { (s, dir) =>
-      Tables(s, dir, "events") // sets the nanosAsLong conf for the schema
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      def src = Tables.eventsStream(s, dir)
         .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
         .select("user_id", "event_id", "event_type", "ts")
       val clicks = src.filter(col("event_type") === "click")
