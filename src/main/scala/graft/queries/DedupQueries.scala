@@ -382,29 +382,94 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
-    // Embedding-cosine near-dup pairs, cluster-confined: candidate pairs
-    // come only from within a coarse-quantizer cluster (key = `label`,
-    // the same deterministic k-means stand-in d11/s03 use), then the
-    // exact cosine verifies each candidate — propose-then-verify, the
-    // embedding twin of d03→d05. A vector's near-dups land in its coarse
-    // cluster by construction (that is what the quantizer is FOR), so
-    // cross-cluster pairs are out of contract. Scale shape: the self-join
-    // is EQUI on the cluster key — candidate volume is Σ|cluster|², not
-    // n²; vectors are L2-normalized once in a linear pre-pass so each
-    // verification is a single dot product. This retired the suite's
-    // last all-pairs plan (the r03 theta-join baseline cost 5.5 s at
-    // sf0.1 and dies at 100×; this shape survives).
+    // Embedding-cosine near-dup pairs — the EXACT all-pairs baseline
+    // (restored in r05: r04 confined candidates to the `label` column on
+    // the premise it was a coarse quantizer; measured, label is a random
+    // 10-class attribute — ~90% of true cosine>=0.4 pairs cross label
+    // boundaries, so the confinement silently dropped them. d15 now
+    // MEASURES blocking recall instead of assuming it). Like s01, this is
+    // the documented brute-force member of its ladder: the theta join is
+    // O(n²) by definition of the exact spec, vectors are L2-normalized
+    // once in a linear pre-pass so each pair costs a single dot product.
+    // At 100 TB an exact all-pairs near-dup pass is run on samples /
+    // partitions, and any blocked scale path must publish its recall
+    // against this reference — that is what d15_blocking_eval does.
     "d06_embed_neardup" -> { (s, dir) =>
       val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), l2normalize(toDouble(col("embedding"))).as("e"))
+        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
       val a = v.as("a")
       val b = v.as("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round6(col("c")).as("cos"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Sign-LSH blocking QUALITY sweep for embedding near-dup — the
+    // measurement the r04 label-confinement skipped (ADVICE r04): before
+    // confining a 100 TB near-dup pass to blocks, run this on a sample
+    // and read off what each banding scheme actually buys. A 16-plane
+    // sign signature (deterministic hyperplanes shared with s02) is cut
+    // into b bands of r bits for (r,b) ∈ {(2,8),(4,4),(8,2)}; a pair is
+    // PROPOSED if it agrees on any whole band; proposals are verified
+    // with the exact cosine and scored against d06's exact pair set:
+    //   precision = true_proposed / proposed
+    //   recall    = true_proposed / exact_total.
+    // (At this corpus's threshold of 0.4, per-bit agreement for a true
+    // pair is only ~0.63 vs 0.5 random — the sweep shows sign-LSH cannot
+    // block cheaply at 0.4, which is WHY d06 stays exact.)
+    // Scale shape: signatures are one linear scan; each config's
+    // candidate join is EQUI on (config, band, bucket); the exact side is
+    // the d06 baseline, run here at sample scale (the d13 tune-on-sample
+    // pattern). The 1-row exact-total frame broadcasts back.
+    "d15_blocking_eval" -> { (s, dir) =>
+      val configs = Seq((2, 8), (4, 4), (8, 2)) // (bits per band, bands)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+      val sig = (0 until 16).map { j =>
+        when(dotSeq(lit(hyperplane(j)), col("e")) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val signed = v.select(col("vec_id"), sig.as("sig"))
+      // one (config, band, bucket) key per vector per band of each config
+      val keys = signed.select(col("vec_id"), explode(array(
+        configs.flatMap { case (r, b) =>
+          (0 until b).map { k =>
+            struct(lit(r).as("r"), lit(k).as("band"),
+              col("sig").bitwiseAND(lit(((1L << r) - 1) << (r * k))).as("bucket"))
+          }
+        }: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.r"), col("bb.band"), col("bb.bucket"))
+      val a = keys.as("a")
+      val b = keys.as("b")
+      val proposed = a.join(b,
+          col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.r").as("r"), col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      // verify each proposed pair with the exact cosine (join back for the
+      // vectors: the explode never carries the 64-dim payload)
+      val va = v.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+      val vb = v.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+      val verified = proposed.join(va, "vec_a").join(vb, "vec_b")
+        .select(col("r"), col("vec_a"), col("vec_b"),
+          (dotSeq(col("ea"), col("eb")) >= 0.4).cast(IntegerType).as("hit"))
+      // exact reference total (1 row, broadcast back)
+      val ex = v.as("x")
+      val ey = v.as("y")
+      val exactTotal = ex.join(ey, col("x.vec_id") < col("y.vec_id"))
+        .filter(dotSeq(col("x.e"), col("y.e")) >= 0.4)
+        .agg(count(lit(1)).as("exact_total"))
+      verified.groupBy("r")
+        .agg(count(lit(1)).as("proposed"), sum(col("hit")).as("found"))
+        .crossJoin(broadcast(exactTotal))
+        .select(col("r").as("bits_per_band"),
+          (lit(16L) / col("r")).cast(LongType).as("bands"),
+          col("proposed"), col("found"), col("exact_total"),
+          round6(col("found").cast(DoubleType) / col("proposed").cast(DoubleType)).as("precision"),
+          round6(col("found").cast(DoubleType) / col("exact_total").cast(DoubleType)).as("recall"))
+        .orderBy("bits_per_band")
     },
 
     // SEMANTIC dedup (SemDeDup shape): confine the quadratic cosine
@@ -699,12 +764,45 @@ object DedupQueries {
          |FROM keyed GROUP BY sig_key ORDER BY keep_id""".stripMargin,
     "d06_embed_neardup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
-      s"""WITH v AS (SELECT vec_id, label, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings)
          |SELECT vec_a, vec_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $dab AS c
-         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |WHERE c >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "d15_blocking_eval" -> {
+      val sigExpr = (0 until 16).map { j =>
+        val hp = sqlHyperplane(j)
+        s"(CASE WHEN ${sqlDotSeq(hp, "e")} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val cfgRows = Seq((2, 8), (4, 4), (8, 2))
+        .flatMap { case (r, b) => (0 until b).map(k => s"($r, $k)") }
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings),
+         |sg AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM v),
+         |cfg(r, band) AS (VALUES $cfgRows),
+         |keys AS (
+         |  SELECT vec_id, r, band,
+         |         sig & (((CAST(1 AS BIGINT) << r) - 1) << (r * band)) AS bucket
+         |  FROM sg CROSS JOIN cfg),
+         |prop AS (
+         |  SELECT DISTINCT a.r AS r, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM keys a JOIN keys b
+         |    ON a.r = b.r AND a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id),
+         |ver AS (
+         |  SELECT p.r, CASE WHEN ${sqlDotSeq("va.e", "vb.e")} >= 0.4 THEN 1 ELSE 0 END AS hit
+         |  FROM prop p JOIN v va ON p.vec_a = va.vec_id JOIN v vb ON p.vec_b = vb.vec_id),
+         |ext AS (
+         |  SELECT count(*) AS exact_total FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE ${sqlDotSeq("a.e", "b.e")} >= 0.4)
+         |SELECT CAST(r AS INT) AS bits_per_band, CAST(16 // r AS BIGINT) AS bands,
+         |       count(*) AS proposed, CAST(sum(hit) AS BIGINT) AS found, exact_total,
+         |       floor((sum(hit) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS "precision",
+         |       floor((sum(hit) / exact_total) * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM ver CROSS JOIN ext
+         |GROUP BY r, exact_total ORDER BY bits_per_band""".stripMargin
     },
     "d11_semdedup" -> {
       val dab = sqlDotSeq("a.e", "b.e")

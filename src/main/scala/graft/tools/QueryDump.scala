@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Print a query's full result (ad-hoc oracle cross-checks; not part of
+  * the driver contract). Usage: runMain graft.tools.QueryDump <name> [sfDir].
+  */
+object QueryDump {
+  def main(args: Array[String]): Unit = {
+    val q = args.headOption.getOrElse("q01_filter_isin")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.show(100, truncate = false)
+    println(s"[dump] $q rows=${df.count()}")
+    spark.stop()
+  }
+}

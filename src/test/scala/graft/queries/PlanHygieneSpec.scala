@@ -8,10 +8,9 @@ import graft.{SparkEntry, SparkSpec}
   * decide whether a plan survives a 100× scale-up, asserted so a
   * refactor can't silently regress them:
   *   - no accidental cross joins: only the documented all-pairs
-  *     baselines (s01 — and d02/d05 whose candidate verify joins
+  *     baselines (s01/d06 — and d02/d05 whose candidate verify joins
   *     on the broadcast candidate list) may plan nested-loop/cartesian
-  *     joins; d06 is cluster-confined (equi-join) as of r04 and is
-  *     held to the equi-join standard like everything else;
+  *     joins;
   *   - predicate pushdown reaches the parquet scan where a filter
   *     exists (q01's isin filter);
   *   - column pruning reaches the scan: a 2-column projection query
@@ -23,8 +22,15 @@ class PlanHygieneSpec extends SparkSpec {
 
   // All-pairs / broadcast-nested-loop by documented design:
   //   s01      - oracle-checkable brute-force baseline (scale paths
-  //              are s02/s03; d06 was retired from this list in r04 —
-  //              it now equi-joins on the coarse cluster key)
+  //              are s02/s03)
+  //   d06      - the EXACT near-dup spec is all-pairs by definition
+  //              (restored in r05: r04's label-confinement dropped ~90%
+  //              of true pairs — ADVICE r04; at 100 TB this runs on
+  //              samples/partitions, and d15 measures what any blocked
+  //              path trades away)
+  //   d15      - blocking-quality sweep: candidate joins are EQUI on
+  //              (config, band, bucket); the theta join is its exact
+  //              reference side (the d06 baseline at sample scale)
   //   d02/d05  - exact verification over the broadcast LSH candidate
   //              list (propose-then-verify; the list is tiny)
   //   x11      - range-predicate join pieces inside the salted demo
@@ -45,7 +51,8 @@ class PlanHygieneSpec extends SparkSpec {
   //   d13      - keep-list cross-joins the broadcast 1-ROW chosen-config
   //              frame (the d12/p14 single-build-row shape)
   private val nestedLoopByDesign =
-    Set("s01_cosine_topk", "d02_minhash_pairs",
+    Set("s01_cosine_topk", "d06_embed_neardup", "d15_blocking_eval",
+      "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
