@@ -563,6 +563,43 @@ object DedupQueries {
         .crossJoin(broadcast(chosen))
         .select(col("doc_id"), col("chosen_r"))
         .orderBy("doc_id")
+    },
+
+    // CROSS-RUN incremental dedup (ops.IncrementalDedup) as an oracle
+    // row: the documents table replays as a 3-day ingest (day =
+    // doc_id % 3) through the REAL side-effectful operator — each day's
+    // batch collapses within itself, anti-joins the persisted hash
+    // index, and appends its survivors' hashes to the index (a fresh
+    // temp index per invocation keeps the query deterministic). The
+    // dedup key is the 80-char head fingerprint (the corpus's full
+    // texts are all unique, but its templated heads collide — the
+    // boilerplate-dedup shape); day 2 takes the Bloom-prefilter path,
+    // so both operator variants run under the oracle. The DuckDB side
+    // never iterates: the replay's fixpoint has a closed form — a row
+    // survives iff it has the smallest doc_id within its (key, day)
+    // batch AND its day is the key's first day — and the iterative
+    // operator must reproduce it exactly. Scale shape: per-day work is
+    // one content-hash shuffle + an index anti-join (Bloom-prefiltered
+    // on day 2: the index rides as a 2 MB broadcast bitset and only
+    // possible-duplicates reach the join); the index memory lives in
+    // storage, not state, so the horizon is unbounded at any scale.
+    "d14_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("__key", substring(col("text"), 1, 80))
+      val indexPath = java.nio.file.Files
+        .createTempDirectory("d14_index").toString + "/index"
+      val days = (0 until 3).map { d =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === d)
+        val out =
+          if (d == 2)
+            graft.ops.IncrementalDedup.processWithBloom(
+              batch, "doc_id", "__key", indexPath)
+          else
+            graft.ops.IncrementalDedup.process(
+              batch, "doc_id", "__key", indexPath)
+        out.select(lit(d).as("day"), col("doc_id"))
+      }
+      days.reduce(_ unionByName _).orderBy("day", "doc_id")
     }
   )
 
@@ -804,6 +841,17 @@ object DedupQueries {
          |FROM ver CROSS JOIN ext
          |GROUP BY r, exact_total ORDER BY bits_per_band""".stripMargin
     },
+    "d14_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS day, substr(text, 1, 80) AS h FROM documents),
+        |m AS (
+        |  SELECT doc_id, day,
+        |         min(doc_id) OVER (PARTITION BY h, day) AS min_id,
+        |         min(day) OVER (PARTITION BY h) AS min_day
+        |  FROM d)
+        |SELECT CAST(day AS INT) AS day, doc_id FROM m
+        |WHERE doc_id = min_id AND day = min_day
+        |ORDER BY day, doc_id""".stripMargin,
     "d11_semdedup" -> {
       val dab = sqlDotSeq("a.e", "b.e")
       s"""WITH v AS (SELECT vec_id, label, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings),

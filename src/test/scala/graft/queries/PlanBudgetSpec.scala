@@ -40,7 +40,8 @@ class PlanBudgetSpec extends SparkSpec {
     "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
     "d09_dedup_keep" -> 3, "d10_edit_verify" -> 15,
     "d11_semdedup" -> 2, "d12_lsh_tuning" -> 9,
-    "d13_auto_dedup" -> 3, "d15_blocking_eval" -> 4,
+    "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
+    "d15_blocking_eval" -> 4,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
     "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
     "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
