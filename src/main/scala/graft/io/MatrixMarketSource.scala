@@ -15,8 +15,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -101,14 +101,53 @@ object MatrixMarketSource {
 
   private final class MMScanBuilder(paths: Seq[String])
       extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters
       with SupportsPushDownAggregates with SupportsPushDownLimit
       with SupportsPushDownTopN {
     private var required: StructType = Schema
     private var countStars: Int = 0
     private var limit: Option[Int] = None
     private var topN: Option[(Seq[(String, Boolean)], Int)] = None
+    private var accepted: Array[Filter] = Array.empty
+    private var preds: Seq[MMPred] = Nil
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+
+    /** Range/equality pushdown on any of the three long columns — the
+      * junction-window slice (row BETWEEN a AND b AND col BETWEEN c AND
+      * d) is the reference's primary MatrixMarket consumption
+      * (accessor.py:431-438). A pushed predicate is applied EXACTLY
+      * inside each reader, on the parsed longs BEFORE the InternalRow
+      * materializes — a window over a big .MM.gz decompresses the file
+      * (inherent to gzip) but allocates rows only for the slice. Consumed
+      * filters are not returned for post-scan re-evaluation.
+      */
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      def longV(v: Any): Option[Long] = v match {
+        case l: java.lang.Long => Some(l.longValue())
+        case i: java.lang.Integer => Some(i.longValue())
+        case s: java.lang.Short => Some(s.longValue())
+        case _ => None
+      }
+      def tryPred(f: Filter): Option[MMPred] = f match {
+        case EqualTo(a, v) if Schema.fieldNames.contains(a) =>
+          longV(v).map(MMPred(Schema.fieldIndex(a), "=", _))
+        case GreaterThan(a, v) if Schema.fieldNames.contains(a) =>
+          longV(v).map(MMPred(Schema.fieldIndex(a), ">", _))
+        case GreaterThanOrEqual(a, v) if Schema.fieldNames.contains(a) =>
+          longV(v).map(MMPred(Schema.fieldIndex(a), ">=", _))
+        case LessThan(a, v) if Schema.fieldNames.contains(a) =>
+          longV(v).map(MMPred(Schema.fieldIndex(a), "<", _))
+        case LessThanOrEqual(a, v) if Schema.fieldNames.contains(a) =>
+          longV(v).map(MMPred(Schema.fieldIndex(a), "<=", _))
+        case _ => None
+      }
+      val (consumed, rest) = filters.partition(f => tryPred(f).isDefined)
+      preds = consumed.toSeq.flatMap(tryPred)
+      accepted = consumed
+      rest
+    }
+    override def pushedFilters(): Array[Filter] = accepted
 
     /** PARTIAL limit pushdown (same contract as Recount3Source): each
       * reader stops decompressing after n entries; Spark applies the
@@ -144,9 +183,11 @@ object MatrixMarketSource {
       * is a driver-free, O(header) read per file — at corpus scale a
       * count over thousands of .MM.gz files decompresses nothing.
       * Partial pushdown (each file reports its nnz; Spark sums).
+      * REFUSED when a filter was consumed: the header declares the
+      * whole file's nnz, not the slice's.
       */
     override def pushAggregation(aggregation: Aggregation): Boolean = {
-      val ok = aggregation.groupByExpressions.isEmpty &&
+      val ok = accepted.isEmpty && aggregation.groupByExpressions.isEmpty &&
         aggregation.aggregateExpressions.nonEmpty &&
         aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
       if (ok) countStars = aggregation.aggregateExpressions.length
@@ -161,24 +202,40 @@ object MatrixMarketSource {
         // would not be — it drops rows that belong to the top-n)
         val appliedTopN = topN.filter(_._1.forall(f => required.fieldNames.contains(f._1)))
         new MMScan(paths, required,
-          if (appliedTopN.isDefined) None else limit, appliedTopN)
+          if (appliedTopN.isDefined) None else limit, appliedTopN, preds)
       }
+  }
+
+  /** One pushed comparison on column `idx` of the (row, col, value)
+    * triple, evaluated on the parsed long before row materialization.
+    */
+  private final case class MMPred(idx: Int, op: String, v: Long) {
+    def eval(x: Long): Boolean = op match {
+      case "=" => x == v
+      case ">" => x > v
+      case ">=" => x >= v
+      case "<" => x < v
+      case "<=" => x <= v
+    }
+    override def toString: String = s"${Schema.fieldNames(idx)} $op $v"
   }
 
   private final class MMScan(paths: Seq[String], required: StructType,
       limit: Option[Int] = None,
-      topN: Option[(Seq[(String, Boolean)], Int)] = None) extends Scan with Batch {
+      topN: Option[(Seq[(String, Boolean)], Int)] = None,
+      preds: Seq[MMPred] = Nil) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       paths.map(MMPartition.apply).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MMReaderFactory(required, limit, topN)
+      MMReaderFactory(required, limit, topN, preds)
     override def description(): String =
       s"matrixmarket files=${paths.size}" + limit.fold("")(l => s" limit=$l") +
         topN.fold("") { case (orders, n) =>
           s" topn=$n[${orders.map { case (f, d) => f + (if (d) " DESC" else "") }.mkString(",")}]"
-        }
+        } +
+        (if (preds.isEmpty) "" else s" PushedFilters: [${preds.mkString(", ")}]")
   }
 
   /** Pushed-COUNT(*) scan: one row per file holding the header's nnz. */
@@ -218,11 +275,12 @@ object MatrixMarketSource {
 
   private final case class MMReaderFactory(required: StructType,
       limit: Option[Int] = None,
-      topN: Option[(Seq[(String, Boolean)], Int)] = None)
+      topN: Option[(Seq[(String, Boolean)], Int)] = None,
+      preds: Seq[MMPred] = Nil)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val inner = new MMReader(p.asInstanceOf[MMPartition].path, required,
-        if (topN.isDefined) None else limit)
+        if (topN.isDefined) None else limit, preds)
       topN.fold(inner: PartitionReader[InternalRow]) { case (orders, n) =>
         new TopNRowReader(inner, required, orders, n)
       }
@@ -234,10 +292,12 @@ object MatrixMarketSource {
     * columns.
     */
   private final class MMReader(path: String, required: StructType,
-      limit: Option[Int] = None) extends PartitionReader[InternalRow] {
+      limit: Option[Int] = None,
+      preds: Seq[MMPred] = Nil) extends PartitionReader[InternalRow] {
     // index of each required column in the (row, col, value) triple
     private val fieldIdx: Array[Int] =
       required.fields.map(f => Schema.fieldIndex(f.name))
+    private val predArr: Array[MMPred] = preds.toArray
     private val reader = open(path)
     private var headerSkipped = false
     private var emitted = 0L
@@ -245,21 +305,34 @@ object MatrixMarketSource {
 
     override def next(): Boolean = {
       if (limit.exists(emitted >= _)) { current = null; return false }
-      var line = reader.readLine()
-      while (line != null && (line.startsWith("%") || line.trim.isEmpty))
-        line = reader.readLine()
-      if (line != null && !headerSkipped) {
-        headerSkipped = true
-        return next() // the size line is metadata, not data
+      // loop, not recursion: a pushed filter may skip millions of
+      // consecutive entries and must not grow the stack doing it
+      while (true) {
+        var line = reader.readLine()
+        while (line != null && (line.startsWith("%") || line.trim.isEmpty))
+          line = reader.readLine()
+        if (line == null) { current = null; return false }
+        if (!headerSkipped) {
+          headerSkipped = true // the size line is metadata, not data
+        } else {
+          val p = line.trim.split("\\s+")
+          // pushed predicates run on the parsed longs BEFORE the row
+          // materializes — a filtered-out entry allocates nothing
+          var ok = true
+          var i = 0
+          while (ok && i < predArr.length) {
+            ok = predArr(i).eval(p(predArr(i).idx).toLong)
+            i += 1
+          }
+          if (ok) {
+            current = InternalRow.fromSeq(
+              fieldIdx.toIndexedSeq.map(i => p(i).toLong))
+            emitted += 1 // counts emitted DATA rows only
+            return true
+          }
+        }
       }
-      if (line == null) { current = null; false }
-      else {
-        val p = line.trim.split("\\s+")
-        current = InternalRow.fromSeq(
-          fieldIdx.toIndexedSeq.map(i => p(i).toLong))
-        emitted += 1 // counts emitted DATA rows only (header skip recurses)
-        true
-      }
+      false // unreachable
     }
     override def get(): InternalRow = current
     override def close(): Unit = reader.close()

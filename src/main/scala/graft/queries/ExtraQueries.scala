@@ -323,6 +323,46 @@ object ExtraQueries {
           count(lit(1)).as("n"),
           sumMoney(col("value")).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // Junction-window slice through the MatrixMarket DataSourceV2 — the
+    // reference's primary MM consumption (accessor.py:431-438) as an
+    // oracle row: lineitem aggregates to a sparse junction matrix
+    // (row = orderkey, col = linenumber, value = Σ quantity), writes as
+    // a real gzipped .MM coordinate file (distributed single-part text
+    // write; the 1-row dims/nnz agg is the only driver collect), and
+    // the v2 source reads the WINDOW back — the row/col range predicates
+    // push into the reader (MatrixMarketSourceSpec pins the pushed-
+    // filter plan + that no post-scan Filter remains), so entries
+    // outside the window never materialize a row. The oracle computes
+    // the same slice from lineitem directly, closing the loop over
+    // write → parse → pushdown.
+    "x20_mm_window" -> { (s, dir) =>
+      val cells = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("row"),
+          col("l_linenumber").cast(LongType).as("col"),
+          col("l_quantity").cast(LongType).as("value"))
+        .groupBy("row", "col").agg(sum("value").as("value"))
+      val Seq(maxR, maxC, nnz) = cells
+        .agg(max("row"), max("col"), count(lit(1)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+      val tmp = java.nio.file.Files.createTempDirectory("x20_mm").toString
+      val header = s.range(1).select(lit(0L).as("ord"),
+        lit("%%MatrixMarket matrix coordinate integer general").as("line"))
+        .unionByName(s.range(1).select(lit(1L).as("ord"),
+          lit(s"$maxR $maxC $nnz").as("line")))
+      val body = cells.select((lit(2L) + col("row") * (maxC + 1) + col("col")).as("ord"),
+        concat_ws(" ", col("row"), col("col"), col("value")).as("line"))
+      header.unionByName(body).repartition(1).sortWithinPartitions("ord")
+        .select("line")
+        .write.option("compression", "gzip").text(s"$tmp/txt")
+      val part = new java.io.File(s"$tmp/txt").listFiles()
+        .filter(_.getName.endsWith(".gz")).head
+      val mm = s"$tmp/junction.MM.gz"
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(mm))
+      s.read.format("matrixmarket").load(mm)
+        .filter(col("row") >= 100 && col("row") <= 2000 && col("col") <= 4)
+        .orderBy("row", "col")
     }
   )
 
@@ -420,6 +460,14 @@ object ExtraQueries {
     "x09_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the MM file x20 reads is itself built from lineitem, so the slice
+    // is fully recomputable from the source table
+    "x20_mm_window" ->
+      """SELECT l_orderkey AS row, CAST(l_linenumber AS BIGINT) AS col,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS "value"
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 2000 AND l_linenumber <= 4
+        |GROUP BY 1, 2 ORDER BY row, col""".stripMargin,
     "x10_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part

@@ -97,6 +97,51 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(spark.read.format("matrixmarket").load(mmPath).count() == 5L)
   }
 
+  test("junction-window slice pushes row/col range filters into the reader") {
+    // the reference's primary MM consumption: a row/col window slice
+    // (accessor.py:431-438)
+    val df = spark.read.format("matrixmarket").load(mmPath)
+      .filter(col("row") >= 1 && col("row") <= 3 &&
+        col("col") >= 1 && col("col") < 3)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.exists(s => s.contains("PushedFilters: [") &&
+      s.contains("row >= 1") && s.contains("row <= 3") &&
+      s.contains("col >= 1") && s.contains("col < 3")),
+      s"expected pushed range filters; got $scans")
+    // no post-scan Filter node remains — the scan consumed them exactly
+    assert(!df.queryExecution.executedPlan.toString.contains("+- *(1) Filter"),
+      "filters should be consumed by the scan, not re-evaluated")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      Seq((1L, 1L, 7L), (2L, 2L, 9L), (3L, 1L, 4L)))
+    // equality + value predicates push too, and compose with pruning
+    val eq = spark.read.format("matrixmarket").load(mmPath)
+      .filter(col("row") === 3 && col("value") > 1).select("col")
+    val eqScans = eq.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => (b.scan.description(), b.scan.readSchema().fieldNames.toSeq)
+    }
+    assert(eqScans.exists { case (d, s) =>
+      d.contains("row = 3") && d.contains("value > 1") && s == Seq("col")
+    }, s"pushed equality + pruned schema; got $eqScans")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("COUNT(*) under a filter does NOT use the header shortcut") {
+    val df = spark.read.format("matrixmarket").load(mmPath)
+      .filter(col("value") > 2).groupBy().count()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b.scan.description())
+      case other => other.children.flatMap(scans)
+    }
+    val descs = scans(df.queryExecution.executedPlan)
+    assert(!descs.exists(_.contains("via nnz header")),
+      s"filtered count must scan, not trust the header; got $descs")
+    assert(df.collect().head.getLong(0) == 3L)
+  }
+
   test("matrixMarketRead returns header dims + the v2 frame") {
     val (data, nRows, nCols, nnz) = Readers.matrixMarketRead(spark, mmPath)
     assert((nRows, nCols, nnz) == (3L, 4L, 5L))

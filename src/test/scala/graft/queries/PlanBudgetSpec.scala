@@ -87,7 +87,8 @@ class PlanBudgetSpec extends SparkSpec {
     "x13_asof_join" -> 3, "x14_range_join" -> 3,
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
-    "x19_latest_by_key" -> 2, "s09_ann_mrr" -> 18)
+    "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
+    "s09_ann_mrr" -> 18)
 
   private def shuffles(planStr: String): Int =
     raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size
