@@ -147,13 +147,16 @@ object TopKRowBuffer {
   * exchange) and appends the rank column. Per-task memory is
   * O(groups-in-partition × k) — no full-group materialization anywhere.
   *
-  * The PARTIAL side participates in WHOLE-STAGE CODEGEN (the blocking-
-  * operator pattern SortExec uses): fused with the child scan, the
+  * BOTH sides participate in WHOLE-STAGE CODEGEN (the blocking-operator
+  * pattern SortExec uses). Partial: fused with the child scan, the
   * generated consume path evaluates group/value/tie straight off the
   * scan's column variables and feeds the heap — no row materialization
   * boundary between scan and top-k; the produce path then streams the
-  * survivors. The final side stays interpreted (it runs post-exchange on
-  * k × groups × partitions rows — codegen would buy nothing there).
+  * survivors. Final: post-exchange, the InputAdapter's rows feed the
+  * same generated consume, and the produce path streams ranked rows
+  * (child row ++ rank) into the downstream stage — the rank projection
+  * fuses with whatever follows instead of forcing an interpreted
+  * boundary between the exchange and the consumer.
   */
 case class TopKExec(
     groupExprs: Seq[Expression],
@@ -186,10 +189,30 @@ case class TopKExec(
     else ClusteredDistribution(groupExprs) :: Nil
 
   /** Called from the generated code (and the interpreted path) — one
-    * fresh buffer per task. Codegen only plans the uncapped form, so the
-    * generated insert() never trips the cap assertion.
+    * fresh buffer per task. The cap applies to the PARTIAL side only
+    * (the final side must see every group it ranks); partial codegen
+    * only plans the uncapped form, so the generated insert() never
+    * trips the cap assertion.
     */
-  def createBuffer(): TopKRowBuffer = new TopKRowBuffer(k, maxPartialGroups)
+  def createBuffer(): TopKRowBuffer =
+    new TopKRowBuffer(k, if (partial) maxPartialGroups else Int.MaxValue)
+
+  /** Final-side output iterator over a drained buffer: child row ++
+    * rank, best-first within each group — the generated produce path
+    * calls this (same JoinedRow + projection the interpreted path uses;
+    * the projection reuses its buffer, as partialRows' stored rows do).
+    */
+  def rankedOutput(buffer: TopKRowBuffer): Iterator[UnsafeRow] = {
+    val resultProj = UnsafeProjection.create(output, output)
+    val joined = new JoinedRow
+    val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    buffer.rankedGroups.flatMap { entries =>
+      entries.iterator.zipWithIndex.map { case (e, i) =>
+        rankRow.update(0, i + 1)
+        resultProj(joined(e._3, rankRow))
+      }
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -249,12 +272,16 @@ case class TopKExec(
     }, preservesPartitioning = true)
   }
 
-  // ---- whole-stage codegen (partial side only) ----------------------
+  // ---- whole-stage codegen (both sides) -----------------------------
 
-  // the capped (memory-hardened) form emits pass-through rows MID-stream,
-  // which the blocking codegen shape cannot do without buffering them all
-  // in the stage output list — so it trades fusion for bounded memory
-  override def supportCodegen: Boolean = partial && maxPartialGroups == Int.MaxValue
+  // the capped (memory-hardened) PARTIAL form emits pass-through rows
+  // MID-stream, which the blocking codegen shape cannot do without
+  // buffering them all in the stage output list — so it trades fusion
+  // for bounded memory. The FINAL side always fuses: post-exchange it
+  // reads through an InputAdapter, heaps the k x groups x partitions
+  // survivors, and streams ranked rows into the downstream stage.
+  override def supportCodegen: Boolean =
+    if (partial) maxPartialGroups == Int.MaxValue else true
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
@@ -276,11 +303,14 @@ case class TopKExec(
     val numOutputRows = metricTerm(ctx, "numOutputRows")
     val numGroups = metricTerm(ctx, "numGroups")
     val outputRow = ctx.freshName("topkRow")
+    val drained =
+      if (partial) s"$bufferTerm.partialRows()"
+      else s"$thisPlan.rankedOutput($bufferTerm)"
     s"""
        |if ($needInput) {
        |  $addInputFn();
        |  $numGroups.add($bufferTerm.numGroups());
-       |  $iterTerm = $bufferTerm.partialRows();
+       |  $iterTerm = $drained;
        |  $needInput = false;
        |}
        |while ($limitNotReachedCond $iterTerm.hasNext()) {

@@ -89,8 +89,16 @@ class TopKPlanSpec extends SparkSpec {
       })
       assert(fusedPartial, s"partial TopKExec not inside WholeStageCodegen:\n" +
         out.queryExecution.executedPlan)
-      // the final side stays interpreted (post-exchange, nothing to fuse)
-      assert(nodes.collect { case t: TopKExec if !t.partial => t }.nonEmpty)
+      // the final side fuses too: post-exchange InputAdapter -> heap ->
+      // generated ranked-row stream
+      val fusedFinal = nodes.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(w => flatten(w.child).exists {
+        case t: TopKExec => !t.partial
+        case _ => false
+      })
+      assert(fusedFinal, s"final TopKExec not inside WholeStageCodegen:\n" +
+        out.queryExecution.executedPlan)
 
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       val interp = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
