@@ -555,7 +555,11 @@ object DedupQueries {
         .join(broadcast(chosen), col("r") === col("chosen_r"))
         .select("doc_a", "doc_b").distinct()
         .transform(exactVerified(s, dir, _))
-      val losers = graft.ops.ConnectedComponents.minLabel(pr)._1
+      // budget-switched CC: min-label for the shallow components near-dup
+      // graphs produce, automatic fallback to the O(log)-round star
+      // engine if the verified pair graph turns out deep (the engines
+      // are keep-list-equivalent — ConnectedComponentsSpec pins it)
+      val losers = graft.ops.ConnectedComponents.auto(pr)._1
         .filter(col("cluster_id") =!= col("doc_id"))
         .select("doc_id")
       Tables(s, dir, "documents").select("doc_id")

@@ -82,4 +82,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelsOf(dl) == expected)
     assert(dRounds > 4, s"deep graph must have paid the budget then switched; rounds $dRounds")
   }
+
+  test("keep-list (min per component survives) is engine-invariant") {
+    // the d13 consumption shape: losers = nodes whose label != self;
+    // the keep-list must be identical whichever engine auto lands on
+    val rnd = new scala.util.Random(7)
+    val edges = ((1 to 60).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+    } ++ (100L until 130L).map(i => (i, i + 1))) // deep tail appended
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    def keepers(labels: org.apache.spark.sql.DataFrame): Set[Long] =
+      labels.filter(org.apache.spark.sql.functions.col("cluster_id") ===
+        org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    val viaMin = keepers(ConnectedComponents.minLabel(df)._1)
+    val viaStar = keepers(ConnectedComponents.alternatingStar(df)._1)
+    val viaAutoSwitched = keepers(ConnectedComponents.auto(df, diameterBudget = 3)._1)
+    assert(viaMin == viaStar)
+    assert(viaAutoSwitched == viaMin)
+  }
 }
