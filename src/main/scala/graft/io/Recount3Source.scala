@@ -67,6 +67,7 @@ object Recount3Source {
     * invisible in the planning-time description string.
     */
   @volatile private[io] var lastPlannedFiles: Seq[String] = Nil
+  @volatile private[io] var lastRuntimeSamples: Option[Set[String]] = None
 
 
   val Schema: StructType = StructType(Seq(
@@ -339,17 +340,27 @@ object Recount3Source {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
-    /** RUNTIME file pruning (the DataSourceV2 dynamic-partition-pruning
-      * hook): when this scan joins a filtered dimension on project_id,
-      * Spark executes the dim side first and hands the observed key set
-      * here BEFORE planInputPartitions — whole files for projects the
-      * join cannot match are never opened. This is the same
-      * whole-file-skip the static pushed filter does, driven by values
-      * known only at runtime.
+    /** RUNTIME pruning (the DataSourceV2 dynamic-partition-pruning
+      * hook): when this scan joins a filtered dimension on project_id or
+      * sample_id, Spark executes the dim side first and hands the
+      * observed key set here BEFORE planInputPartitions —
+      *   - project_id: whole files for projects the join cannot match
+      *     are never opened (the static pushed filter's whole-file skip,
+      *     driven by values known only at runtime);
+      *   - sample_id: the readers skip parsing every unselected wide
+      *     column (the static sample filter's column skip) — a join
+      *     against a small sample dimension reads |kept| columns per
+      *     line instead of the full width.
       */
     private var runtimeFiles: Seq[R3File] = files
+    private var runtimeSamples: Option[Set[String]] = None
+    // only columns surviving pruning: Spark resolves filter attributes
+    // against the scan OUTPUT and fails analysis on a pruned one
     override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      Array(org.apache.spark.sql.connector.expressions.Expressions.column("project_id"))
+      Seq("project_id", "sample_id")
+        .filter(required.fieldNames.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
     override def filter(filters: Array[Filter]): Unit =
       filters.foreach {
         case EqualTo("project_id", v: String) =>
@@ -357,6 +368,11 @@ object Recount3Source {
         case In("project_id", vs) if vs.forall(_.isInstanceOf[String]) =>
           val keep = vs.map(_.asInstanceOf[String]).toSet
           runtimeFiles = runtimeFiles.filter(f => keep(f.pid))
+        case EqualTo("sample_id", v: String) =>
+          runtimeSamples = Some(runtimeSamples.fold(Set(v))(_ intersect Set(v)))
+        case In("sample_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+          val keep = vs.map(_.asInstanceOf[String]).toSet
+          runtimeSamples = Some(runtimeSamples.fold(keep)(_ intersect keep))
         case _ => ()
       }
 
@@ -378,12 +394,21 @@ object Recount3Source {
             .identity("project_id")),
           files.size)
       else new UnknownPartitioning(files.size)
+    /** Static pushed sample set ∩ runtime sample set — the readers see
+      * one effective keep-set.
+      */
+    private def effectiveSamples: Option[Set[String]] =
+      (sampleKeep, runtimeSamples) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
     override def planInputPartitions(): Array[InputPartition] = {
       Recount3Source.lastPlannedFiles = runtimeFiles.map(_.pid)
+      Recount3Source.lastRuntimeSamples = runtimeSamples
       runtimeFiles.map(f => R3Partition(f.pid, f.path)).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      R3ReaderFactory(required, sampleKeep, limit, topN)
+      R3ReaderFactory(required, effectiveSamples, limit, topN)
     // surfaced in explain() so specs (and users) can see the pruning
     override def description(): String =
       s"recount3 files=${files.size} " +

@@ -147,6 +147,28 @@ class Recount3SourceSpec extends SparkSpec {
       s"runtime filter should prune to the joined project's file; planned $planned")
   }
 
+  test("runtime filtering: a join against a filtered sample dim prunes wide columns") {
+    // the sample twin of the project-id runtime filter: the dim's
+    // observed sample_id set reaches the scan before execution, so the
+    // readers skip parsing every unselected wide column
+    import spark.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-rf-sdim").toString
+    Seq(("SRR001", "keep"), ("SRR999", "drop")).toDF("sample_id", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("tag") === "keep")
+    val fact = read("gene", "SRP001,SRP002")
+    Recount3Source.lastRuntimeSamples = None
+    val joined = fact.join(dim, "sample_id")
+      .groupBy("sample_id").count()
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("SRR001", 4L)))
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression runtime filter on the scan")
+    assert(Recount3Source.lastRuntimeSamples == Some(Set("SRR001")),
+      s"runtime sample set should reach the scan; got ${Recount3Source.lastRuntimeSamples}")
+  }
+
   test("reported storage partitioning: project-keyed aggregation plans NO shuffle") {
     val key = "spark.sql.sources.v2.bucketing.enabled"
     val prev = spark.conf.getOption(key)
