@@ -82,6 +82,8 @@ object GraftFunctions {
       exprs => BloomAgg(exprs(0), exprs(1), exprs(2), exprs(3)).toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_cuts", exprs => CdcCutsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       // m and k must be integer literals: they fold to constants here
       exprs => BloomContains(exprs(0), exprs(1), exprs(2),

@@ -483,6 +483,39 @@ object PipelineQueries {
           round6(col("n_tokens").cast(DoubleType) /
             col("n_docs").cast(DoubleType)).as("mean_tokens"),
           col("n_chars_total"))
+    },
+
+    // CONTENT-DEFINED chunking (the FastCDC/rsync family): boundaries
+    // come from a rolling window hash of the text itself
+    // (expressions.CdcCutsExpr, native O(n) codegen'd loop), not from
+    // fixed strides — so an edit shifts only the cuts within ~W bytes of
+    // it and near-identical documents share almost all their chunks,
+    // which is what makes chunk-level dedup (p07) robust to insertions.
+    // p06 is the fixed-stride twin; CdcCutsExprSpec pins the
+    // resynchronization property. Map-only: cuts, boundary zipping, and
+    // substring extraction are all per-row expressions fused into the
+    // scan; the only exchange is the presentation sort. The oracle
+    // replays the per-window polynomial sum with the same (B, P, D, W).
+    "p19_cdc_chunk" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents") // registers graft_cdc_cuts
+      docs
+        .select(col("doc_id"), col("text"),
+          expr("graft_cdc_cuts(text)").as("cuts"))
+        .select(col("doc_id"), col("text"),
+          concat(array(lit(0)), col("cuts"),
+            array(length(col("text")))).as("b"))
+        .select(col("doc_id"),
+          filter(
+            zip_with(
+              slice(col("b"), lit(1), size(col("b")) - 1),
+              slice(col("b"), lit(2), size(col("b")) - 1),
+              (p, c) => col("text").substr(p + lit(1), c - p)),
+            ch => length(ch) > 0).as("chunks"))
+        .select(col("doc_id"), posexplode(col("chunks")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("k"),
+          col("col").as("chunk"),
+          length(col("col")).cast(LongType).as("chunk_chars"))
+        .orderBy("doc_id", "k")
     }
   )
 
@@ -787,6 +820,36 @@ object PipelineQueries {
         |  n_tokens,
         |  floor((CAST(n_tokens AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens,
         |  n_chars_total
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "p19_cdc_chunk" -> {
+      import graft.expressions.CdcCutsExpr.{D, P, Pows, W}
+      // same power table the native expression uses, as a SQL literal
+      val pows = Pows.mkString("([", ", ", "]::BIGINT[])")
+      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+         |cut AS (
+         |  SELECT doc_id, s, n,
+         |    list_filter(range($W, n + 1), i ->
+         |      (list_sum(list_transform(range(0, $W), j ->
+         |        ord(s[CAST(i - j AS INT):CAST(i - j AS INT)]) * $pows[CAST(j + 1 AS INT)] % $P)) % $P) % $D = 0
+         |    ) AS cuts
+         |  FROM d),
+         |bnd AS (
+         |  SELECT doc_id, s,
+         |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
+         |  FROM cut),
+         |ch AS (
+         |  SELECT doc_id,
+         |    list_filter(
+         |      list_transform(range(1, len(b)), t ->
+         |        s[CAST(b[CAST(t AS INT)] + 1 AS INT):CAST(b[CAST(t AS INT) + 1] AS INT)]),
+         |      c -> length(c) > 0) AS chunks
+         |  FROM bnd),
+         |e AS (
+         |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS t, chunks
+         |  FROM ch)
+         |SELECT doc_id, t - 1 AS k, chunks[CAST(t AS INT)] AS chunk,
+         |  CAST(length(chunks[CAST(t AS INT)]) AS BIGINT) AS chunk_chars
+         |FROM e ORDER BY doc_id, k""".stripMargin
+    }
   )
 }

@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins graft_cdc_cuts three ways:
+  *   - the O(n) rolling implementation equals an independent O(n·W)
+  *     per-window SUM evaluation (the form the DuckDB oracle replays);
+  *   - boundary resynchronization: editing a prefix only changes cuts
+  *     near the edit — downstream cuts realign (the property that makes
+  *     CDC chunks near-dup-stable where fixed windows are not);
+  *   - codegen and interpreted paths agree.
+  */
+class CdcCutsExprSpec extends SparkSpec {
+  import CdcCutsExpr.{B, D, P, W}
+
+  /** Independent reference: per-window sum, no rolling state. */
+  private def sumCuts(s: String): Seq[Int] = {
+    val b = s.getBytes("UTF-8")
+    (W to b.length).filter { i =>
+      val h = (0 until W).map { j =>
+        (b(i - 1 - j) & 0xffL) * CdcCutsExpr.Pows(j) % P
+      }.sum % P
+      h % D == 0
+    }
+  }
+
+  private def exprCuts(texts: Seq[String]): Seq[Seq[Int]] = {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    texts.toDF("t").select(expr("graft_cdc_cuts(t)")).collect()
+      .map(_.getSeq[Int](0).toList).toSeq
+  }
+
+  test("rolling implementation equals the per-window sum form") {
+    val rnd = new scala.util.Random(13)
+    val samples = (1 to 60).map { i =>
+      (0 until i * 7).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val texts = samples ++ Seq("", "short", "x" * 7, "y" * 8, "z" * 2000)
+    val got = exprCuts(texts)
+    texts.zip(got).foreach { case (t, cuts) =>
+      assert(cuts == sumCuts(t), s"text of length ${t.length}")
+    }
+  }
+
+  test("cuts resynchronize after an edit (the anti-fixed-stride property)") {
+    val rnd = new scala.util.Random(42)
+    val doc = (1 to 4000).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val edited = doc.substring(0, 100) + "INSERTED!" + doc.substring(100)
+    val Seq(c1, c2) = exprCuts(Seq(doc, edited))
+    assert(c1.nonEmpty, "expected cuts in a 4000-char doc")
+    // every original cut past the edit zone reappears shifted by the
+    // insertion length (local content unchanged => same window hashes)
+    val shift = 9
+    val after1 = c1.filter(_ > 100 + W).toSet
+    val after2 = c2.filter(_ > 100 + shift + W).map(_ - shift).toSet
+    assert(after1 == after2,
+      "cuts after the edit must realign exactly (shifted by the insertion)")
+  }
+
+  test("codegen and interpreted agree") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog" * 20)
+    val viaExpr = exprCuts(texts).head
+    val interpreted = CdcCutsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(texts.head)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    assert(viaExpr == interpreted)
+    assert(viaExpr == sumCuts(texts.head))
+  }
+}
