@@ -128,6 +128,37 @@ object Streaming {
     else chunked.dropDuplicates(Seq("chunk_key"))
   }
 
+  /** CONTENT-DEFINED twin of [[dedupChunksStream]]: chunk boundaries come
+    * from the text's rolling window hash (expressions.CdcCutsExpr — the
+    * p19 operator) instead of fixed token strides. The property that
+    * matters for a stream: an edited RE-POST shares every chunk outside
+    * ~W bytes of the edit (boundaries resynchronize), so within-watermark
+    * chunk dedup drops the overlap — fixed strides see every downstream
+    * chunk shifted and keep all of them. Same state shape as the fixed
+    * path: stateless chunking in append mode, state = distinct chunk
+    * hashes inside the watermark horizon.
+    */
+  def dedupCdcChunksStream(docs: DataFrame, textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val cuts = call_function("graft_cdc_cuts", col(textCol))
+    val chunked = docs
+      .withColumn("b",
+        concat(array(lit(0)), cuts, array(length(col(textCol)))))
+      .withColumn("chunk", explode(filter(
+        zip_with(
+          slice(col("b"), lit(1), size(col("b")) - 1),
+          slice(col("b"), lit(2), size(col("b")) - 1),
+          (p, c) => col(textCol).substr(p + lit(1), c - p)),
+        ch => length(ch) > 0)))
+      .withColumn("chunk_key", sha2(col("chunk"), 256))
+      .drop("b")
+    if (docs.isStreaming)
+      chunked.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(Seq("chunk_key"))
+    else chunked.dropDuplicates(Seq("chunk_key"))
+  }
+
   /** Streaming DECONTAMINATION: flag each arriving document with how
     * many of its distinct word-3-grams hit a Bloom bitset of the
     * benchmark set (p14's filter, stream side). The bitset rides into

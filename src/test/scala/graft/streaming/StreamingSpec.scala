@@ -320,6 +320,41 @@ class StreamingSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("dedupCdcChunksStream: an edited re-post dedups outside the edit window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("ts_ns", "doc_id", "text")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    val out = Streaming.dedupCdcChunksStream(docs, "text", "1 hour")
+    val ckpt = Files.createTempDirectory("graft-cdcdedup-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("cdcdedup")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val rnd = new scala.util.Random(31)
+    val original = (1 to 2000).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val edited = original.substring(0, 50) + "EDITED:" + original.substring(50)
+    try {
+      mem.addData((1000L, 1L, original))
+      q.processAllAvailable()
+      mem.addData((2000L, 2L, edited)) // re-post with one insertion
+      q.processAllAvailable()
+      val byDoc = spark.table("cdcdedup").select("doc_id", "chunk")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      val n1 = byDoc.getOrElse(1L, 0)
+      val n2 = byDoc.getOrElse(2L, 0)
+      assert(n1 > 5, s"expected several CDC chunks from a 2000-char doc, got $n1")
+      // boundaries resynchronize: only the chunks touching the edit
+      // survive for doc 2 — the shared tail dedups against doc 1
+      assert(n2 > 0 && n2 <= 3,
+        s"edited re-post should contribute only edit-window chunks, got $n2 (of $n1)")
+    } finally q.stop()
+    // batch twin: identical texts collapse to one owner per chunk
+    import spark.implicits._
+    val batch = Seq((1L, original), (2L, original)).toDF("doc_id", "text")
+    val batchChunks = Streaming.dedupCdcChunksStream(batch, "text")
+    assert(batchChunks.select("chunk_key").distinct().count() == batchChunks.count())
+  }
+
   test("chunk math fuzz: boundaries and ids match an independent fold (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
