@@ -516,6 +516,25 @@ object PipelineQueries {
           col("col").as("chunk"),
           length(col("col")).cast(LongType).as("chunk_chars"))
         .orderBy("doc_id", "k")
+    },
+
+    // p19 closed into chunk-level dedup (the p07 shape over CDC chunks):
+    // one content-hash shuffle over the map-only chunk stream, keeper =
+    // min (doc_id, k) struct per chunk content — because boundaries are
+    // content-defined, the same passage re-used across documents lands
+    // in IDENTICAL chunks and collapses here even when its surrounding
+    // offsets differ (fixed strides only dedup aligned repeats — p07's
+    // limitation this row removes). StreamingSpec pins the live twin
+    // (dedupCdcChunksStream).
+    "p20_cdc_dedup" -> { (s, dir) =>
+      val chunks = queries("p19_cdc_chunk")(s, dir)
+      chunks
+        .groupBy(sha2(col("chunk"), 256).as("h"))
+        .agg(min(struct(col("doc_id"), col("k"))).as("keep"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.k").as("k"),
+          col("n_copies"))
+        .orderBy("doc_id", "k")
     }
   )
 
@@ -850,6 +869,41 @@ object PipelineQueries {
          |SELECT doc_id, t - 1 AS k, chunks[CAST(t AS INT)] AS chunk,
          |  CAST(length(chunks[CAST(t AS INT)]) AS BIGINT) AS chunk_chars
          |FROM e ORDER BY doc_id, k""".stripMargin
+    },
+    "p20_cdc_dedup" -> {
+      import graft.expressions.CdcCutsExpr.{D, P, Pows, W}
+      val pows = Pows.mkString("([", ", ", "]::BIGINT[])")
+      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+         |cut AS (
+         |  SELECT doc_id, s, n,
+         |    list_filter(range($W, n + 1), i ->
+         |      (list_sum(list_transform(range(0, $W), j ->
+         |        ord(s[CAST(i - j AS INT):CAST(i - j AS INT)]) * $pows[CAST(j + 1 AS INT)] % $P)) % $P) % $D = 0
+         |    ) AS cuts
+         |  FROM d),
+         |bnd AS (
+         |  SELECT doc_id, s,
+         |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
+         |  FROM cut),
+         |ch AS (
+         |  SELECT doc_id,
+         |    list_filter(
+         |      list_transform(range(1, len(b)), t ->
+         |        s[CAST(b[CAST(t AS INT)] + 1 AS INT):CAST(b[CAST(t AS INT) + 1] AS INT)]),
+         |      c -> length(c) > 0) AS chunks
+         |  FROM bnd),
+         |e AS (
+         |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS t, chunks
+         |  FROM ch),
+         |long AS (
+         |  SELECT doc_id, t - 1 AS k, chunks[CAST(t AS INT)] AS chunk FROM e),
+         |g AS (
+         |  SELECT sha256(chunk) AS h,
+         |    min({'doc_id': doc_id, 'k': k}) AS keep,
+         |    count(*) AS n_copies
+         |  FROM long GROUP BY h)
+         |SELECT keep.doc_id AS doc_id, keep.k AS k, n_copies
+         |FROM g ORDER BY doc_id, k""".stripMargin
     }
   )
 }

@@ -59,7 +59,7 @@ class PlanBudgetSpec extends SparkSpec {
     "p13_split" -> 2, "p14_bloom_decontam" -> 5,
     "p15_mix_epochs" -> 2, "p16_epoch_shuffle" -> 2,
     "p17_length_buckets" -> 2, "p18_datasheet" -> 2,
-    "p19_cdc_chunk" -> 1,
+    "p19_cdc_chunk" -> 1, "p20_cdc_dedup" -> 2,
     "q01_filter_isin" -> 1, "q02_group_count" -> 2,
     "q03_distinct" -> 2, "q04_nway_join_agg" -> 2,
     "q05_align_outer" -> 3, "q06_union_missing" -> 1,
