@@ -38,6 +38,7 @@ object BpeLearn {
     */
   private def segment(words: DataFrame): DataFrame =
     words.select(
+      col("word"),
       concat(lit(" "),
         array_join(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))), " "),
@@ -87,6 +88,7 @@ object BpeLearn {
     val seg = merges.foldLeft(col("seg")) { case (c, (l, r)) =>
       call_function("replace", c, lit(s" $l $r"), lit(s" $l$r"))
     }
-    segment(words).select(col("cnt"), filter(split(seg, " "), x => x =!= "").as("pieces"))
+    segment(words).select(col("word"), col("cnt"),
+      filter(split(seg, " "), x => x =!= "").as("pieces"))
   }
 }

@@ -278,6 +278,34 @@ object TextQueries {
         .orderBy(desc("n"), col("piece")).limit(50)
     },
 
+    // The trained tokenizer APPLIED to the corpus — per-document token
+    // counts under the learned BPE (t15 trains, t16 profiles the
+    // vocabulary; this is the number a training-data pipeline actually
+    // bills by). Scale shape: tokenization happens once per DISTINCT
+    // word (the vocabulary-sized applyMerges frame, broadcast back),
+    // never per occurrence — the corpus pays one (doc, word) aggregate
+    // and one broadcast join, not a per-token string replay.
+    "t17_bpe_doc_tokens" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val words = graft.ops.BpeLearn.wordCounts(docs, "text")
+      val merges = graft.ops.BpeLearn.learnMerges(words, 8)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val pieces = graft.ops.BpeLearn.applyMerges(words, merges)
+        .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
+      val docWords = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+      docWords.join(broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("ws_tokens"),
+          sum(col("k") * col("n_pieces")).as("bpe_tokens"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          round6(col("bpe_tokens").cast(DoubleType) /
+            col("ws_tokens").cast(DoubleType)).as("pieces_per_word"))
+        .orderBy("doc_id")
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -435,7 +463,7 @@ object TextQueries {
       |    FROM documents)
       |  GROUP BY word),
       |w0 AS (
-      |  SELECT ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+      |  SELECT word, ' ' || array_to_string(list_transform(range(1, len(word) + 1),
       |    i -> word[i]), ' ') || ' </w>' AS seg, cnt
       |  FROM wc)""".stripMargin
 
@@ -450,7 +478,7 @@ object TextQueries {
        |  GROUP BY 1, 2),
        |b$i AS (SELECT l, r, s FROM p$i ORDER BY s DESC, l, r LIMIT 1),
        |w${i + 1} AS (
-       |  SELECT replace(seg, ' ' || l || ' ' || r, ' ' || l || r) AS seg, cnt
+       |  SELECT word, replace(seg, ' ' || l || ' ' || r, ' ' || l || r) AS seg, cnt
        |  FROM w$i, b$i)""".stripMargin
   }.mkString(",\n")
 
@@ -579,6 +607,23 @@ object TextQueries {
          |  SELECT cnt, unnest(list_filter(string_split(seg, ' '), x -> x <> '')) AS piece
          |  FROM w$BpeRounds)
          |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin,
+    "t17_bpe_doc_tokens" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers,
+         |np AS (
+         |  SELECT word,
+         |    CAST(len(list_filter(string_split(seg, ' '), x -> x <> '')) AS BIGINT) AS n_pieces
+         |  FROM w$BpeRounds),
+         |dw AS (
+         |  SELECT doc_id, word, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(k * n_pieces) AS BIGINT) AS bpe_tokens,
+         |  floor((CAST(sum(k * n_pieces) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word
+         |FROM dw JOIN np USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -28,8 +28,9 @@ class BpeLearnSpec extends SparkSpec {
   test("applyMerges replays training segmentation on the training words") {
     val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "cnt")
     val merges = Seq(("a", "a"), ("a", "b"))
-    val pieces = BpeLearn.applyMerges(words, merges).collect()
-      .map(r => r.getSeq[String](1).toList).toSet
+    val pieces = BpeLearn.applyMerges(words, merges)
+      .select("pieces").collect()
+      .map(r => r.getSeq[String](0).toList).toSet
     // "aaab" -> " aa ab </w>"; "ab" -> " ab </w>"
     assert(pieces == Set(List("aa", "ab", "</w>"), List("ab", "</w>")))
   }

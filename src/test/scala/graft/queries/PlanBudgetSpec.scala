@@ -79,6 +79,7 @@ class PlanBudgetSpec extends SparkSpec {
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
     "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 5,
     "t15_bpe_merges" -> 1, "t16_bpe_vocab" -> 2,
+    "t17_bpe_doc_tokens" -> 4,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
     "x03_intersect" -> 2, "x04_except" -> 2,
     "x05_window_tumbling" -> 2, "x06_date_parts" -> 2,
