@@ -21,6 +21,24 @@ object SimilarityQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
 
+  /** Per-label spherical centroids: order-independent elementwise mean
+    * via DECIMAL sums — ONE label-keyed aggregate carrying 64 decimal
+    * accumulators + a count, assembled into the centroid array in a
+    * projection (an earlier posexplode form shuffled 64× the rows on
+    * (label, pos) and needed a second shuffle to re-collect the array;
+    * decimal sums are exact, so values are bit-identical either way).
+    * Shared by s03 (nprobe=1 search) and s10 (the nprobe sweep).
+    */
+  private def ivfCentroids(v: DataFrame): DataFrame = {
+    val sums = (0 until LshDim).map(d =>
+      sum(element_at(col("e"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
+    v.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("label").as("c_label"),
+        array((0 until LshDim).map(d =>
+          col(s"s$d").cast(DoubleType) / col("n")): _*).as("c"))
+  }
+
   private def topk(q: DataFrame, c: DataFrame, joinCond: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
     q.join(c, joinCond)
@@ -232,20 +250,7 @@ object SimilarityQueries {
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           l2normalize(toDouble(col("embedding"))).as("e"))
-      // centroids: order-independent elementwise mean via DECIMAL sums.
-      // ONE label-keyed aggregate carrying 64 decimal accumulators + a
-      // count, assembled into the centroid array in a projection — the
-      // earlier posexplode form shuffled 64x the rows on (label, pos)
-      // and needed a second shuffle to re-collect the array. Decimal
-      // sums are exact, so the values are bit-identical either way.
-      val sums = (0 until LshDim).map(d =>
-        sum(element_at(col("e"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
-      val centroids = v
-        .groupBy(col("label"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-        .select(col("label").as("c_label"),
-          array((0 until LshDim).map(d =>
-            col(s"s$d").cast(DoubleType) / col("n")): _*).as("c"))
+      val centroids = ivfCentroids(v)
       val q = v.filter(col("vec_id") < 10)
       val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
       val best = q.crossJoin(broadcast(centroids))
@@ -265,6 +270,59 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
         .orderBy("query_id", "rank")
+    },
+
+    // The IVF nprobe SWEEP — the d12/d15 "measure the knob" pattern for
+    // the clustered tier's one tuning knob: for nprobe ∈ {1,2,4}, probe
+    // the nprobe best centroids per query (s03 is the nprobe=1 member),
+    // search only those clusters, and score recall@3 against the exact
+    // s01 top-3 beside the candidate volume each setting pays. One
+    // centroid ranking feeds every config (the config dimension explodes
+    // into the key, the one-subtree d12 trick); labels partition the
+    // corpus, so a candidate appears once per config. At 100 TB this is
+    // the table you read before fixing nprobe corpus-wide.
+    "s10_ivf_nprobe" -> { (s, dir) =>
+      val probes = Seq(1, 2, 4)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val ranked = q.crossJoin(broadcast(ivfCentroids(v)))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+      val probed = ranked
+        .select(col("query_id"), col("c_label").as("label"), col("rn"),
+          explode(array(probes.map(lit(_)): _*)).as("p"))
+        .filter(col("rn") <= col("p"))
+        .select(col("p"), col("query_id"), col("label"))
+      val scored = probed
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(v.select(col("label"), col("vec_id").as("neighbor_id"),
+          col("e").as("ce")), "label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("p"), col("query_id"), col("neighbor_id"),
+          dotSeq(col("qe"), col("ce")).as("c"))
+      val cand = scored.groupBy("p").agg(count(lit(1)).as("n_candidates"))
+      val wTop = Window.partitionBy("p", "query_id").orderBy(desc("c"), col("neighbor_id"))
+      val approxTop = scored
+        .withColumn("r", row_number().over(wTop))
+        .filter(col("r") <= 3)
+        .select(col("p"), col("query_id"), col("neighbor_id"))
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val hits = approxTop.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("p").agg(count(lit(1)).as("hits"))
+      cand.join(hits, Seq("p"), "left")
+        .na.fill(0L, Seq("hits"))
+        .crossJoin(broadcast(nEx))
+        .select(col("p").as("nprobe"), col("n_candidates"), col("hits"),
+          col("n_exact"),
+          round6(col("hits").cast(DoubleType) /
+            col("n_exact").cast(DoubleType)).as("recall_at_3"))
+        .orderBy("nprobe")
     },
 
     // Mean reciprocal rank of the TRUE nearest neighbor (s01 rank 1)
@@ -410,9 +468,53 @@ object SimilarityQueries {
       s"""SELECT '$tier' AS tier, count(*) AS n_queries, count(a.rank) AS n_found,
          |    floor((CAST(sum(COALESCE(6 // a.rank, 0)) AS DOUBLE) / (count(*) * 6.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr
          |  FROM nn1 LEFT JOIN $cte a USING (query_id, neighbor_id)""".stripMargin
+    val s10Sql = {
+      val dqc2 = sqlDotSeq("qv.e", "cv.e")
+      s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+         |pos AS (
+         |  SELECT label, i AS pos, e[i] AS x
+         |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+         |cd AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+         |  FROM pos GROUP BY label, pos),
+         |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+         |probe AS (
+         |  SELECT q.vec_id AS query_id, cent.label,
+         |         ${sqlDotSeq("q.e", "cent.c")} AS d
+         |  FROM v q, cent WHERE q.vec_id < 10),
+         |pr AS (
+         |  SELECT query_id, label,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+         |  FROM probe),
+         |cfg(p) AS (VALUES (1), (2), (4)),
+         |probed AS (SELECT p, query_id, label FROM pr CROSS JOIN cfg WHERE rn <= p),
+         |scored AS (
+         |  SELECT pb.p, pb.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
+         |  FROM probed pb
+         |  JOIN v qv ON qv.vec_id = pb.query_id
+         |  JOIN v cv ON cv.label = pb.label AND cv.vec_id <> pb.query_id),
+         |cand AS (SELECT p, count(*) AS n_candidates FROM scored GROUP BY p),
+         |atop AS (
+         |  SELECT p, query_id, neighbor_id FROM (
+         |    SELECT p, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY p, query_id ORDER BY c DESC, neighbor_id) AS r
+         |    FROM scored) WHERE r <= 3),
+         |ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+         |ex_n AS (SELECT count(*) AS n_exact FROM ex_top),
+         |hits AS (
+         |  SELECT p, count(*) AS hits FROM atop
+         |  JOIN ex_top USING (query_id, neighbor_id) GROUP BY p)
+         |SELECT CAST(cand.p AS INT) AS nprobe, cand.n_candidates,
+         |  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits, ex_n.n_exact,
+         |  floor((CAST(COALESCE(hits.hits, 0) AS DOUBLE) / CAST(ex_n.n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_3
+         |FROM cand LEFT JOIN hits ON cand.p = hits.p CROSS JOIN ex_n
+         |ORDER BY nprobe""".stripMargin
+    }
     Map(
       "s01_cosine_topk" -> s01Sql,
       "s02_lsh_topk" -> s02Sql,
+      "s10_ivf_nprobe" -> s10Sql,
       "s09_ann_mrr" ->
         s"""WITH nn1 AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rank = 1),
            |alsh AS (SELECT query_id, neighbor_id, rank FROM ($s02Sql)),

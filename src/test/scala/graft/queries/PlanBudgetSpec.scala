@@ -90,7 +90,7 @@ class PlanBudgetSpec extends SparkSpec {
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
     "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
-    "s09_ann_mrr" -> 18)
+    "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12)
 
   private def shuffles(planStr: String): Int =
     raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size

@@ -55,6 +55,7 @@ class PlanHygieneSpec extends SparkSpec {
       "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
+      "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
       "s09_ann_mrr", "d13_auto_dedup")
 
