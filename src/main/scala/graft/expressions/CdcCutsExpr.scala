@@ -7,22 +7,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: content-defined-chunking cut positions
-  * ("graft_cdc_cuts", 9th native). For every 1-based byte position
-  * i ∈ [W, n], the polynomial hash of the W-byte window ending at i,
-  *   h(i) = Σ_{j=0}^{W-1} byte(i-j) · B^j  mod P,
+  * ("graft_cdc_cuts", 9th native). For every 1-based CODE-POINT position
+  * i ∈ [W, n], the polynomial hash of the W-code-point window ending at
+  * i,
+  *   h(i) = Σ_{j=0}^{W-1} cp(i-j) · B^j  mod P,
   * marks a CUT when h(i) mod D == 0 — so chunk boundaries depend only
   * on LOCAL content. That is the property fixed-stride chunking (p06)
   * lacks: inserting one character shifts every downstream fixed window,
-  * but CDC boundaries resynchronize within ~W bytes, which is why
+  * but CDC boundaries resynchronize within ~W code points, which is why
   * near-identical documents share almost all their chunks (the FastCDC/
   * rsync family of storage dedup).
   *
-  * Single O(n) primitive loop (rolling update: drop the outgoing byte's
-  * B^{W-1} term, shift by B, add the incoming byte — algebraically equal
-  * to the window sum mod P, and pinned equal to the independent
-  * per-window sum in CdcCutsExprSpec). The DuckDB oracle replays the
-  * per-window SUM form with the same (B, P, D, W) constants — the ASCII
-  * single-byte contract m01/t04 already pin makes byte(i) == ord(i).
+  * Positions count Unicode CODE POINTS, the same unit Spark's
+  * substring/length and DuckDB's ord()/string indexing use — so the
+  * returned cuts slice identically on any text in both engines, not
+  * just ASCII (an earlier byte-based form silently diverged from the
+  * char-based consumers on multibyte input).
+  *
+  * Single O(n) primitive loop (rolling update: drop the outgoing code
+  * point's B^{W-1} term, shift by B, add the incoming one —
+  * algebraically equal to the window sum mod P, and pinned equal to the
+  * independent per-window sum in CdcCutsExprSpec). The DuckDB oracle
+  * replays the per-window SUM form with the same (B, P, D, W).
   */
 case class CdcCutsExpr(child: Expression) extends UnaryExpression {
 
@@ -56,27 +62,31 @@ object CdcCutsExpr {
     a
   }
 
-  /** 1-based cut positions over the string's UTF-8 bytes. */
+  /** 1-based cut positions over the string's Unicode code points. */
   def cuts(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
+    val str = s.toString
+    // code points up front: O(n), and gives the same indexing unit
+    // Spark substring / DuckDB string slicing use
+    val cps = str.codePoints().toArray
+    val n = cps.length
     val out = new java.util.ArrayList[Any]()
     if (n >= W) {
       val bw1 = Pows(W - 1)
-      // seed via Horner in string order: oldest byte lands on B^{W-1},
-      // the newest (window end) on B^0 — exactly h(W) of the sum form
+      // seed via Horner in string order: oldest code point lands on
+      // B^{W-1}, the newest (window end) on B^0 — exactly h(W) of the
+      // sum form
       var h = 0L
       var i = 0
       while (i < W) {
-        h = (h * B + (bytes(i) & 0xffL)) % P
+        h = (h * B + cps(i)) % P
         i += 1
       }
       if (h % D == 0L) out.add(W)
       var pos = W // 1-based position of current window end
       while (pos < n) {
-        val outgoing = bytes(pos - W) & 0xffL
-        val incoming = bytes(pos) & 0xffL
-        h = ((h - outgoing * bw1 % P + P) % P * B + incoming) % P
+        val outgoing = cps(pos - W).toLong
+        val incoming = cps(pos).toLong
+        h = ((h - outgoing * bw1 % P + P * B) % P * B + incoming) % P
         pos += 1
         if (h % D == 0L) out.add(pos)
       }

@@ -14,6 +14,23 @@ object TextFns {
   /** Whitespace tokens (single-space split — matches DuckDB string_split). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Content-defined chunks of `text`: the substrings between
+    * graft_cdc_cuts boundaries (1-based code-point offsets), empties
+    * dropped. ONE definition shared by the batch rows (p19/p20) and the
+    * streaming twin (Streaming.dedupCdcChunksStream) so the two cannot
+    * drift. Caller must have registered GraftFunctions on the session.
+    */
+  def cdcChunks(text: Column): Column = {
+    val cuts = call_function("graft_cdc_cuts", text)
+    val b = concat(array(lit(0)), cuts, array(length(text)))
+    filter(
+      zip_with(
+        slice(b, lit(1), size(b) - 1),
+        slice(b, lit(2), size(b) - 1),
+        (p, c) => text.substr(p + lit(1), c - p)),
+      ch => length(ch) > 0)
+  }
+
   /** Word 3-gram shingles of a token array.
     *
     * Shape matters: an earlier `transform(sequence(0, n-3), i =>

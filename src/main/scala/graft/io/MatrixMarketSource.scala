@@ -142,10 +142,12 @@ object MatrixMarketSource {
           longV(v).map(MMPred(Schema.fieldIndex(a), "<=", _))
         case _ => None
       }
-      val (consumed, rest) = filters.partition(f => tryPred(f).isDefined)
-      preds = consumed.toSeq.flatMap(tryPred)
-      accepted = consumed
-      rest
+      // single tryPred pass: preds and accepted derive from the same
+      // parse, so the two cannot disagree
+      val parsed = filters.map(f => f -> tryPred(f))
+      preds = parsed.toSeq.collect { case (_, Some(p)) => p }
+      accepted = parsed.collect { case (f, Some(_)) => f }
+      parsed.collect { case (f, None) => f }
     }
     override def pushedFilters(): Array[Filter] = accepted
 

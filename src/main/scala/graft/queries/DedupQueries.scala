@@ -604,8 +604,8 @@ object DedupQueries {
     "d14_incremental_dedup" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
         .withColumn("__key", substring(col("text"), 1, 80))
-      val indexPath = java.nio.file.Files
-        .createTempDirectory("d14_index").toString + "/index"
+      val tmpRoot = java.nio.file.Files.createTempDirectory("d14_index")
+      val indexPath = tmpRoot.toString + "/index"
       val days = (0 until 3).map { d =>
         val batch = docs.filter(pmod(col("doc_id"), lit(3)) === d)
         val out =
@@ -617,6 +617,11 @@ object DedupQueries {
               batch, "doc_id", "__key", indexPath)
         out.select(lit(d).as("day"), col("doc_id"))
       }
+      // each day's survivors are localCheckpoint'ed inside process(), so
+      // the index is only needed DURING the replay — reclaim it rather
+      // than leaking a temp dir per invocation
+      val p = new org.apache.hadoop.fs.Path(tmpRoot.toString)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       days.reduce(_ unionByName _).orderBy("day", "doc_id")
     }
   )

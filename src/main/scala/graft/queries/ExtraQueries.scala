@@ -338,11 +338,14 @@ object ExtraQueries {
     // the same slice from lineitem directly, closing the loop over
     // write → parse → pushdown.
     "x20_mm_window" -> { (s, dir) =>
+      // persisted: the frame feeds both the 1-row dims aggregate and the
+      // body write — without it the lineitem aggregation runs twice
       val cells = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("row"),
           col("l_linenumber").cast(LongType).as("col"),
           col("l_quantity").cast(LongType).as("value"))
         .groupBy("row", "col").agg(sum("value").as("value"))
+        .persist()
       val Seq(maxR, maxC, nnz) = cells
         .agg(max("row"), max("col"), count(lit(1)))
         .collect().head.toSeq.map(_.asInstanceOf[Long])
@@ -360,6 +363,7 @@ object ExtraQueries {
         .filter(_.getName.endsWith(".gz")).head
       val mm = s"$tmp/junction.MM.gz"
       java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(mm))
+      cells.unpersist()
       s.read.format("matrixmarket").load(mm)
         .filter(col("row") >= 100 && col("row") <= 2000 && col("col") <= 4)
         .orderBy("row", "col")

@@ -499,18 +499,7 @@ object PipelineQueries {
     "p19_cdc_chunk" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents") // registers graft_cdc_cuts
       docs
-        .select(col("doc_id"), col("text"),
-          expr("graft_cdc_cuts(text)").as("cuts"))
-        .select(col("doc_id"), col("text"),
-          concat(array(lit(0)), col("cuts"),
-            array(length(col("text")))).as("b"))
-        .select(col("doc_id"),
-          filter(
-            zip_with(
-              slice(col("b"), lit(1), size(col("b")) - 1),
-              slice(col("b"), lit(2), size(col("b")) - 1),
-              (p, c) => col("text").substr(p + lit(1), c - p)),
-            ch => length(ch) > 0).as("chunks"))
+        .select(col("doc_id"), cdcChunks(col("text")).as("chunks"))
         .select(col("doc_id"), posexplode(col("chunks")))
         .select(col("doc_id"), col("pos").cast(LongType).as("k"),
           col("col").as("chunk"),
@@ -840,61 +829,13 @@ object PipelineQueries {
         |  floor((CAST(n_tokens AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens,
         |  n_chars_total
         |FROM a""".stripMargin,
-    "p19_cdc_chunk" -> {
-      import graft.expressions.CdcCutsExpr.{D, P, Pows, W}
-      // same power table the native expression uses, as a SQL literal
-      val pows = Pows.mkString("([", ", ", "]::BIGINT[])")
-      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
-         |cut AS (
-         |  SELECT doc_id, s, n,
-         |    list_filter(range($W, n + 1), i ->
-         |      (list_sum(list_transform(range(0, $W), j ->
-         |        ord(s[CAST(i - j AS INT):CAST(i - j AS INT)]) * $pows[CAST(j + 1 AS INT)] % $P)) % $P) % $D = 0
-         |    ) AS cuts
-         |  FROM d),
-         |bnd AS (
-         |  SELECT doc_id, s,
-         |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
-         |  FROM cut),
-         |ch AS (
-         |  SELECT doc_id,
-         |    list_filter(
-         |      list_transform(range(1, len(b)), t ->
-         |        s[CAST(b[CAST(t AS INT)] + 1 AS INT):CAST(b[CAST(t AS INT) + 1] AS INT)]),
-         |      c -> length(c) > 0) AS chunks
-         |  FROM bnd),
-         |e AS (
-         |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS t, chunks
-         |  FROM ch)
+    "p19_cdc_chunk" ->
+      s"""WITH $CdcChunkSql
          |SELECT doc_id, t - 1 AS k, chunks[CAST(t AS INT)] AS chunk,
          |  CAST(length(chunks[CAST(t AS INT)]) AS BIGINT) AS chunk_chars
-         |FROM e ORDER BY doc_id, k""".stripMargin
-    },
-    "p20_cdc_dedup" -> {
-      import graft.expressions.CdcCutsExpr.{D, P, Pows, W}
-      val pows = Pows.mkString("([", ", ", "]::BIGINT[])")
-      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
-         |cut AS (
-         |  SELECT doc_id, s, n,
-         |    list_filter(range($W, n + 1), i ->
-         |      (list_sum(list_transform(range(0, $W), j ->
-         |        ord(s[CAST(i - j AS INT):CAST(i - j AS INT)]) * $pows[CAST(j + 1 AS INT)] % $P)) % $P) % $D = 0
-         |    ) AS cuts
-         |  FROM d),
-         |bnd AS (
-         |  SELECT doc_id, s,
-         |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
-         |  FROM cut),
-         |ch AS (
-         |  SELECT doc_id,
-         |    list_filter(
-         |      list_transform(range(1, len(b)), t ->
-         |        s[CAST(b[CAST(t AS INT)] + 1 AS INT):CAST(b[CAST(t AS INT) + 1] AS INT)]),
-         |      c -> length(c) > 0) AS chunks
-         |  FROM bnd),
-         |e AS (
-         |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS t, chunks
-         |  FROM ch),
+         |FROM e ORDER BY doc_id, k""".stripMargin,
+    "p20_cdc_dedup" ->
+      s"""WITH $CdcChunkSql,
          |long AS (
          |  SELECT doc_id, t - 1 AS k, chunks[CAST(t AS INT)] AS chunk FROM e),
          |g AS (
@@ -904,6 +845,41 @@ object PipelineQueries {
          |  FROM long GROUP BY h)
          |SELECT keep.doc_id AS doc_id, keep.k AS k, n_copies
          |FROM g ORDER BY doc_id, k""".stripMargin
-    }
   )
+
+  /** DuckDB mirror of [[graft.functions.TextFns.cdcChunks]] + explode-
+    * with-ordinal, through CTE `e(doc_id, t, chunks)` — ONE definition
+    * shared by the p19/p20 oracles (the Spark twin is likewise one
+    * helper), replaying the per-window polynomial sum with the native
+    * expression's own constants. DuckDB's ord()/string slicing index
+    * code points, the same unit CdcCutsExpr counts.
+    */
+  // def, not val: referenced by the oracleSql val above — a val here
+  // would still be null during that initializer
+  private def CdcChunkSql: String = {
+    import graft.expressions.CdcCutsExpr.{D, P, Pows, W}
+    val pows = Pows.mkString("([", ", ", "]::BIGINT[])")
+    s"""d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+       |cut AS (
+       |  SELECT doc_id, s, n,
+       |    list_filter(range($W, n + 1), i ->
+       |      (list_sum(list_transform(range(0, $W), j ->
+       |        ord(s[CAST(i - j AS INT):CAST(i - j AS INT)]) * $pows[CAST(j + 1 AS INT)] % $P)) % $P) % $D = 0
+       |    ) AS cuts
+       |  FROM d),
+       |bnd AS (
+       |  SELECT doc_id, s,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
+       |  FROM cut),
+       |ch AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(range(1, len(b)), t ->
+       |        s[CAST(b[CAST(t AS INT)] + 1 AS INT):CAST(b[CAST(t AS INT) + 1] AS INT)]),
+       |      c -> length(c) > 0) AS chunks
+       |  FROM bnd),
+       |e AS (
+       |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS t, chunks
+       |  FROM ch)""".stripMargin
+  }
 }

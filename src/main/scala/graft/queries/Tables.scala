@@ -38,7 +38,9 @@ object Tables {
     * so stream the sf dir filtered to the events file.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    apply(spark, dir, "events") // sets confs + registers graft_* functions
+    graft.expressions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one footer read serves both the stream schema and normalization
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

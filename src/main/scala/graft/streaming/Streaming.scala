@@ -141,18 +141,10 @@ object Streaming {
   def dedupCdcChunksStream(docs: DataFrame, textCol: String = "text",
       watermarkDelay: String = "1 hour"): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    val cuts = call_function("graft_cdc_cuts", col(textCol))
     val chunked = docs
-      .withColumn("b",
-        concat(array(lit(0)), cuts, array(length(col(textCol)))))
-      .withColumn("chunk", explode(filter(
-        zip_with(
-          slice(col("b"), lit(1), size(col("b")) - 1),
-          slice(col("b"), lit(2), size(col("b")) - 1),
-          (p, c) => col(textCol).substr(p + lit(1), c - p)),
-        ch => length(ch) > 0)))
+      .withColumn("chunk",
+        explode(graft.functions.TextFns.cdcChunks(col(textCol))))
       .withColumn("chunk_key", sha2(col("chunk"), 256))
-      .drop("b")
     if (docs.isStreaming)
       chunked.withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark(Seq("chunk_key"))

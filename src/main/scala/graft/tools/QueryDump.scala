@@ -17,9 +17,14 @@ object QueryDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // collect once: show() then count() would execute the plan twice
     val df = SparkEntry.queries(q)(spark, dir)
-    df.show(100, truncate = false)
-    println(s"[dump] $q rows=${df.count()}")
+    val rows = df.collect()
+    val spark2 = df.sparkSession
+    spark2.createDataFrame(
+        java.util.Arrays.asList(rows.take(100): _*), df.schema)
+      .show(100, truncate = false)
+    println(s"[dump] $q rows=${rows.length}")
     spark.stop()
   }
 }

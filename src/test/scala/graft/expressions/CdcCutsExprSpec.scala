@@ -15,12 +15,14 @@ import graft.SparkSpec
 class CdcCutsExprSpec extends SparkSpec {
   import CdcCutsExpr.{B, D, P, W}
 
-  /** Independent reference: per-window sum, no rolling state. */
+  /** Independent reference: per-window sum over code points, no rolling
+    * state.
+    */
   private def sumCuts(s: String): Seq[Int] = {
-    val b = s.getBytes("UTF-8")
-    (W to b.length).filter { i =>
+    val cp = s.codePoints().toArray
+    (W to cp.length).filter { i =>
       val h = (0 until W).map { j =>
-        (b(i - 1 - j) & 0xffL) * CdcCutsExpr.Pows(j) % P
+        cp(i - 1 - j).toLong * CdcCutsExpr.Pows(j) % P
       }.sum % P
       h % D == 0
     }
@@ -58,6 +60,30 @@ class CdcCutsExprSpec extends SparkSpec {
     val after2 = c2.filter(_ > 100 + shift + W).map(_ - shift).toSet
     assert(after1 == after2,
       "cuts after the edit must realign exactly (shifted by the insertion)")
+  }
+
+  test("non-ASCII text: cuts are code-point positions, chunks reassemble") {
+    // multibyte chars (2-byte é, 3-byte 個, 4-byte surrogate-pair emoji):
+    // cuts must index the same unit substring does, so slicing by them
+    // loses nothing
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcé個💡xyz .,"
+    // build by code points so surrogate pairs never split
+    val cpAlphabet = alphabet.codePoints().toArray
+    val doc = new StringBuilder
+    (1 to 3000).foreach(_ => doc.appendAll(Character.toChars(
+      cpAlphabet(rnd.nextInt(cpAlphabet.length)))))
+    val text = doc.toString
+    val cuts = exprCuts(Seq(text)).head
+    assert(cuts == sumCuts(text), "rolling == sum form on multibyte text")
+    assert(cuts.nonEmpty, "expected cuts in a 3000-code-point doc")
+    // reassembling the chunks cut at code-point offsets restores the doc
+    val cpText = text.codePoints().toArray
+    val bounds = 0 +: cuts :+ cpText.length
+    val rebuilt = bounds.zip(bounds.tail).map { case (a, b) =>
+      new String(cpText, a, b - a)
+    }.mkString
+    assert(rebuilt == text, "chunks must cover the doc exactly")
   }
 
   test("codegen and interpreted agree") {
