@@ -55,6 +55,7 @@ object Bench {
     // unpersists the frames but the memo would keep re-serving them,
     // re-materializing without the intended one-time count)
     graft.queries.DedupQueries.evictAll(spark)
+    graft.queries.Quantizer.evictAll(spark)
     spark.catalog.clearCache()
     System.gc()
 
@@ -101,6 +102,7 @@ object Bench {
     val prelude = {
       def build(): Option[Double] = {
         graft.queries.DedupQueries.evict(spark, sfDir)
+        graft.queries.Quantizer.evict(spark, sfDir)
         timedOnce("d00_dedup_prelude",
           graft.queries.DedupQueries.prewarm(spark, sfDir))
       }

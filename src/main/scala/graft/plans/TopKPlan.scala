@@ -190,12 +190,32 @@ case class TopKExec(
 
   /** Called from the generated code (and the interpreted path) — one
     * fresh buffer per task. The cap applies to the PARTIAL side only
-    * (the final side must see every group it ranks); partial codegen
-    * only plans the uncapped form, so the generated insert() never
-    * trips the cap assertion.
+    * (the final side must see every group it ranks).
     */
   def createBuffer(): TopKRowBuffer =
     new TopKRowBuffer(k, if (partial) maxPartialGroups else Int.MaxValue)
+
+  /** Pass-through store for the CAPPED generated partial: rows of
+    * groups beyond the cap cannot be emitted mid-stream from a blocking
+    * produce loop, so they accumulate here — in memory up to the
+    * window-exec threshold, SPILLING TO DISK beyond it (the same
+    * ExternalAppendOnlyUnsafeRowArray WindowExec/SortMergeJoin buffer
+    * with). Heap memory therefore stays bounded at maxGroups × k kept
+    * rows + the in-memory threshold, for ANY group cardinality.
+    */
+  def createPassArray(): org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+      conf.windowExecBufferInMemoryThreshold, Long.MaxValue,
+      conf.windowExecBufferSpillThreshold, conf.windowExecBufferSpillSizeThreshold)
+  }
+
+  /** Drain for the capped generated partial: kept heap rows, then the
+    * (possibly spilled) pass-through rows.
+    */
+  def partialDrain(buffer: TopKRowBuffer,
+      pass: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray): Iterator[UnsafeRow] =
+    buffer.partialRows ++ pass.generateIterator()
 
   /** Final-side output iterator over a drained buffer: child row ++
     * rank, best-first within each group — the generated produce path
@@ -274,14 +294,16 @@ case class TopKExec(
 
   // ---- whole-stage codegen (both sides) -----------------------------
 
-  // the capped (memory-hardened) PARTIAL form emits pass-through rows
-  // MID-stream, which the blocking codegen shape cannot do without
-  // buffering them all in the stage output list — so it trades fusion
-  // for bounded memory. The FINAL side always fuses: post-exchange it
-  // reads through an InputAdapter, heaps the k x groups x partitions
-  // survivors, and streams ranked rows into the downstream stage.
-  override def supportCodegen: Boolean =
-    if (partial) maxPartialGroups == Int.MaxValue else true
+  // BOTH partial forms fuse. The capped (memory-hardened) partial
+  // cannot emit pass-through rows MID-stream from a blocking produce
+  // loop, so they land in a spillable ExternalAppendOnlyUnsafeRowArray
+  // instead and drain after the heaps — fusion AND a hard memory bound.
+  // The FINAL side always fuses: post-exchange it reads through an
+  // InputAdapter, heaps the k x groups x partitions survivors, and
+  // streams ranked rows into the downstream stage.
+  override def supportCodegen: Boolean = true
+
+  private def capped: Boolean = partial && maxPartialGroups != Int.MaxValue
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
@@ -292,6 +314,11 @@ case class TopKExec(
     val thisPlan = ctx.addReferenceObj("plan", this)
     bufferTerm = ctx.addMutableState(classOf[TopKRowBuffer].getName, "topkBuffer",
       v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    passTerm =
+      if (capped) ctx.addMutableState(
+        classOf[org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray].getName,
+        "topkPass", v => s"$v = $thisPlan.createPassArray();", forceInline = true)
+      else null
     val iterTerm = ctx.addMutableState("scala.collection.Iterator", "topkOutput")
     val fnName = ctx.freshName("addToTopK")
     val addInputFn = ctx.addNewFunction(fnName,
@@ -304,12 +331,17 @@ case class TopKExec(
     val numGroups = metricTerm(ctx, "numGroups")
     val outputRow = ctx.freshName("topkRow")
     val drained =
-      if (partial) s"$bufferTerm.partialRows()"
+      if (capped) s"$thisPlan.partialDrain($bufferTerm, $passTerm)"
+      else if (partial) s"$bufferTerm.partialRows()"
       else s"$thisPlan.rankedOutput($bufferTerm)"
+    val recordPass =
+      if (capped) s"${metricTerm(ctx, "numPassThrough")}.add($passTerm.length());"
+      else ""
     s"""
        |if ($needInput) {
        |  $addInputFn();
        |  $numGroups.add($bufferTerm.numGroups());
+       |  $recordPass
        |  $iterTerm = $drained;
        |  $needInput = false;
        |}
@@ -322,9 +354,10 @@ case class TopKExec(
      """.stripMargin
   }
 
-  // the buffer state name is minted in doProduce (which codegen calls
-  // before the child's consume reaches doConsume)
+  // the buffer/pass-array state names are minted in doProduce (which
+  // codegen calls before the child's consume reaches doConsume)
   private var bufferTerm: String = _
+  private var passTerm: String = _
 
   override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
       row: ExprCode): String = {
@@ -338,14 +371,25 @@ case class TopKExec(
       .createCode(ctx, groupExprs.map(BindReferences.bindReference(_, AttributeSeq(child.output))))
     val vEv = BindReferences.bindReference(valueExpr, AttributeSeq(child.output)).genCode(ctx)
     val tEv = BindReferences.bindReference(tieExpr, AttributeSeq(child.output)).genCode(ctx)
+    val absorb =
+      if (capped)
+        // cap tripped on an unseen group: the row goes to the spillable
+        // pass-through array (handle() copies what it keeps; add() copies
+        // what it stores — the transient row is safe either way)
+        s"""if (!$bufferTerm.handle(${keyCode.value}, ${vEv.value}, ${tEv.value},
+           |    (UnsafeRow) ${row.value})) {
+           |  $passTerm.add((UnsafeRow) ${row.value});
+           |}""".stripMargin
+      else
+        s"""$bufferTerm.insert(${keyCode.value}, ${vEv.value}, ${tEv.value},
+           |  (UnsafeRow) ${row.value});""".stripMargin
     s"""
        |${row.code}
        |${vEv.code}
        |if (!(${vEv.isNull})) {
        |  ${keyCode.code}
        |  ${tEv.code}
-       |  $bufferTerm.insert(${keyCode.value}, ${vEv.value}, ${tEv.value},
-       |    (UnsafeRow) ${row.value});
+       |  $absorb
        |}
      """.stripMargin
   }
@@ -366,22 +410,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object TopKPlan {
+  /** Session conf for the default partial group cap. */
+  val CapConf = "spark.graft.topk.maxPartialGroups"
+
+  /** Default cap: 2^17 groups per task. Worst-case partial heap memory
+    * is cap × k kept rows (~131k × k); beyond it rows spill through the
+    * pass-through array instead of growing the heap map.
+    */
+  val CapDefault: Int = 1 << 17
+
   /** Top-k rows per group as a DataFrame: child columns + an IntegerType
     * rank column (`rankName`), rank = position under (value DESC, tie
     * ASC) within the group. Registers [[TopKStrategy]] on the session's
     * experimental strategies (idempotent).
     */
-  /** `maxPartialGroups` bounds pre-shuffle memory at maxGroups × k rows
-    * per task: rows of groups beyond the cap bypass the heaps and
-    * shuffle unfiltered (correct, just less reduction). Default
-    * unbounded = fully fused whole-stage-codegen partial.
+  /** `maxPartialGroups` bounds pre-shuffle heap memory at maxGroups × k
+    * kept rows per task: rows of groups beyond the cap go to a
+    * SPILLABLE pass-through array and shuffle unfiltered (correct, just
+    * less reduction), so partial memory is hard-bounded for ANY group
+    * cardinality — with whole-stage codegen either way. Pass 0 (the
+    * default) to take the session conf [[CapConf]] (default
+    * [[CapDefault]] groups — at the shipped k≤10 that is well under
+    * typical executor task memory); Int.MaxValue disables the cap.
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCol: String, k: Int, rankName: String = "rn",
-      maxPartialGroups: Int = Int.MaxValue): DataFrame = {
+      maxPartialGroups: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(maxPartialGroups > 0, s"maxPartialGroups must be positive, got $maxPartialGroups")
+    require(maxPartialGroups >= 0, s"maxPartialGroups must be >= 0, got $maxPartialGroups")
     val spark = df.sparkSession
+    val cap =
+      if (maxPartialGroups == 0) spark.conf.get(CapConf, CapDefault.toString).toInt
+      else maxPartialGroups
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classicSpark.experimental.extraStrategies.contains(TopKStrategy)) {
       classicSpark.experimental.extraStrategies =
@@ -396,6 +456,6 @@ object TopKPlan {
     require(t.dataType == LongType, s"tie column must be long, got ${t.dataType}")
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      TopKPerGroup(groupCols.map(attr), v, t, k, rankAttr, analyzed, maxPartialGroups))
+      TopKPerGroup(groupCols.map(attr), v, t, k, rankAttr, analyzed, cap))
   }
 }

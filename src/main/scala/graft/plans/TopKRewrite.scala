@@ -61,7 +61,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             part.forall(_.isInstanceOf[Attribute]) &&
             (part.map(_.asInstanceOf[Attribute]) :+ v :+ t)
               .forall(child.outputSet.contains) =>
-          TopKPerGroup(part, v, t, k, rn, child)
+          // same conf-driven partial group cap the DataFrame API applies
+          TopKPerGroup(part, v, t, k, rn, child,
+            org.apache.spark.sql.internal.SQLConf.get
+              .getConfString(TopKPlan.CapConf, TopKPlan.CapDefault.toString).toInt)
         case _ => f
       }
   }

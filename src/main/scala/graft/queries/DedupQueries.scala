@@ -72,6 +72,7 @@ object DedupQueries {
     shingleSets(s, dir)
     sweepCandidates(s, dir)
     embedPairsExact(s, dir)
+    Quantizer.assignments(s, dir) // trained coarse quantizer (d16/s11/s12)
   }
 
   /** Memoized EXACT embedding near-dup pairs (vec_a, vec_b, c) at the
@@ -486,29 +487,71 @@ object DedupQueries {
         .orderBy("bits_per_band")
     },
 
+    // Quantizer-blocking comparison — d15 measured sign-LSH banding;
+    // this row measures CLUSTER blocking (the SemDeDup/d11 shape) for
+    // both available cluster keys: the synthetic `label` column (the
+    // r04 mistake, kept as the measured control) and the TRAINED k-means
+    // quantizer (ops.KMeans via the shared Quantizer memo). For each:
+    //   proposed = Σ |cluster|·(|cluster|-1)/2  (the candidate volume a
+    //              confined near-dup pass would pay)
+    //   found    = exact cosine≥0.4 pairs that co-cluster
+    //   recall   = found / exact_total (what confinement keeps).
+    // Scale shape: cluster sizes are one tiny aggregate; the verify side
+    // joins the memoized exact pair set (shared with d06/d15) against
+    // the assignment twice on vec_id — pair-volume work, not n².
+    "d16_blocking_compare" -> { (s, dir) =>
+      val exact = embedPairsExact(s, dir)
+      val lab = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("key"))
+      val km = Quantizer.assignments(s, dir)
+        .select(col("vec_id"), col("cid").cast(LongType).as("key"))
+      def leg(name: String, asgn: DataFrame): DataFrame = {
+        val proposed = asgn.groupBy("key").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("(n * (n - 1)) div 2")).as("proposed"))
+        val found = exact
+          .join(asgn.select(col("vec_id").as("vec_a"), col("key").as("ka")), "vec_a")
+          .join(asgn.select(col("vec_id").as("vec_b"), col("key").as("kb")), "vec_b")
+          .filter(col("ka") === col("kb"))
+          .agg(count(lit(1)).as("found"))
+        val total = exact.agg(count(lit(1)).as("exact_total"))
+        found.crossJoin(broadcast(proposed)).crossJoin(broadcast(total))
+          .select(lit(name).as("quantizer"), col("proposed"), col("found"),
+            col("exact_total"),
+            round6(col("found").cast(DoubleType) /
+              col("proposed").cast(DoubleType)).as("precision"),
+            round6(col("found").cast(DoubleType) /
+              col("exact_total").cast(DoubleType)).as("recall"))
+      }
+      leg("kmeans", km).unionByName(leg("label", lab)).orderBy("quantizer")
+    },
+
     // SEMANTIC dedup (SemDeDup shape): confine the quadratic cosine
     // check to CLUSTERS of a coarse quantizer, then inside each cluster
     // greedily drop the later (higher vec_id) member of every pair above
-    // the similarity threshold. Cluster key = `label` — the same
-    // deterministic stand-in for a k-means coarse quantizer that s03's
-    // IVF index uses (trained centroids are iteration-order-dependent
-    // and unmirrorable). Output = the dropped vectors with how many
-    // earlier close neighbors condemned them and the strongest one.
+    // the similarity threshold. Cluster key = the TRAINED k-means
+    // quantizer (ops.KMeans via the shared Quantizer memo) — earlier
+    // rounds used the synthetic `label` column as a stand-in; d16
+    // measures why this upgrade matters (the trained clusters keep 42%
+    // of true cosine≥0.4 pairs within-cluster vs label's 8.5% at
+    // comparable candidate volume, sf0.01). SemDeDup is approximate BY
+    // DESIGN — the within-cluster confinement is its semantics, and
+    // d16/d15 publish what it trades against the d06 exact baseline.
+    // Output = the dropped vectors with how many earlier close
+    // neighbors condemned them and the strongest one.
     // Scale shape vs d06's all-pairs baseline: the self-join is EQUI on
     // the cluster key, so candidate volume is Σ|cluster|² not n² — the
     // entire point of SemDeDup at 100 TB is choosing enough clusters
     // that Σ|cluster|² stays linear-ish; the greedy keep-lowest-id rule
     // needs no iteration (one join + one aggregate, no fixpoint).
     "d11_semdedup" -> { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), l2normalize(toDouble(col("embedding"))).as("e"))
+      val v = Quantizer.assignments(s, dir) // (vec_id, e, cid)
       val a = v.as("a")
       val b = v.as("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("vec_id"), col("b.label").as("label"),
+      a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.3)
-        .groupBy("vec_id", "label")
+        .groupBy("vec_id", "cid")
         .agg(count(lit(1)).as("n_close"), round6(max(col("c"))).as("max_cos"))
         .orderBy("vec_id")
     },
@@ -864,6 +907,35 @@ object DedupQueries {
          |FROM ver CROSS JOIN ext
          |GROUP BY r, exact_total ORDER BY bits_per_band""".stripMargin
     },
+    // v + the unrolled k-means fit layers come from Quantizer.sqlCtes
+    // (the same constants the Spark side trains with); `akm` is the
+    // trained assignment, `label` the control
+    "d16_blocking_compare" -> {
+      val dab = sqlDotSeq("a.e", "b.e")
+      def legSql(name: String, asgn: String): String =
+        s"""SELECT '$name' AS quantizer,
+           |  (SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT)
+           |   FROM (SELECT count(*) AS n FROM $asgn GROUP BY key)) AS proposed,
+           |  (SELECT count(*) FROM ex
+           |   JOIN $asgn aa ON ex.vec_a = aa.vec_id
+           |   JOIN $asgn bb ON ex.vec_b = bb.vec_id AND aa.key = bb.key) AS found""".stripMargin
+      s"""WITH ${Quantizer.sqlCtes},
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS key FROM embeddings),
+         |kma AS (SELECT vec_id, CAST(cid AS BIGINT) AS key FROM akm),
+         |ex AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE $dab >= 0.4),
+         |ext AS (SELECT count(*) AS exact_total FROM ex),
+         |legs AS (
+         |  ${legSql("kmeans", "kma")}
+         |  UNION ALL
+         |  ${legSql("label", "lab")})
+         |SELECT quantizer, proposed, found, exact_total,
+         |  floor((CAST(found AS DOUBLE) / CAST(proposed AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS "precision",
+         |  floor((CAST(found AS DOUBLE) / CAST(exact_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM legs CROSS JOIN ext ORDER BY quantizer""".stripMargin
+    },
     "d14_incremental_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 3 AS day, substr(text, 1, 80) AS h FROM documents),
@@ -875,16 +947,20 @@ object DedupQueries {
         |SELECT CAST(day AS INT) AS day, doc_id FROM m
         |WHERE doc_id = min_id AND day = min_day
         |ORDER BY day, doc_id""".stripMargin,
+    // `v` + the trained assignment `akm` come from Quantizer.sqlCtes —
+    // the same unrolled k-means layers the d16/s11 oracles replay
     "d11_semdedup" -> {
-      val dab = sqlDotSeq("a.e", "b.e")
-      s"""WITH v AS (SELECT vec_id, label, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings),
+      val dab = sqlDotSeq("va.e", "vb.e")
+      s"""WITH ${Quantizer.sqlCtes},
          |pairs AS (
-         |  SELECT b.vec_id AS vec_id, b.label AS label, $dab AS c
-         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT vec_id, label, count(*) AS n_close,
+         |  SELECT b.vec_id AS vec_id, b.cid AS cid, $dab AS c
+         |  FROM akm a JOIN akm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id)
+         |SELECT vec_id, cid, count(*) AS n_close,
          |  floor((max(c)) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
          |FROM pairs WHERE c >= 0.3
-         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+         |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
     },
     "d12_lsh_tuning" -> {
       val rs = Seq(1, 2, 4, 8)

@@ -122,8 +122,10 @@ object SimilarityQueries {
     // bucketed s02, clustered s03, scalar-quantized s04): the 64-dim
     // vector splits into M=4 16-dim subvectors, each assigned a CODEBOOK
     // entry per subspace (here: sign-LSH bucket -> decimal-exact bucket
-    // mean, the s03 centroid trick applied per subspace — a k-means
-    // codebook would be iteration-order-dependent and unmirrorable), so
+    // mean, the s03 centroid trick applied per subspace — a trained
+    // per-subspace codebook is possible with ops.KMeans' mirrorable
+    // Lloyd's, but the one-pass LSH codebook is M× cheaper to build and
+    // the tier's loss is already frozen by s08), so
     // a vector's resident footprint is M code ids (4 bytes vs 256: the
     // PQ compression story at 100 TB). Query scoring is ADC (asymmetric
     // distance computation): one tiny LUT of query-subvector x codebook
@@ -245,7 +247,9 @@ object SimilarityQueries {
     // (elementwise decimal-exact mean of normalized vectors), probe the
     // best centroid, search only that cluster. At scale: centroids are a
     // tiny broadcast table and the cluster scan is partition-pruned by
-    // the inverted-list key.
+    // the inverted-list key. `label` is the synthetic stand-in quantizer
+    // (kept as the measured control); s11 is the TRAINED-quantizer twin
+    // and s12 puts their recall side by side.
     "s03_ivf_topk" -> { (s, dir) =>
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -323,6 +327,64 @@ object SimilarityQueries {
           round6(col("hits").cast(DoubleType) /
             col("n_exact").cast(DoubleType)).as("recall_at_3"))
         .orderBy("nprobe")
+    },
+
+    // IVF top-k over the TRAINED coarse quantizer — s03's shape with the
+    // synthetic `label` stand-in replaced by real k-means clusters
+    // (ops.KMeans via the shared Quantizer memo: deterministic seeds,
+    // 3 decimal-exact Lloyd's rounds, every step oracle-replayable).
+    // The reason this row exists is measured, not assumed: s10 showed
+    // label-IVF recall@3 saturating at 0.53 even probing 4 of 10
+    // clusters; s12 puts this tier's recall beside it. Scale shape is
+    // identical to s03: k-row centroid broadcast for the probe, then an
+    // equi-join on the cluster key (the assignment frame is the
+    // inverted-list index, built once per session).
+    "s11_kmeans_topk" -> { (s, dir) =>
+      val asg = Quantizer.assignments(s, dir) // (vec_id, e, cid)
+      val cent = Quantizer.centroids(s, dir) // (cid, c)
+      val q = asg.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
+      val best = q.crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("cid"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      best
+        .join(asg.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(asg.select(col("cid"), col("vec_id").as("neighbor_id"),
+          col("e").as("ce")), "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Label-IVF vs kmeans-IVF, judged by recall@3 against the exact
+    // brute-force answer — the one-table verdict on whether training the
+    // quantizer (s11) beats the synthetic stand-in (s03). Composes three
+    // pinned queries, so the row cannot drift from the tiers it
+    // compares; both tiers probe nprobe=1, so the recall gap is purely
+    // quantizer quality.
+    "s12_quantizer_recall" -> { (s, dir) =>
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      def leg(name: String, q: String): DataFrame = {
+        val approx = queries(q)(s, dir).select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+        val nEx = exact.agg(count(lit(1)).as("n_exact"))
+        hits.crossJoin(broadcast(nEx))
+          .select(lit(name).as("quantizer"), col("n_exact"), col("hits"),
+            round6(col("hits").cast(DoubleType) /
+              col("n_exact").cast(DoubleType)).as("recall_at_3"))
+      }
+      leg("ivf_kmeans", "s11_kmeans_topk")
+        .unionByName(leg("ivf_label", "s03_ivf_topk"))
+        .orderBy("quantizer")
     },
 
     // Mean reciprocal rank of the TRUE nearest neighbor (s01 rank 1)
@@ -511,8 +573,49 @@ object SimilarityQueries {
          |FROM cand LEFT JOIN hits ON cand.p = hits.p CROSS JOIN ex_n
          |ORDER BY nprobe""".stripMargin
     }
+    val s11Sql = {
+      val dqc2 = sqlDotSeq("qv.e", "cv.e")
+      s"""WITH ${Quantizer.sqlCtes},
+         |probe AS (
+         |  SELECT q.vec_id AS query_id, c.cid, ${sqlDotSeq("q.e", "c.c")} AS d
+         |  FROM v q, ${Quantizer.sqlCentFinal} c WHERE q.vec_id < 10),
+         |best AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, cid,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS rn
+         |    FROM probe) WHERE rn = 1),
+         |scored AS (
+         |  SELECT b.query_id, av.vec_id AS neighbor_id, $dqc2 AS c
+         |  FROM best b
+         |  JOIN v qv ON qv.vec_id = b.query_id
+         |  JOIN akm av ON av.cid = b.cid AND av.vec_id <> b.query_id
+         |  JOIN v cv ON cv.vec_id = av.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
     Map(
       "s01_cosine_topk" -> s01Sql,
+      "s11_kmeans_topk" -> s11Sql,
+      // composes the three pinned tier oracles; the recall arithmetic is
+      // the only new SQL
+      "s12_quantizer_recall" ->
+        s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+           |km AS (SELECT query_id, neighbor_id FROM ($s11Sql)),
+           |lab AS (SELECT query_id, neighbor_id FROM ($s03Sql)),
+           |exn AS (SELECT count(*) AS n_exact FROM ex_top),
+           |m AS (
+           |  SELECT 'ivf_kmeans' AS quantizer, count(*) AS hits
+           |  FROM ex_top JOIN km USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 'ivf_label', count(*)
+           |  FROM ex_top JOIN lab USING (query_id, neighbor_id))
+           |SELECT quantizer, n_exact, hits,
+           |  floor((CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_3
+           |FROM m CROSS JOIN exn ORDER BY quantizer""".stripMargin,
       "s02_lsh_topk" -> s02Sql,
       "s10_ivf_nprobe" -> s10Sql,
       "s09_ann_mrr" ->

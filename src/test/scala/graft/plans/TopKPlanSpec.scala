@@ -113,24 +113,76 @@ class TopKPlanSpec extends SparkSpec {
 
   test("group cap: bounded partial memory, pass-through rows, same answer") {
     // cap=2 with 7 groups: most groups' rows bypass the heaps and
-    // shuffle unfiltered — result must be identical to uncapped
-    val capped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
-        maxPartialGroups = 2)
-      .select("grp", "rn", "id", "value")
-    val got = capped.collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    val uncapped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
-      .select("grp", "rn", "id", "value").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(got == uncapped)
-    // pass-through actually engaged (5 of 7 groups per partition bypass)
-    val nodes = flatten(capped.queryExecution.executedPlan)
-    val partials = nodes.collect { case t: TopKExec if t.partial => t }
-    assert(partials.nonEmpty)
-    val passed = partials.map(_.metrics("numPassThrough").value).sum
-    assert(passed > 0, "expected pass-through rows under the group cap")
-    // capped partial must NOT claim codegen (mid-stream emission)
-    assert(!partials.head.supportCodegen)
+    // shuffle unfiltered — result must be identical to uncapped.
+    // codegen fallback disabled: the capped partial FUSES (the
+    // pass-through rows land in the spillable array, not mid-stream)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val capped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
+          maxPartialGroups = 2)
+        .select("grp", "rn", "id", "value")
+      val got = capped.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val uncapped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
+          maxPartialGroups = Int.MaxValue)
+        .select("grp", "rn", "id", "value").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == uncapped)
+      // pass-through actually engaged (5 of 7 groups per partition bypass)
+      val nodes = flatten(capped.queryExecution.executedPlan)
+      val partials = nodes.collect { case t: TopKExec if t.partial => t }
+      assert(partials.nonEmpty)
+      val passed = partials.map(_.metrics("numPassThrough").value).sum
+      assert(passed > 0, "expected pass-through rows under the group cap")
+      // the capped partial still fuses into whole-stage codegen
+      assert(partials.head.supportCodegen)
+      val fusedPartial = nodes.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(w => flatten(w.child).exists {
+        case t: TopKExec => t.partial
+        case _ => false
+      })
+      assert(fusedPartial, s"capped partial TopKExec not inside WholeStageCodegen:\n" +
+        capped.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("group cap spill path: forced disk spill, identical answer") {
+    // shrink the pass-through array's in-memory threshold so the
+    // bypassed rows actually SPILL to disk, and compare against the
+    // uncapped answer — the memory bound holds without losing rows
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "8")
+    try {
+      val got = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
+          maxPartialGroups = 1)
+        .select("grp", "rn", "id", "value").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val uncapped = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3,
+          maxPartialGroups = Int.MaxValue)
+        .select("grp", "rn", "id", "value").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == uncapped)
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
+  test("default cap comes from the session conf") {
+    spark.conf.set(TopKPlan.CapConf, "2")
+    try {
+      val out = TopKPlan.topKPerGroup(df, Seq("grp"), "value", "id", 3)
+      out.collect()
+      val partials = flatten(out.queryExecution.executedPlan)
+        .collect { case t: TopKExec if t.partial => t }
+      assert(partials.head.maxPartialGroups == 2)
+      assert(partials.map(_.metrics("numPassThrough").value).sum > 0)
+    } finally {
+      spark.conf.unset(TopKPlan.CapConf)
+    }
   }
 
   test("type validation and extensions hook") {

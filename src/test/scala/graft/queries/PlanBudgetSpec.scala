@@ -39,7 +39,9 @@ class PlanBudgetSpec extends SparkSpec {
     "d05_ngram_jaccard" -> 15, "d06_embed_neardup" -> 1,
     "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
     "d09_dedup_keep" -> 3, "d10_edit_verify" -> 15,
-    "d11_semdedup" -> 2, "d12_lsh_tuning" -> 9,
+    // d11 embeds the quantizer memo's first-build plan when it is the
+    // first toucher (k-means fit exchanges print inside the subtree)
+    "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
     "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
     "d15_blocking_eval" -> 4,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
@@ -90,7 +92,12 @@ class PlanBudgetSpec extends SparkSpec {
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
     "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
-    "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12)
+    "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
+    // s11/d16 read the memoized quantizer frames; budgets include the
+    // k-means fit's centroid-fold and update exchanges printed on first
+    // (uncached) planning. s12 composes s01+s03+s11.
+    "s11_kmeans_topk" -> 8, "s12_quantizer_recall" -> 21,
+    "d16_blocking_compare" -> 14)
 
   private def shuffles(planStr: String): Int =
     raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size

@@ -57,7 +57,20 @@ class PlanHygieneSpec extends SparkSpec {
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
       "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
-      "s09_ann_mrr", "d13_auto_dedup")
+      "s09_ann_mrr", "d13_auto_dedup",
+      // s11 - learned-IVF probe: queries crossJoin(broadcast(trained
+      //       centroids)) + the 1-row centroid-fold inside the k-means
+      //       assignment (the s03 probe shape over ops.KMeans output)
+      // s12 - composes s01 (brute exact side) + s03 + s11
+      // d16 - found/proposed/exact_total are three 1-row frames
+      //       cross-joined for presentation (the d12/p14 shape); the
+      //       exact side is the memoized d06 baseline
+      // d11 - its within-cluster join is EQUI on cid; as first toucher
+      //       of the quantizer memo its plan embeds the k-means build,
+      //       whose assignment folds over a 1-ROW broadcast centroid
+      //       list (BNLJ with a single build row by construction)
+      "s11_kmeans_topk", "s12_quantizer_recall", "d16_blocking_compare",
+      "d11_semdedup")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
