@@ -76,6 +76,10 @@ object GraftFunctions {
       exprs => KmvDistinct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllDistinct(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fingerprint", exprs => FingerprintExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom",

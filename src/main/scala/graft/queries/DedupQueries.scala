@@ -72,6 +72,7 @@ object DedupQueries {
     shingleSets(s, dir)
     sweepCandidates(s, dir)
     embedPairsExact(s, dir)
+    signProposals(s, dir)
     Quantizer.assignments(s, dir) // trained coarse quantizer (d16/s11/s12)
   }
 
@@ -94,6 +95,39 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           dotSeq(col("a.e"), col("b.e")).as("c"))
         .filter(col("c") >= 0.4)
+    }
+
+  /** Memoized sign-LSH banding proposals (r, vec_a, vec_b) for the
+    * (2×8, 4×4, 8×2) configs over the shared 16-plane signature — the
+    * candidate set d15 scores at the 0.4 threshold and d17 re-scores
+    * across thresholds (proposals depend only on the signature scheme,
+    * not on the verification threshold, so the banding join runs once).
+    */
+  private def signProposals(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "signprop") {
+      val configs = Seq((2, 8), (4, 4), (8, 2)) // (bits per band, bands)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+      val sig = (0 until 16).map { j =>
+        when(dotSeq(lit(hyperplane(j)), col("e")) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val signed = v.select(col("vec_id"), sig.as("sig"))
+      // one (config, band, bucket) key per vector per band of each config
+      val keys = signed.select(col("vec_id"), explode(array(
+        configs.flatMap { case (r, b) =>
+          (0 until b).map { k =>
+            struct(lit(r).as("r"), lit(k).as("band"),
+              col("sig").bitwiseAND(lit(((1L << r) - 1) << (r * k))).as("bucket"))
+          }
+        }: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.r"), col("bb.band"), col("bb.bucket"))
+      val a = keys.as("a")
+      val b = keys.as("b")
+      a.join(b,
+          col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.r").as("r"), col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
     }
 
   /** Memoized full-corpus band-sweep candidates (r, doc_a, doc_b) —
@@ -443,29 +477,9 @@ object DedupQueries {
     // the d06 baseline, run here at sample scale (the d13 tune-on-sample
     // pattern). The 1-row exact-total frame broadcasts back.
     "d15_blocking_eval" -> { (s, dir) =>
-      val configs = Seq((2, 8), (4, 4), (8, 2)) // (bits per band, bands)
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
-      val sig = (0 until 16).map { j =>
-        when(dotSeq(lit(hyperplane(j)), col("e")) > 0.0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val signed = v.select(col("vec_id"), sig.as("sig"))
-      // one (config, band, bucket) key per vector per band of each config
-      val keys = signed.select(col("vec_id"), explode(array(
-        configs.flatMap { case (r, b) =>
-          (0 until b).map { k =>
-            struct(lit(r).as("r"), lit(k).as("band"),
-              col("sig").bitwiseAND(lit(((1L << r) - 1) << (r * k))).as("bucket"))
-          }
-        }: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.r"), col("bb.band"), col("bb.bucket"))
-      val a = keys.as("a")
-      val b = keys.as("b")
-      val proposed = a.join(b,
-          col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.r").as("r"), col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      // banding proposals live in the memoized signProposals frame
+      // (shared with d17's threshold sweep)
+      val proposed = signProposals(s, dir)
       // a proposal is a hit iff it appears in the memoized exact pair set
       // (cos >= 0.4 ⟺ membership — no per-proposal dot product needed,
       // and the explode never carries the 64-dim payload)
@@ -485,6 +499,50 @@ object DedupQueries {
           round6(col("found").cast(DoubleType) / col("proposed").cast(DoubleType)).as("precision"),
           round6(col("found").cast(DoubleType) / col("exact_total").cast(DoubleType)).as("recall"))
         .orderBy("bits_per_band")
+    },
+
+    // Threshold sweep of the SAME banding configs — the s-curve leg d15
+    // leaves implicit. LSH banding's capture probability is
+    // 1-(1-s^r)^b, an s-curve in pair similarity s: at d15's 0.4
+    // threshold the per-bit agreement of a barely-true pair (~0.63) sits
+    // in the curve's flat foot, which is why no config blocks well
+    // there. Raising the verification threshold keeps only
+    // higher-agreement pairs, so the same proposal set covers a larger
+    // FRACTION of the (smaller) truth — recall climbs the s-curve with
+    // no change to the candidate volume. This row publishes exactly
+    // that trade: one line per (threshold, config) over one shared
+    // proposal build. The operating lesson for a 100 TB near-dup pass:
+    // sign-LSH blocking is usable for high thresholds (find
+    // near-copies) and NOT for the 0.4 regime (find topical overlap) —
+    // pick the threshold first, then read this table.
+    // Scale shape: proposals come from the memoized (band, bucket)
+    // equi-join (shared with d15); thresholds explode a 3-row literal
+    // frame broadcast against pair-volume rows, never data-volume.
+    "d17_threshold_sweep" -> { (s, dir) =>
+      val thresholds = Seq(0.4, 0.45, 0.5)
+      val tdf = s.range(1).select(
+        explode(array(thresholds.map(lit): _*)).as("t"))
+      val exact = embedPairsExact(s, dir) // (vec_a, vec_b, c), c >= 0.4
+      val verified = signProposals(s, dir)
+        .join(exact.select(col("vec_a"), col("vec_b"), col("c")),
+          Seq("vec_a", "vec_b"), "left")
+        .crossJoin(broadcast(tdf))
+        .select(col("t"), col("r"),
+          when(col("c") >= col("t"), 1).otherwise(0).as("hit"))
+      // per-threshold truth totals (3 rows, broadcast back)
+      val totals = exact.crossJoin(broadcast(tdf))
+        .filter(col("c") >= col("t"))
+        .groupBy("t").agg(count(lit(1)).as("exact_total"))
+      verified.groupBy("t", "r")
+        .agg(count(lit(1)).as("proposed"), sum(col("hit")).as("found"))
+        .join(broadcast(totals), Seq("t"))
+        .select(col("t").as("threshold"),
+          col("r").as("bits_per_band"),
+          (lit(16L) / col("r")).cast(LongType).as("bands"),
+          col("proposed"), col("found"), col("exact_total"),
+          round6(col("found").cast(DoubleType) / col("proposed").cast(DoubleType)).as("precision"),
+          round6(col("found").cast(DoubleType) / col("exact_total").cast(DoubleType)).as("recall"))
+        .orderBy("threshold", "bits_per_band")
     },
 
     // Quantizer-blocking comparison — d15 measured sign-LSH banding;
@@ -906,6 +964,50 @@ object DedupQueries {
          |       floor((sum(hit) / exact_total) * 1000000.0 + 0.5) / 1000000.0 AS recall
          |FROM ver CROSS JOIN ext
          |GROUP BY r, exact_total ORDER BY bits_per_band""".stripMargin
+    },
+    // same signature/banding replay as d15, re-scored at each
+    // verification threshold; th-literals cast to DOUBLE so both
+    // engines compare the same IEEE values
+    "d17_threshold_sweep" -> {
+      val sigExpr = (0 until 16).map { j =>
+        val hp = sqlHyperplane(j)
+        s"(CASE WHEN ${sqlDotSeq(hp, "e")} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val cfgRows = Seq((2, 8), (4, 4), (8, 2))
+        .flatMap { case (r, b) => (0 until b).map(k => s"($r, $k)") }
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id, ${sqlL2Normalize("embedding::DOUBLE[]")} AS e FROM embeddings),
+         |sg AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM v),
+         |cfg(r, band) AS (VALUES $cfgRows),
+         |th AS (SELECT CAST(t AS DOUBLE) AS t
+         |       FROM (VALUES (0.4), (0.45), (0.5)) tt(t)),
+         |keys AS (
+         |  SELECT vec_id, r, band,
+         |         sig & (((CAST(1 AS BIGINT) << r) - 1) << (r * band)) AS bucket
+         |  FROM sg CROSS JOIN cfg),
+         |prop AS (
+         |  SELECT DISTINCT a.r AS r, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM keys a JOIN keys b
+         |    ON a.r = b.r AND a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id),
+         |pc AS (
+         |  SELECT p.r, ${sqlDotSeq("va.e", "vb.e")} AS c
+         |  FROM prop p JOIN v va ON p.vec_a = va.vec_id JOIN v vb ON p.vec_b = vb.vec_id),
+         |ver AS (
+         |  SELECT t, r, CASE WHEN c >= t THEN 1 ELSE 0 END AS hit
+         |  FROM pc CROSS JOIN th),
+         |ext AS (
+         |  SELECT t, count(*) AS exact_total
+         |  FROM (SELECT ${sqlDotSeq("a.e", "b.e")} AS c
+         |        FROM v a JOIN v b ON a.vec_id < b.vec_id) CROSS JOIN th
+         |  WHERE c >= t GROUP BY t)
+         |SELECT ver.t AS threshold, CAST(ver.r AS INT) AS bits_per_band,
+         |       CAST(16 // ver.r AS BIGINT) AS bands,
+         |       count(*) AS proposed, CAST(sum(hit) AS BIGINT) AS found, exact_total,
+         |       floor((sum(hit) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS "precision",
+         |       floor((sum(hit) / exact_total) * 1000000.0 + 0.5) / 1000000.0 AS recall
+         |FROM ver JOIN ext ON ver.t = ext.t
+         |GROUP BY ver.t, ver.r, exact_total ORDER BY threshold, bits_per_band""".stripMargin
     },
     // v + the unrolled k-means fit layers come from Quantizer.sqlCtes
     // (the same constants the Spark side trains with); `akm` is the

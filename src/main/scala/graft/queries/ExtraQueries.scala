@@ -367,6 +367,41 @@ object ExtraQueries {
       s.read.format("matrixmarket").load(mm)
         .filter(col("row") >= 100 && col("row") <= 2000 && col("col") <= 4)
         .orderBy("row", "col")
+    },
+
+    // HyperLogLog distinct sketch — the CONSTANT-state member of the
+    // distinct-count ladder (x16 exact / x17 KMV / x21 HLL). Where
+    // x17's KMV state grows with k, graft_hll keeps 2^p one-byte
+    // registers (256 B at p=8) whatever the cardinality — the shape
+    // production engines use at 100 TB because partials merge
+    // element-wise-max and only m bytes per map task cross the shuffle.
+    // Spark's own approx_count_distinct is HLL++ with internal bias
+    // tables no other engine reproduces; graft_hll is specified to be
+    // engine-mirrorable instead: it emits integer (zeros, ssum) register
+    // summaries (ssum = Σ 2^(maxRank − reg), an integer — no float
+    // summation order anywhere), and the estimator runs in plain column
+    // arithmetic both engines execute identically. DuckDB replays the
+    // registers from the same md5-derived 60-bit hashes and applies the
+    // same Flajolet α_m·m²/Σ2^-reg with linear-counting small-range
+    // correction. At sf0.01 every event_type group lands in the
+    // corrected regime (~1k users, m=256).
+    "x21_hll_distinct" -> { (s, dir) =>
+      val P = 8
+      val m = 1 << P
+      val two53 = 9.007199254740992e15 // 2^53 = 2^maxRank for p=8
+      val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit(m.toDouble * m) / (col("sk.ssum").cast(DoubleType) / lit(two53))
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("graft_hll",
+          h60(col("user_id").cast(StringType)), lit(P)).as("sk"))
+        .select(col("event_type"),
+          col("sk.zeros").as("zeros"),
+          col("sk.ssum").as("ssum"),
+          round6(when(col("sk.zeros") > 0 && estRaw <= lit(2.5 * m),
+              lit(m.toDouble) * log(lit(m.toDouble) / col("sk.zeros").cast(DoubleType)))
+            .otherwise(estRaw)).as("est_users"))
+        .orderBy("event_type")
     }
   )
 
@@ -440,6 +475,37 @@ object ExtraQueries {
         |  END AS est_users
         |FROM r WHERE rn = least(nd, 64)
         |ORDER BY event_type""".stripMargin,
+    // HLL register replay: bucket = top 8 of the 60 hash bits, reg = max
+    // rank of the low-52-bit remainder (length(bin(w)) is integer-exact
+    // floor(log2)+1); ssum accumulates 2^(53-reg) as BIGINTs, absent
+    // buckets contribute reg=0 terms; the estimator is the same literal
+    // arithmetic the Spark query runs.
+    "x21_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h // 4503599627370496 AS bucket,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |             ELSE 52 - length(bin(h % 4503599627370496)) + 1 END) AS reg
+        |  FROM h GROUP BY event_type, bucket),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(256 - count(*) AS INT) AS zeros,
+        |    CAST(sum(1::BIGINT << (53 - reg))
+        |         + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS ssum
+        |  FROM r GROUP BY event_type),
+        |e AS (
+        |  SELECT event_type, zeros, ssum,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      / (CAST(ssum AS DOUBLE) / 9007199254740992.0) AS est_raw
+        |  FROM a)
+        |SELECT event_type, zeros, ssum,
+        |  floor((CASE WHEN zeros > 0 AND est_raw <= 640.0
+        |              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS est_users
+        |FROM e ORDER BY event_type""".stripMargin,
     "x18_zorder" -> {
       val z = graft.functions.NumFns.sqlZvalue2("zx", "zy", 16)
       s"""WITH o AS (

@@ -43,7 +43,10 @@ class PlanBudgetSpec extends SparkSpec {
     // first toucher (k-means fit exchanges print inside the subtree)
     "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
     "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
-    "d15_blocking_eval" -> 4,
+    // d15/d17 read the memoized signProposals frame; when either is
+    // the first toucher the proposal build's exchanges print inside
+    // the persisted subtree (built once per session, serves both)
+    "d15_blocking_eval" -> 5, "d17_threshold_sweep" -> 5,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
     "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
     "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
@@ -91,6 +94,7 @@ class PlanBudgetSpec extends SparkSpec {
     "x13_asof_join" -> 3, "x14_range_join" -> 3,
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
+    "x21_hll_distinct" -> 2,
     "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the

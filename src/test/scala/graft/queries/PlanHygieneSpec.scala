@@ -31,6 +31,9 @@ class PlanHygieneSpec extends SparkSpec {
   //   d15      - blocking-quality sweep: candidate joins are EQUI on
   //              (config, band, bucket); the theta join is its exact
   //              reference side (the d06 baseline at sample scale)
+  //   d17      - d15's threshold sweep: same memoized proposal/exact
+  //              frames, plus a 3-ROW broadcast threshold literal
+  //              cross-joined for scoring (the d12/p14 tiny-build shape)
   //   d02/d05  - exact verification over the broadcast LSH candidate
   //              list (propose-then-verify; the list is tiny)
   //   x11      - range-predicate join pieces inside the salted demo
@@ -52,6 +55,7 @@ class PlanHygieneSpec extends SparkSpec {
   //              frame (the d12/p14 single-build-row shape)
   private val nestedLoopByDesign =
     Set("s01_cosine_topk", "d06_embed_neardup", "d15_blocking_eval",
+      "d17_threshold_sweep",
       "d02_minhash_pairs",
       "d05_ngram_jaccard", "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
