@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, EventQueries, ExtraQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, EventQueries, ExtraQueries, GraphQueries, PipelineQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++ ExtraQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       TextQueries.oracleSql ++ EventQueries.oracleSql ++ ExtraQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ GraphQueries.oracleSql
 }

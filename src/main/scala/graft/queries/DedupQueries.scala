@@ -72,7 +72,6 @@ object DedupQueries {
     shingleSets(s, dir)
     sweepCandidates(s, dir)
     embedPairsExact(s, dir)
-    signProposals(s, dir)
     Quantizer.assignments(s, dir) // trained coarse quantizer (d16/s11/s12)
   }
 
@@ -97,14 +96,16 @@ object DedupQueries {
         .filter(col("c") >= 0.4)
     }
 
-  /** Memoized sign-LSH banding proposals (r, vec_a, vec_b) for the
-    * (2×8, 4×4, 8×2) configs over the shared 16-plane signature — the
-    * candidate set d15 scores at the 0.4 threshold and d17 re-scores
-    * across thresholds (proposals depend only on the signature scheme,
-    * not on the verification threshold, so the banding join runs once).
+  /** Sign-LSH banding proposals (r, vec_a, vec_b) for the (2×8, 4×4,
+    * 8×2) configs over the shared 16-plane signature — the candidate
+    * set d15 scores at the 0.4 threshold and d17 re-scores across
+    * thresholds. Shared CODE, deliberately NOT a memoized frame: the
+    * permissive 2-bit config proposes nearly all pairs (that is d15's
+    * finding), so materializing the distinct pair set costs ~n²/4 rows
+    * of cache — each consumer instead pipelines the banding join
+    * straight into its own aggregation.
     */
-  private def signProposals(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "signprop") {
+  private def signProposals(s: SparkSession, dir: String): DataFrame = {
       val configs = Seq((2, 8), (4, 4), (8, 2)) // (bits per band, bands)
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
@@ -362,6 +363,32 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Shingle CONTAINMENT over the LSH candidates — the asymmetric
+    // complement of d05's Jaccard: C(A→B) = |A∩B| / |A| scores 1.0 when
+    // A's shingles all appear in B however large B is, which is the
+    // quote / excerpt / boilerplate-inclusion measure Jaccard dilutes
+    // (a 50-gram quote inside a 500-gram page has j≈0.1 but
+    // containment 1.0). Published per direction plus the max — a
+    // containment-dedup pass drops the CONTAINED side, not min-id.
+    // Same propose-then-verify scale shape as d05: exact set work runs
+    // only on the banded-LSH candidate list, never corpus × corpus.
+    "d18_containment" -> { (s, dir) =>
+      val sets = shingleSets(s, dir)
+      val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
+      val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
+      lshCandidates(s, dir).join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType).as("i"),
+          size(col("gsa")).cast(DoubleType).as("na"),
+          size(col("gsb")).cast(DoubleType).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          round6(col("i") / col("na")).as("cont_a"),
+          round6(col("i") / col("nb")).as("cont_b"),
+          round6(greatest(col("i") / col("na"), col("i") / col("nb"))).as("cont_max"))
+        .filter(col("cont_max") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Connected components over the verified near-dup pairs — the step
     // that turns pairwise matches into "keep one per duplicate cluster"
     // (cluster_id = min doc_id in the component). DataFrame-native
@@ -378,6 +405,34 @@ object DedupQueries {
     "d07_dedup_clusters" -> { (s, dir) =>
       val pr = neardupPairs(s, dir).select("doc_a", "doc_b")
       graft.ops.ConnectedComponents.minLabel(pr)._1.orderBy("doc_id")
+    },
+
+    // Centrality-weighted keeper selection — the synthesis of d07's
+    // clustering and g01's ranking: within each near-dup cluster keep
+    // the MOST CENTRAL member of the similarity graph (highest
+    // fixed-point PageRank, min doc_id tiebreak) instead of d07's
+    // min-id convention. Centrality is the principled keeper for
+    // near-dup clusters: the member most similar to the rest of its
+    // cluster is the best single representative of the cluster's
+    // content (min-id is arbitrary). Ranks are ops.PageRank's integer
+    // fixed-point, so keeper choice is bit-deterministic and the DuckDB
+    // oracle replays the identical iterations as CTE layers over the
+    // same verified pair graph. Scale shape: both engines run on the
+    // PAIR graph (candidate volume, not corpus volume); the final
+    // argmax is one window over cluster keys.
+    "d19_central_keeper" -> { (s, dir) =>
+      val pairs = neardupPairs(s, dir).select("doc_a", "doc_b")
+      val labels = graft.ops.ConnectedComponents.minLabel(pairs)._1
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val ranks = graft.ops.PageRank.run(edges, 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(desc("rank"), col("doc_id"))
+      labels.join(ranks, col("doc_id") === col("node"))
+        .select(col("doc_id"), col("cluster_id"), col("rank"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("cluster_id")
     },
 
     // Edit-distance verification over the LSH candidates — the fuzzy
@@ -477,8 +532,9 @@ object DedupQueries {
     // the d06 baseline, run here at sample scale (the d13 tune-on-sample
     // pattern). The 1-row exact-total frame broadcasts back.
     "d15_blocking_eval" -> { (s, dir) =>
-      // banding proposals live in the memoized signProposals frame
-      // (shared with d17's threshold sweep)
+      // banding proposals from the shared builder (code shared with
+      // d17's threshold sweep; deliberately not materialized — see
+      // signProposals)
       val proposed = signProposals(s, dir)
       // a proposal is a hit iff it appears in the memoized exact pair set
       // (cos >= 0.4 ⟺ membership — no per-proposal dot product needed,
@@ -515,9 +571,10 @@ object DedupQueries {
     // sign-LSH blocking is usable for high thresholds (find
     // near-copies) and NOT for the 0.4 regime (find topical overlap) —
     // pick the threshold first, then read this table.
-    // Scale shape: proposals come from the memoized (band, bucket)
-    // equi-join (shared with d15); thresholds explode a 3-row literal
-    // frame broadcast against pair-volume rows, never data-volume.
+    // Scale shape: proposals come from the shared (band, bucket)
+    // equi-join builder (code shared with d15, pipelined not
+    // materialized); thresholds explode a 3-row literal frame
+    // broadcast against pair-volume rows, never data-volume.
     "d17_threshold_sweep" -> { (s, dir) =>
       val thresholds = Seq(0.4, 0.45, 0.5)
       val tdf = s.range(1).select(
@@ -844,6 +901,30 @@ object DedupQueries {
          |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM scored WHERE j >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same sig/cand/sets chain as d05; containment divides the
+    // intersection by each side's own set size (filter applies to the
+    // ROUNDED max, mirroring the Spark post-round filter)
+    "d18_containment" ->
+      s"""WITH $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs) AS ra,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(b.gs) AS rb
+         |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id),
+         |rounded AS (
+         |  SELECT doc_a, doc_b,
+         |    floor((ra) * 1000000.0 + 0.5) / 1000000.0 AS cont_a,
+         |    floor((rb) * 1000000.0 + 0.5) / 1000000.0 AS cont_b,
+         |    floor((greatest(ra, rb)) * 1000000.0 + 0.5) / 1000000.0 AS cont_max
+         |  FROM scored)
+         |SELECT * FROM rounded WHERE cont_max >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // same sig/cand/sets/pair chain as d05, then min-label fixpoint as a
     // recursive CTE (UNION dedupes, so the recursion terminates at the
     // component closure; min(l) per vertex = component min = cluster id)
@@ -871,6 +952,42 @@ object DedupQueries {
          |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v)
          |SELECT v AS doc_id, min(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // the d07 fixpoint chain gives cluster labels; the PageRank layers
+    // (ops.PageRank.sqlCtes, 3 iterations, same constants as the Spark
+    // side) rank the same verified pair graph; keeper = rank-argmax
+    // per cluster with min-doc_id tiebreak
+    "d19_central_keeper" ->
+      s"""WITH RECURSIVE $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |prj AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM prj
+         |      UNION ALL SELECT doc_b, doc_a FROM prj),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+         |${graft.ops.PageRank.sqlCtes(
+        "SELECT doc_a AS src, doc_b AS dst FROM prj UNION ALL SELECT doc_b AS src, doc_a AS dst FROM prj", 3)},
+         |ranked AS (
+         |  SELECT lab.doc_id, lab.cluster_id, pr.rank,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |                       ORDER BY rank DESC, lab.doc_id) AS rn
+         |  FROM lab JOIN pr ON lab.doc_id = pr.node)
+         |SELECT doc_id, cluster_id, rank FROM ranked WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     "d10_edit_verify" ->
       s"""WITH $sqlSigs,
          |$sqlCand,

@@ -43,10 +43,18 @@ class PlanBudgetSpec extends SparkSpec {
     // first toucher (k-means fit exchanges print inside the subtree)
     "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
     "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
-    // d15/d17 read the memoized signProposals frame; when either is
-    // the first toucher the proposal build's exchanges print inside
-    // the persisted subtree (built once per session, serves both)
-    "d15_blocking_eval" -> 5, "d17_threshold_sweep" -> 5,
+    // d15/d17 pipeline the shared signProposals banding join inline
+    // (deliberately not materialized — the 2-bit config proposes ~all
+    // pairs, caching it would cost n²/4 rows)
+    "d15_blocking_eval" -> 4, "d17_threshold_sweep" -> 4,
+    "d18_containment" -> 15, // d05's candidate-verify shape
+    // d19: CC + PageRank both truncate lineage per round
+    // (localCheckpoint), so the static plan is the keeper window over
+    // two checkpoint scans; iteration exchanges run inside the rounds
+    "d19_central_keeper" -> 4,
+    // g01: per-iteration exchanges run eagerly inside localCheckpoint
+    // rounds; the static tail plan is checkpoint-scan + presentation
+    "g01_pagerank" -> 1,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
     "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
     "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
