@@ -177,6 +177,28 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Event-type transition matrix — first-order Markov structure of
+    // per-user event sequences (the sequence-mining staple behind
+    // "what do users do after an error"): one lag window per user
+    // ordered by (ts, event_id), then a (prev, next) count with the
+    // row-conditional probability P(next | prev) from exact integer
+    // counts. Scale shape: ONE shuffle on user_id for the lag, one
+    // (prev, next) aggregate over ≤ |types|² rows, denominators ride a
+    // per-prev window over that tiny matrix — no second scan.
+    "e18_transitions" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wPrev = Window.partitionBy("prev")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round6(col("n").cast(DoubleType) /
+          sum(col("n")).over(wPrev).cast(DoubleType)))
+        .orderBy("prev", "next")
+    },
+
     // Sliding (hopping) windows via the BUILT-IN window(col, duration,
     // slide) generator: 1 h windows every 30 min, so each event lands in
     // duration/slide = 2 overlapping windows (x05/e05 are the tumbling
@@ -574,6 +596,22 @@ object EventQueries {
          |SELECT day, dau, wau,
          |  floor((CAST(dau AS DOUBLE) / wau) * 1000000.0 + 0.5) / 1000000.0 AS stickiness
          |FROM dau JOIN wau ON day = day2 ORDER BY day""".stripMargin,
+    // same lag ordering key (tsn, event_id) as e01's sessionize chain;
+    // probabilities derive from exact integer counts
+    "e18_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |lagged AS (
+        |  SELECT event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+        |  FROM e),
+        |m AS (
+        |  SELECT prev, next, count(*) AS n FROM lagged
+        |  WHERE prev IS NOT NULL GROUP BY prev, next)
+        |SELECT prev, next, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM m ORDER BY prev, next""".stripMargin,
     // each event belongs to the window starting at floor(us/slide)*slide
     // and the one slide earlier (duration = 2 x slide); us arithmetic is
     // exact on both engines

@@ -306,6 +306,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PMI collocations — pointwise mutual information over corpus word
+    // bigrams, the standard collocation detector ("new york" scores
+    // high because its joint count beats the unigram-independence
+    // prediction): pmi = ln( P(xy) / (P(x)·P(y)) ) with all
+    // probabilities from exact integer counts; n_xy >= 5 is the usual
+    // sparse-count guard. The published ordering key is the ROUNDED
+    // pmi (plus the word pair), so both engines sort identical values.
+    // Scale shape: one (w1, w2) bigram aggregate + one unigram
+    // aggregate off the same scan; unigram counts broadcast back onto
+    // the vocabulary-sized bigram matrix; corpus totals are two 1-row
+    // broadcast frames. No window, no self-join.
+    "t18_pmi_collocations" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents").select(tokens(col("text")).as("t"))
+      val n1 = greatest(size(col("t")) - 1, lit(0))
+      val bi = toks.select(explode(zip_with(
+          slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      val nTok = uni.agg(sum(col("nw")).as("n_tok"))
+      val nBig = bi.agg(sum(col("n_xy")).as("n_big"))
+      bi.filter(col("n_xy") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("n_x"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("n_y"))), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+          round6(log(
+            (col("n_xy").cast(DoubleType) / col("n_big").cast(DoubleType)) /
+              ((col("n_x").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
+                (col("n_y").cast(DoubleType) / col("n_tok").cast(DoubleType)))))
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Text NORMALIZATION — the canonical pre-dedup cleanup pass (CCNet
     // shape): lowercase, strip non-alphanumerics, collapse whitespace.
     // Pure codegen'd regex expressions at scan speed, no shuffle; at
@@ -624,6 +661,28 @@ object TextQueries {
          |  floor((CAST(sum(k * n_pieces) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word
          |FROM dw JOIN np USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // unigram/bigram counts replayed from the same whitespace split;
+    // the pmi arithmetic mirrors the Spark cast/operation order so both
+    // engines produce identical doubles before the shared rounding
+    "t18_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |un AS (SELECT w, count(*) AS nw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |nt AS (SELECT CAST(sum(nw) AS BIGINT) AS n_tok FROM un),
+        |pr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)),
+        |bi AS (SELECT w1, w2, count(*) AS n_xy FROM pr GROUP BY w1, w2),
+        |nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_big FROM bi)
+        |SELECT w1, w2, n_xy, a.nw AS n_x, b.nw AS n_y,
+        |  floor((ln(
+        |    (CAST(n_xy AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+        |      ((CAST(a.nw AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+        |        (CAST(b.nw AS DOUBLE) / CAST(n_tok AS DOUBLE)))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM bi JOIN un a ON w1 = a.w JOIN un b ON w2 = b.w
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE n_xy >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin,
     "t10_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -48,6 +48,12 @@ class PlanBudgetSpec extends SparkSpec {
     // pairs, caching it would cost n²/4 rows)
     "d15_blocking_eval" -> 4, "d17_threshold_sweep" -> 4,
     "d18_containment" -> 15, // d05's candidate-verify shape
+    // e18: user-lag window + tiny (prev,next) matrix agg + present sort
+    "e18_transitions" -> 4,
+    // t18: the uni/bi aggregate subtrees print once per consumer
+    // (n_x/n_y broadcasts + the 1-row totals); runtime reuses the
+    // exchanges (ReusedExchange), vocab-sized rows either way
+    "t18_pmi_collocations" -> 7,
     // d19: CC + PageRank both truncate lineage per round
     // (localCheckpoint), so the static plan is the keeper window over
     // two checkpoint scans; iteration exchanges run inside the rounds

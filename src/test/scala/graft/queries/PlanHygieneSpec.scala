@@ -64,6 +64,7 @@ class PlanHygieneSpec extends SparkSpec {
       "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
       "s09_ann_mrr", "d13_auto_dedup",
+      "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
       // s11 - learned-IVF probe: queries crossJoin(broadcast(trained
       //       centroids)) + the 1-row centroid-fold inside the k-means
       //       assignment (the s03 probe shape over ops.KMeans output)
