@@ -505,6 +505,39 @@ object EventQueries {
           col("r_event_id").as("view_id"),
           (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
         .orderBy("user_id", "click_id", "view_id")
+    },
+
+    // LIVE streaming transition matrix — e18's batch matrix computed
+    // from a stream via Streaming.transitionsStream: per-user ordering
+    // is recovered by buffering events in keyed state until the
+    // watermark passes them (the order-sensitive-over-unordered-stream
+    // idiom; see the operator's scaladoc for the finality contract).
+    // The oracle replays the same contract: a pair is emitted iff its
+    // later event's millisecond timestamp is at or below the final
+    // watermark (max event-time ms − 2 h), then lags over that slice.
+    "e19_stream_transitions" -> { (s, dir) =>
+      import s.implicits._
+      // the watermark column must survive into the Dataset handed to
+      // flatMapGroupsWithState (a projection dropping it would erase
+      // the EventTimeWatermark node); the encoder binds TEvent's fields
+      // by name and ignores the extras
+      val ev = Tables.eventsStream(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val pairs = graft.streaming.Streaming.transitionsStream(ev)
+      val sink = "e19_stream_transitions_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = pairs.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "next")
     }
   )
 
@@ -757,6 +790,23 @@ object EventQueries {
         |  END AS est_users
         |FROM r WHERE rn = least(nd, 64)
         |ORDER BY event_type""".stripMargin,
+    // the finality contract in integer ms arithmetic: watermark =
+    // floor(max event-time us / 1000) − 7 200 000; an event is in the
+    // emitted slice iff its own ms is ≤ that; pairs lag over the slice
+    // with the stateful op's (ts_ns, event_id) ordering
+    "e19_stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |f AS (SELECT user_id, event_id, event_type, tsn
+        |      FROM e, wm WHERE (tsn // 1000) // 1000 <= wm_ms),
+        |l AS (
+        |  SELECT event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+        |  FROM f)
+        |SELECT prev, next, count(*) AS n FROM l
+        |WHERE prev IS NOT NULL GROUP BY prev, next
+        |ORDER BY prev, next""".stripMargin,
     "e05_stream_window" ->
       """SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000000 AS w_start_ns,
         |  (((epoch_ns(ts) // 1000) // 3600000000) + 1) * 3600000000000 AS w_end_ns,

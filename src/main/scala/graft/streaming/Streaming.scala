@@ -358,4 +358,60 @@ object Streaming {
           }
       }
   }
+
+  case class TEvent(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+  case class TPair(user_id: Long, prev: String, next: String, next_ts_ns: Long)
+  case class TransState(tail: Option[TEvent], buffer: List[TEvent])
+
+  /** Per-user event-type TRANSITIONS from a live stream — the streaming
+    * twin of EventQueries.e19's batch matrix, and the canonical
+    * "order-sensitive computation over an unordered stream" idiom: a
+    * transition (prev → next) needs the user's events in EVENT-TIME
+    * order, but micro-batches deliver arrival order. The stateful op
+    * therefore BUFFERS events per user until the watermark passes them
+    * (no earlier event can still arrive), then sorts the ripe slice by
+    * (ts, event_id), chains it onto the retained tail (the last emitted
+    * event), and appends one pair per consecutive step. State is
+    * bounded by the watermark horizon: buffered events span at most the
+    * delay window, plus one tail event — O(rate × horizon) per key,
+    * evicted as the watermark advances (EventTimeTimeout re-invokes the
+    * group on watermark-only batches, so tails flush without new data).
+    *
+    * Finality contract (what the oracle replays): an event is emitted
+    * iff floor(ts_ns/10⁶) ≤ final watermark (max event-time ms − delay)
+    * — identical integer arithmetic to Spark's watermark tracker, so
+    * the streamed pair set equals the batch lag over the final slice.
+    */
+  def transitionsStream(events: Dataset[TEvent], delayMs: Long = 7200000L): Dataset[TPair] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TPair](OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[TransState]) =>
+          val prior = state.getOption.getOrElse(TransState(None, Nil))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.buffer ++ it
+          // ripe = final under the watermark; the rest waits in state
+          val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+          val ordered = ripe.sortBy(e => (e.ts_ns, e.event_id))
+          val chain = prior.tail.toList ++ ordered
+          val pairs = chain.sliding(2).collect {
+            case List(a, b) => TPair(uid, a.event_type, b.event_type, b.ts_ns)
+          }.toList
+          val tail = ordered.lastOption.orElse(prior.tail)
+          if (isStreaming) {
+            if (rest.isEmpty && tail.isEmpty) state.remove()
+            else {
+              state.update(TransState(tail, rest))
+              // wake on the next watermark advance to flush newly-ripe rows
+              state.setTimeoutTimestamp(wm + 1)
+            }
+          }
+          pairs.iterator
+      }
+  }
 }

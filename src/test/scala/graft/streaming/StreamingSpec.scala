@@ -536,4 +536,62 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 4.0), ("view", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("transitionsStream: out-of-order and cross-batch events emit pairs in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{TEvent, TPair}
+    val M = 1000000L // 1 ms in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.transitionsStream(events)
+    val ckpt = Files.createTempDirectory("graft-trans-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("trans")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("trans").as[TPair].collect().toSeq
+      .sortBy(p => (p.user_id, p.next_ts_ns))
+    try {
+      // batch 1: user 1's events arrive OUT OF ARRIVAL ORDER (C then A
+      // then B by time); nothing is final until the watermark moves
+      mem.addData((1L, 30 * M, 13L, "C"), (1L, 10 * M, 11L, "A"), (1L, 20 * M, 12L, "B"))
+      q.processAllAvailable()
+      // batch 2: a far-future event advances the watermark to its own
+      // timestamp (0 s delay), so the watermark-only flush finalizes all
+      // four events; the chain must read A->B->C->D (event-time order),
+      // never the arrival order
+      mem.addData((1L, 100 * M, 14L, "D"))
+      q.processAllAvailable()
+      val got1 = rows()
+      assert(got1 == Seq(
+        TPair(1L, "A", "B", 20 * M), TPair(1L, "B", "C", 30 * M),
+        TPair(1L, "C", "D", 100 * M)),
+        s"expected event-time-ordered pairs, got $got1")
+      // batch 3: E chains onto the retained D tail ACROSS batches
+      // (the tail survives in state after the previous flush)
+      mem.addData((1L, 200 * M, 15L, "E"))
+      q.processAllAvailable()
+      val got2 = rows()
+      assert(got2.contains(TPair(1L, "D", "E", 200 * M)),
+        s"tail must chain across batches, got $got2")
+    } finally q.stop()
+  }
+
+  test("transitionsStream (batch): equals a lag over (ts, event_id) on 600 random events (seeded)") {
+    import graft.streaming.Streaming.{TEvent, TPair}
+    val rnd = new scala.util.Random(11)
+    val types = Vector("a", "b", "c")
+    val evs = (1 to 600).map { i =>
+      TEvent(rnd.nextInt(7).toLong, rnd.nextInt(50) * 1000000L, i.toLong, types(rnd.nextInt(3)))
+    }
+    val got = Streaming.transitionsStream(spark.createDataset(evs))
+      .collect().toSeq.sortBy(p => (p.user_id, p.next_ts_ns, p.prev, p.next))
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts_ns, e.event_id)).sliding(2).collect {
+        case Seq(a, b) => TPair(u, a.event_type, b.event_type, b.ts_ns)
+      }
+    }.sortBy(p => (p.user_id, p.next_ts_ns, p.prev, p.next))
+    assert(got == want)
+  }
 }
