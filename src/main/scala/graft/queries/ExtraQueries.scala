@@ -138,6 +138,28 @@ object ExtraQueries {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS — the general grouping lattice x08/x15's
+    // rollup/cube are special cases of: the set list here
+    // {(status, priority), (priority), ()} is NOT a rollup of either
+    // column order (it skips (status)), so it exercises the arbitrary-
+    // lattice API a reporting layer actually uses ("by both, by
+    // priority alone, and the grand total — but never by status
+    // alone"). Same scale shape as rollup/cube: ONE Expand (3 grouping
+    // sets) + one aggregate exchange, no self-union of subqueries.
+    "x22_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          count(lit(1)).as("cnt"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "revenue")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // exact distinct cardinality per group — the oracle-checkable twin
     // of the approx_count_distinct sketch (at 100 TB the HLL sketch
     // replaces count_distinct 1:1 in this call shape; QueriesSpec pins
@@ -454,6 +476,14 @@ object ExtraQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "x22_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "x16_distinct_counts" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -108,7 +108,7 @@ class PlanBudgetSpec extends SparkSpec {
     "x13_asof_join" -> 3, "x14_range_join" -> 3,
     "x15_cube" -> 2, "x16_distinct_counts" -> 3,
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
-    "x21_hll_distinct" -> 2,
+    "x21_hll_distinct" -> 2, "x22_grouping_sets" -> 2,
     "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
