@@ -199,6 +199,37 @@ object EventQueries {
         .orderBy("prev", "next")
     },
 
+    // Per-user daily-rate anomaly detection — flag the days where a
+    // user's event count deviates > 2σ from that user's own mean (the
+    // bot/incident screen a pipeline runs before trusting interaction
+    // counts). The z-test is INTEGER-EXACT: with H active days, total
+    // T = Σc and S2 = Σc², the deviation dev = H·c − T and scaled
+    // variance varn = H·S2 − T² are longs, and |z| > 2 is the integer
+    // predicate dev² > 4·varn (both sides exact — no float variance
+    // whose summation order could flip a borderline day between
+    // engines). Only the DISPLAYED z touches doubles: one sqrt of an
+    // exact long, one division, round6'd. Scale shape: one (user, day)
+    // count aggregate, then the per-user moments ride a single
+    // user-keyed window over day-cardinality rows — two shuffles, no
+    // self-join of the daily frame against per-user stats.
+    "e20_rate_anomaly" -> { (s, dir) =>
+      val wU = Window.partitionBy("user_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", count(lit(1)).over(wU))
+        .withColumn("t", sum(col("cnt")).over(wU))
+        .withColumn("s2", sum(col("cnt") * col("cnt")).over(wU))
+        .withColumn("dev", col("h") * col("cnt") - col("t"))
+        .withColumn("varn", col("h") * col("s2") - col("t") * col("t"))
+        .filter(col("h") >= 3 && col("varn") > 0 &&
+          col("dev") * col("dev") > lit(4L) * col("varn"))
+        .select(col("user_id"), col("day"), col("cnt"),
+          round6(col("dev").cast(DoubleType) / sqrt(col("varn").cast(DoubleType)))
+            .as("z"))
+        .orderBy("user_id", "day")
+    },
+
     // Sliding (hopping) windows via the BUILT-IN window(col, duration,
     // slide) generator: 1 h windows every 30 min, so each event lands in
     // duration/slide = 2 overlapping windows (x05/e05 are the tumbling
@@ -578,6 +609,26 @@ object EventQueries {
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // the |z| > 2 gate is the integer predicate dev² > 4·varn — exact
+    // on both engines; only the displayed z touches doubles
+    "e20_rate_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_ns(ts) // $DayNs AS day, count(*) AS cnt
+         |  FROM events GROUP BY user_id, day),
+         |m AS (
+         |  SELECT user_id, day, cnt,
+         |    count(*) OVER wu AS h,
+         |    sum(cnt) OVER wu AS t,
+         |    sum(cnt * cnt) OVER wu AS s2
+         |  FROM daily
+         |  WINDOW wu AS (PARTITION BY user_id))
+         |SELECT user_id, day, cnt,
+         |  floor(((h * cnt - t) / sqrt(CAST(h * s2 - t * t AS DOUBLE)))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS z
+         |FROM m
+         |WHERE h >= 3 AND h * s2 - t * t > 0
+         |  AND (h * cnt - t) * (h * cnt - t) > 4 * (h * s2 - t * t)
+         |ORDER BY user_id, day""".stripMargin,
     // cell membership: byte i (0-based) lands in cell (i*16) // n; the
     // per-cell average folds sequentially in byte order (ASCII corpus:
     // ord(char) == byte) and casts to REAL once, matching the stub

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns.round6
-import graft.ops.PageRank
+import graft.ops.{LabelPropagation, PageRank}
 
 /** Graph-analytics rows over graphs derived from the synthetic tables —
   * the iterative-algorithm pillar beside d07's connected components
@@ -31,6 +31,7 @@ object GraphQueries {
 
   private val Iters = 5
   private val Scale = 1000000000000L
+  private val LpRounds = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the customer–supplier trade graph — 5 fixed-point
@@ -53,6 +54,80 @@ object GraphQueries {
           round6(col("rank").cast("double") / lit(Scale.toDouble)).as("rank_f"))
         .orderBy(desc("rank"), col("node_type"), col("node_id"))
         .limit(25)
+    },
+
+    // Community detection over the same trade graph — 4 synchronous
+    // label-propagation rounds (ops.LabelPropagation's deterministic
+    // vote: max neighbor-label count, min-label tie-break, self-vote).
+    // Where g01 ranks nodes and d07's CC merges anything connected,
+    // this groups by neighborhood DENSITY: a community is a block of
+    // customers and suppliers that mostly trade with each other — the
+    // stratification key a curation pipeline samples evenly across.
+    // Output is the community summary (size + per-side membership),
+    // largest first. Scale shape = the sibling engines': persisted
+    // src-partitioned edges, one label-frame join + two node-keyed
+    // aggregations per round, O(1) plan via per-round checkpoints.
+    "g02_label_prop" -> { (s, dir) =>
+      LabelPropagation.run(tradeEdges(s, dir), LpRounds)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("members"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("suppliers"))
+        .select(
+          when(col("community") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+            .as("community_type"),
+          expr("community div 2").as("community_id"),
+          col("members"), col("customers"), col("suppliers"))
+        .orderBy(desc("members"), col("community_type"), col("community_id"))
+        .limit(25)
+    },
+
+    // Local clustering coefficient via degree-oriented triangle
+    // counting over the part co-purchase graph (parts sharing an
+    // order). The orientation trick (Cohen 2009; the MapReduce/GraphX
+    // standard): orient every undirected edge from its (degree, id)-
+    // smaller endpoint to the larger, enumerate wedges only among a
+    // node's OUT-neighbors, and close each wedge against the oriented
+    // edge list. Out-degrees are bounded by O(sqrt(edges)) whatever the
+    // degree distribution, so wedge volume is O(m^1.5) instead of the
+    // naive Σ deg² — the difference between feasible and not on a
+    // skewed 100 TB co-occurrence graph (a hub with 10^6 neighbors
+    // proposes 10^12 naive wedges, ~10^6 oriented). All-integer counts;
+    // the coefficient 2t/(d(d-1)) is one exact division, round6'd.
+    "g03_triangles" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .localCheckpoint()
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val du = deg.select(col("node").as("u"), col("d").as("du"))
+      val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+      val ori = e.join(du, "u").join(dv, "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
+            .otherwise(col("du")).as("dd"))
+        .localCheckpoint()
+      val w = ori.as("x").join(ori.as("y"),
+          col("x.src") === col("y.src") &&
+            struct(col("x.dd"), col("x.dst")) < struct(col("y.dd"), col("y.dst")))
+        .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+      val tri = w.join(ori.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      val tn = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      tn.join(deg, "node")
+        .select(col("node").as("part_id"), col("d").as("degree"), col("triangles"),
+          round6(col("triangles") * 2.0 / (col("d") * (col("d") - 1))).as("clustering"))
+        .orderBy(desc("triangles"), col("part_id"))
+        .limit(25)
     })
 
   private val tradeEdgesSql =
@@ -73,5 +148,52 @@ object GraphQueries {
          |  floor((CAST(rank AS DOUBLE) / ${Scale.toDouble}) * 1000000.0 + 0.5) / 1000000.0 AS rank_f
          |FROM pr
          |ORDER BY rank DESC, node_type, node_id
-         |LIMIT 25""".stripMargin)
+         |LIMIT 25""".stripMargin,
+
+    // the LPA layers come from ops.LabelPropagation.sqlCtes — the same
+    // (edges, rounds) the Spark side votes with
+    "g02_label_prop" ->
+      s"""WITH tpairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |${LabelPropagation.sqlCtes(tradeEdgesSql, LpRounds)}
+         |SELECT CASE WHEN label % 2 = 0 THEN 'customer' ELSE 'supplier' END AS community_type,
+         |  label // 2 AS community_id,
+         |  count(*) AS members,
+         |  sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS customers,
+         |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS suppliers
+         |FROM lp
+         |GROUP BY 1, 2
+         |ORDER BY members DESC, community_type, community_id
+         |LIMIT 25""".stripMargin,
+
+    // same degree-ordered orientation: wedges among out-neighbors in
+    // (dd, dst) order, closed against the oriented edge list
+    "g03_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |        GROUP BY node),
+        |ori AS (SELECT
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+        |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+        |      FROM ori x JOIN ori y
+        |      ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)),
+        |tri AS (SELECT a, b, c FROM w JOIN ori z ON w.b = z.src AND w.c = z.dst),
+        |tn AS (SELECT node, count(*) AS triangles FROM (
+        |         SELECT a AS node FROM tri
+        |         UNION ALL SELECT b AS node FROM tri
+        |         UNION ALL SELECT c AS node FROM tri)
+        |       GROUP BY node)
+        |SELECT tn.node AS part_id, deg.d AS degree, tn.triangles,
+        |  floor((tn.triangles * 2.0 / (deg.d * (deg.d - 1))) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS clustering
+        |FROM tn JOIN deg ON tn.node = deg.node
+        |ORDER BY triangles DESC, part_id
+        |LIMIT 25""".stripMargin)
 }

@@ -61,11 +61,20 @@ class PlanBudgetSpec extends SparkSpec {
     // g01: per-iteration exchanges run eagerly inside localCheckpoint
     // rounds; the static tail plan is checkpoint-scan + presentation
     "g01_pagerank" -> 1,
+    // g02: LPA rounds run inside checkpoints like g01; static tail =
+    // community aggregate + presentation sort over the label scan
+    "g02_label_prop" -> 1,
+    // g03: edge build + orientation run inside the two checkpoints;
+    // the static tail is wedge join + closing join + the unioned
+    // per-corner count (its aggregate subtree prints per branch)
+    "g03_triangles" -> 14,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
     "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
     "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
     "e08_topk_plan" -> 2, "e09_session_window" -> 2,
     "e12_sliding_window" -> 2, "e14_funnel" -> 2,
+    // e20: (user, day) count + user-keyed moments window + present sort
+    "e20_rate_anomaly" -> 3,
     "e15_cohort" -> 4, "e16_rolling_users" -> 4,
     "m01_binary_meta" -> 1, "m02_frame_sample" -> 1,
     "m03_media_neardup" -> 1, "m04_resize" -> 1,
