@@ -569,6 +569,35 @@ object EventQueries {
         .groupBy(col("prev"), col("next"))
         .agg(count(lit(1)).as("n"))
         .orderBy("prev", "next")
+    },
+
+    // LIVE online anomaly detection — e20's z-test as a SEQUENTIAL
+    // test over a stream (Streaming.anomalyStream): each day is scored
+    // against the user's history AS OF that day (strictly prior final
+    // days), where e20's batch form scores against global per-user
+    // stats including the future. Days finalize when the watermark
+    // passes their last millisecond; integer moments (H, T, S2) assert
+    // the |z| > 2 gate exactly. The oracle replays the finality
+    // contract (day-end ms ≤ max event ms − 2 h) and the prior-days
+    // moments as a ROWS window ending 1 PRECEDING.
+    "e21_stream_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val days = graft.streaming.Streaming.anomalyStream(ev)
+      val sink = "e21_stream_anomaly_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = days.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select("user_id", "day", "cnt", "z")
+        .orderBy("user_id", "day")
     }
   )
 
@@ -622,6 +651,32 @@ object EventQueries {
          |    sum(cnt * cnt) OVER wu AS s2
          |  FROM daily
          |  WINDOW wu AS (PARTITION BY user_id))
+         |SELECT user_id, day, cnt,
+         |  floor(((h * cnt - t) / sqrt(CAST(h * s2 - t * t AS DOUBLE)))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS z
+         |FROM m
+         |WHERE h >= 3 AND h * s2 - t * t > 0
+         |  AND (h * cnt - t) * (h * cnt - t) > 4 * (h * s2 - t * t)
+         |ORDER BY user_id, day""".stripMargin,
+    // the streamed sequential test replayed: final days under the
+    // watermark, moments over each user's strictly-prior final days
+    "e21_stream_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) AS tsn,
+         |    epoch_ns(ts) // $DayNs AS day
+         |  FROM events),
+         |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+         |daily AS (SELECT user_id, day, count(*) AS cnt FROM e GROUP BY user_id, day),
+         |fin AS (SELECT d.user_id, d.day, d.cnt FROM daily d, wm
+         |        WHERE (d.day + 1) * 86400000 - 1 <= wm.wm_ms),
+         |m AS (
+         |  SELECT user_id, day, cnt,
+         |    count(*) OVER wp AS h,
+         |    sum(cnt) OVER wp AS t,
+         |    sum(cnt * cnt) OVER wp AS s2
+         |  FROM fin
+         |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |SELECT user_id, day, cnt,
          |  floor(((h * cnt - t) / sqrt(CAST(h * s2 - t * t AS DOUBLE)))
          |    * 1000000.0 + 0.5) / 1000000.0 AS z

@@ -414,4 +414,86 @@ object Streaming {
           pairs.iterator
       }
   }
+
+  case class AnomDay(user_id: Long, day: Long, cnt: Long, z: Double)
+  case class AnomState(pending: List[TEvent], partial: Map[Long, Long],
+      h: Long, t: Long, s2: Long)
+
+  private val DayMs = 86400000L
+  private val DayNs = 86400000000000L
+
+  /** ONLINE per-user daily-rate anomaly detection from a live stream —
+    * the streaming twin of EventQueries.e20, and the sequential-test
+    * idiom the batch form cannot express: each day is scored against
+    * the user's history AS OF that day (strictly prior final days),
+    * not against global statistics that include the future. A day
+    * becomes FINAL when the watermark passes its last possible
+    * millisecond — every event of the day is then at or below the
+    * watermark, so its count is complete; final days fold, in day
+    * order, into three integer moments per user (H days, T = Σcnt,
+    * S2 = Σcnt²) and the |z| > 2 gate is the exact long predicate
+    * dev² > 4·varn (dev = H·c − T, varn = H·S2 − T²) — floats touch
+    * only the DISPLAYED z (one sqrt of an exact long, one division,
+    * round6). State per user is O(rate × horizon) buffered events +
+    * partial counts for the ≤ ⌈horizon/day⌉+1 open days + the three
+    * O(1) moments; EventTimeTimeout flushes newly-final days on
+    * watermark-only batches.
+    *
+    * Finality contract (what the oracle replays): day d is scored iff
+    * (d+1)·86400000 − 1 ≤ final watermark (max event-time ms − delay),
+    * against moments over the user's earlier final days — the same
+    * integer arithmetic as Spark's watermark tracker.
+    */
+  def anomalyStream(events: Dataset[TEvent], delayMs: Long = 7200000L): Dataset[AnomDay] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomDay](OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[AnomState]) =>
+          val prior = state.getOption.getOrElse(AnomState(Nil, Map.empty, 0L, 0L, 0L))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.pending ++ it
+          // ripe = final under the watermark; the rest waits in state
+          val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+          var partial = prior.partial
+          ripe.foreach { e =>
+            val d = e.ts_ns / DayNs
+            partial = partial.updated(d, partial.getOrElse(d, 0L) + 1L)
+          }
+          // a day is final once its last millisecond is at/below the
+          // watermark — all its events are then ripe, so the count is
+          // complete; finality is monotone in wm, so ascending order
+          // here is ascending across batches too
+          val finalDays =
+            partial.keys.filter(d => wm == Long.MaxValue || (d + 1) * DayMs - 1 <= wm)
+              .toSeq.sorted
+          var h = prior.h; var t = prior.t; var s2 = prior.s2
+          val out = List.newBuilder[AnomDay]
+          finalDays.foreach { d =>
+            val c = partial(d)
+            val dev = h * c - t
+            val varn = h * s2 - t * t
+            if (h >= 3 && varn > 0 && dev * dev > 4 * varn) {
+              val z = math.floor(
+                (dev.toDouble / math.sqrt(varn.toDouble)) * 1e6 + 0.5) / 1e6
+              out += AnomDay(uid, d, c, z)
+            }
+            h += 1; t += c; s2 += c * c
+            partial = partial - d
+          }
+          if (isStreaming) {
+            // moments are the user's scoring history — kept as long as
+            // the key lives (O(1) per user); the timeout is armed only
+            // while buffered events / open days still await the
+            // watermark (nothing to flush otherwise)
+            state.update(AnomState(rest, partial, h, t, s2))
+            if (rest.nonEmpty || partial.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          }
+          out.result().iterator
+      }
+  }
 }

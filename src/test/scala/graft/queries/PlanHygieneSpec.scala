@@ -82,7 +82,8 @@ class PlanHygieneSpec extends SparkSpec {
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
-      "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions")
+      "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
+      "e21_stream_anomaly")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -578,6 +578,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream: days finalize in order and score against prior days only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AnomDay, TEvent}
+    val D = 86400000000000L // 1 day in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.anomalyStream(events)
+    val ckpt = Files.createTempDirectory("graft-anom-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("anom")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // user 1: day 1 has 1 event, day 2 has 2 — delivered OUT of day
+      // order; nothing can emit (h < 3 for every day anyway). Days
+      // start at 1: an epoch-0 event time would sit AT the initial
+      // watermark and be dropped by the late-row filter
+      mem.addData((1L, 2 * D + 5L, 12L, "a"), (1L, 1 * D + 1L, 11L, "a"),
+        (1L, 2 * D + 9L, 13L, "a"))
+      q.processAllAvailable()
+      assert(spark.table("anom").count() == 0)
+      // day 3 has 3 events, day 4 has 10 (the burst); a far-future
+      // sentinel (day 6) advances the watermark past day 4's end, so
+      // days 1..4 finalize IN ORDER on the flush. Prior-day moments at
+      // day 4: H=3, T=6, S2=14 → dev=24, varn=6, 576 > 24 → flagged;
+      // the sentinel's own day is still open and must not emit
+      mem.addData(
+        (Seq((1L, 6 * D, 99L, "a")) ++
+          (1 to 3).map(k => (1L, 3 * D + k.toLong, 20L + k, "a")) ++
+          (1 to 10).map(k => (1L, 4 * D + k.toLong, 30L + k, "a"))): _*)
+      q.processAllAvailable()
+      val got = spark.table("anom").as[AnomDay].collect().toSeq
+      val wantZ = math.floor((24.0 / math.sqrt(6.0)) * 1e6 + 0.5) / 1e6
+      assert(got == Seq(AnomDay(1L, 4L, 10L, wantZ)),
+        s"only day 4 is anomalous vs its prior history, got $got")
+    } finally q.stop()
+  }
+
+  test("anomalyStream (batch): equals a driver replay of the sequential z-test (seeded)") {
+    import graft.streaming.Streaming.{AnomDay, TEvent}
+    val D = 86400000000000L
+    val rnd = new scala.util.Random(29)
+    val evs = (1 to 800).map { i =>
+      TEvent(rnd.nextInt(6).toLong,
+        rnd.nextInt(10).toLong * D + rnd.nextInt(1000).toLong, i.toLong, "a")
+    }
+    val got = Streaming.anomalyStream(spark.createDataset(evs))
+      .collect().toSeq.sortBy(a => (a.user_id, a.day))
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val daily = es.groupBy(_.ts_ns / D).toSeq.sortBy(_._1)
+      var h = 0L; var t = 0L; var s2 = 0L
+      daily.flatMap { case (day, des) =>
+        val c = des.size.toLong
+        val dev = h * c - t
+        val varn = h * s2 - t * t
+        val hit =
+          if (h >= 3 && varn > 0 && dev * dev > 4 * varn)
+            Some(AnomDay(u, day, c,
+              math.floor((dev.toDouble / math.sqrt(varn.toDouble)) * 1e6 + 0.5) / 1e6))
+          else None
+        h += 1; t += c; s2 += c * c
+        hit
+      }
+    }.sortBy(a => (a.user_id, a.day))
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("transitionsStream (batch): equals a lag over (ts, event_id) on 600 random events (seeded)") {
     import graft.streaming.Streaming.{TEvent, TPair}
     val rnd = new scala.util.Random(11)
