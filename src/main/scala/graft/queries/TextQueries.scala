@@ -55,6 +55,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Readability scoring — Flesch reading ease from three regex
+    // counts (words, sentence-ending punctuation runs, vowel-group
+    // syllables: the standard no-dictionary heuristic), plus the
+    // conventional level bucket CASE'd on the ROUNDED score so a
+    // borderline document cannot land in different buckets across
+    // engines. The curation use: a grade-level prior for curriculum
+    // ordering / audience filtering, one more cheap scalar gate beside
+    // t02's quality score. Map-only scan (codegen'd regex counts);
+    // floats appear only in the final scalar formula over exact longs,
+    // evaluated in one fixed association order on both engines.
+    "t19_readability" -> { (s, dir) =>
+      val words = size(tokens(col("text"))).cast(LongType)
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast(LongType),
+        lit(1L))
+      val syll = greatest(
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast(LongType),
+        lit(1L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words.as("words"), sents.as("sentences"),
+          syll.as("syllables"))
+        .withColumn("flesch", round6(lit(206.835)
+          - lit(1.015) * (col("words").cast(DoubleType) / col("sentences"))
+          - lit(84.6) * (col("syllables").cast(DoubleType) / col("words"))))
+        .withColumn("level",
+          when(col("flesch") >= 90, "very_easy")
+            .when(col("flesch") >= 60, "standard")
+            .when(col("flesch") >= 30, "difficult")
+            .otherwise("very_confusing"))
+        .orderBy("doc_id")
+    },
+
     // Token counting: whitespace tokens + BPE-ish regex tokens
     // (letter-runs | digit-runs | single punctuation).
     "t03_tokens" -> { (s, dir) =>
@@ -533,6 +565,26 @@ object TextQueries {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
     "t02_quality" -> T02Sql,
+    // level is CASE'd on the ROUNDED flesch in both engines
+    "t19_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS syllables
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, words, sentences, syllables,
+        |    floor((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |      - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS flesch
+        |  FROM f)
+        |SELECT doc_id, words, sentences, syllables, flesch,
+        |  CASE WHEN flesch >= 90 THEN 'very_easy'
+        |       WHEN flesch >= 60 THEN 'standard'
+        |       WHEN flesch >= 30 THEN 'difficult'
+        |       ELSE 'very_confusing' END AS level
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -109,6 +109,8 @@ class PlanBudgetSpec extends SparkSpec {
     "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 5,
     "t15_bpe_merges" -> 1, "t16_bpe_vocab" -> 2,
     "t17_bpe_doc_tokens" -> 4,
+    // t19: map-only regex counts + presentation sort
+    "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
     "x03_intersect" -> 2, "x04_except" -> 2,
     "x05_window_tumbling" -> 2, "x06_date_parts" -> 2,
