@@ -99,4 +99,32 @@ object Writers {
       .drop("__rh")
       .write.mode(mode).partitionBy("shard").parquet(path)
   }
+
+  /** Bucketed external parquet table — the CO-LOCATED JOIN layout: both
+    * sides of a recurring large-large join written with the same
+    * (bucket column, bucket count) land matching keys in matching
+    * bucket files, so the join's exchange disappears ENTIRELY at read
+    * time (the scan itself reports hash partitioning on the bucket
+    * key). At 100 TB this converts every fact-fact join on the bucketed
+    * key from a full-data shuffle — the single largest cost in the
+    * plan — into a local per-bucket merge; the write-side repartition
+    * by the bucket column keeps it to one file per bucket (otherwise
+    * each task writes a file per bucket it touches: task-count × bucket
+    * fan-out of small files). Bucketing metadata lives in the session
+    * catalog (saveAsTable is required — a plain path write records no
+    * bucket spec); the data itself is ordinary parquet at `path`.
+    * BucketedJoinSpec proves the exchange-free plan and result parity.
+    */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
 }

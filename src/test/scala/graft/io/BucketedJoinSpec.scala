@@ -1,0 +1,58 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** The co-located-join layout must actually deliver its promise: two
+  * tables bucketed on the join key by the same bucket count join with
+  * ZERO shuffle exchanges (the scan's own hash partitioning satisfies
+  * the join's distribution requirement), and the exchange-free plan
+  * returns exactly the rows the plain shuffled join returns. Broadcast
+  * is disabled in-scope so a small test side cannot fake the win the
+  * layout is supposed to provide at large-large scale.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed-by-key tables join with zero shuffle exchanges, same result") {
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val tmp = Files.createTempDirectory("graft-bucket").toString
+    Writers.bucketedTable(o, "b_orders", s"$tmp/o", "o_orderkey", 8)
+    Writers.bucketedTable(l, "b_lineitem", s"$tmp/l", "l_orderkey", 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over the bucketed scans:\n$plan")
+      // the one-file-per-bucket write: 8 data files per table, no
+      // task-count x bucket small-file fan-out
+      def dataFiles(p: String) =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(dataFiles(s"$tmp/o") == 8, "one file per bucket on the orders side")
+      assert(dataFiles(s"$tmp/l") == 8, "one file per bucket on the lineitem side")
+      // result parity vs the plain (shuffled) join on the source frames
+      val got = j.groupBy().agg(count(lit(1)), sum("l_quantity")).collect()
+      val want = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy().agg(count(lit(1)), sum("l_quantity")).collect()
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      ()
+    }
+  }
+}
