@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns.round6
-import graft.ops.{LabelPropagation, PageRank}
+import graft.ops.{Bfs, LabelPropagation, PageRank}
 
 /** Graph-analytics rows over graphs derived from the synthetic tables —
   * the iterative-algorithm pillar beside d07's connected components
@@ -32,6 +32,7 @@ object GraphQueries {
   private val Iters = 5
   private val Scale = 1000000000000L
   private val LpRounds = 4
+  private val BfsHops = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the customer–supplier trade graph — 5 fixed-point
@@ -128,6 +129,30 @@ object GraphQueries {
           round6(col("triangles") * 2.0 / (col("d") * (col("d") - 1))).as("clustering"))
         .orderBy(desc("triangles"), col("part_id"))
         .limit(25)
+    },
+
+    // Multi-source BFS distance profile — hop distance from the
+    // best-connected node of the trade graph (max degree, min node id:
+    // a total argmax both engines compute identically), bucketed into
+    // the per-distance node census. The distance-from-seed feature is
+    // the web-curation quality prior ("hops from a trusted node");
+    // here it also measures the graph's reach: how much of the trade
+    // network sits within k hops of its hub. ops.Bfs's integer
+    // min-plus relaxation is bit-exact under any partitioning and
+    // replayed by the oracle as unrolled CTE layers. Nodes beyond 6
+    // hops (or disconnected) carry no row by contract.
+    "g04_bfs_reach" -> { (s, dir) =>
+      val e = tradeEdges(s, dir)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val top = deg
+        .agg(max(struct(col("dg").as("d"), (-col("src")).as("nn"))).as("m"))
+        .select((-col("m.nn")).as("node"))
+      Bfs.run(e, top, BfsHops)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("nodes"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("suppliers"))
+        .orderBy("dist")
     })
 
   private val tradeEdgesSql =
@@ -195,5 +220,24 @@ object GraphQueries {
         |    / 1000000.0 AS clustering
         |FROM tn JOIN deg ON tn.node = deg.node
         |ORDER BY triangles DESC, part_id
-        |LIMIT 25""".stripMargin)
+        |LIMIT 25""".stripMargin,
+
+    // seed = (max degree, min node) argmax; BFS layers from
+    // ops.Bfs.sqlCtes — the same (edges, sources, hops)
+    "g04_bfs_reach" ->
+      s"""WITH tpairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |${Bfs.sqlCtes(
+        tradeEdgesSql,
+        """SELECT src AS node FROM (
+          |    SELECT src, count(*) AS dg FROM edges GROUP BY src)
+          |  ORDER BY dg DESC, src LIMIT 1""".stripMargin,
+        BfsHops)}
+         |SELECT dist, count(*) AS nodes,
+         |  sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS customers,
+         |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS suppliers
+         |FROM bfs
+         |GROUP BY dist
+         |ORDER BY dist""".stripMargin)
 }
