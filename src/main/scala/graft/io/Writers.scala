@@ -113,7 +113,8 @@ object Writers {
     * fan-out of small files). Bucketing metadata lives in the session
     * catalog (saveAsTable is required — a plain path write records no
     * bucket spec); the data itself is ordinary parquet at `path`.
-    * BucketedJoinSpec proves the exchange-free plan and result parity.
+    * ops.BucketedJoinSpec demonstrates the exchange-free join;
+    * io.BucketedTableSpec pins this writer's layout + result parity.
     */
   def bucketedTable(
       df: DataFrame,

@@ -120,9 +120,10 @@ object GraphQueries {
             struct(col("x.dd"), col("x.dst")) < struct(col("y.dd"), col("y.dst")))
         .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
       val tri = w.join(ori.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-      val tn = tri.select(col("a").as("node"))
-        .unionAll(tri.select(col("b").as("node")))
-        .unionAll(tri.select(col("c").as("node")))
+      // one generator over the three corners — a 3-branch union would
+      // re-execute the wedge+closing join once per branch
+      val tn = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("triangles"))
       tn.join(deg, "node")
         .select(col("node").as("part_id"), col("d").as("degree"), col("triangles"),

@@ -7,30 +7,33 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.queries.Tables
 
-/** The co-located-join layout must actually deliver its promise: two
-  * tables bucketed on the join key by the same bucket count join with
-  * ZERO shuffle exchanges (the scan's own hash partitioning satisfies
-  * the join's distribution requirement), and the exchange-free plan
-  * returns exactly the rows the plain shuffled join returns. Broadcast
-  * is disabled in-scope so a small test side cannot fake the win the
-  * layout is supposed to provide at large-large scale.
+/** `Writers.bucketedTable` is the PRODUCTION write path for the
+  * co-located-join layout ops.BucketedJoinSpec demonstrates on
+  * synthetic managed tables: this spec drives it on the real testdata
+  * tables and pins the two properties the writer adds — EXTERNAL
+  * parquet at a caller-chosen path, and exactly ONE file per bucket
+  * (the pre-write repartition; without it every task writes a file per
+  * bucket it touches — task-count × bucket small files). Then the
+  * payoff: the join plans with zero shuffle exchanges (broadcast
+  * disabled so a small test side cannot fake it) and aggregates
+  * identically to the plain shuffled join.
   */
-class BucketedJoinSpec extends SparkSpec {
+class BucketedTableSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed-by-key tables join with zero shuffle exchanges, same result") {
+  test("bucketedTable: one file per bucket; join shuffle-free with the same result") {
     val o = Tables(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity")
     val tmp = Files.createTempDirectory("graft-bucket").toString
-    Writers.bucketedTable(o, "b_orders", s"$tmp/o", "o_orderkey", 8)
-    Writers.bucketedTable(l, "b_lineitem", s"$tmp/l", "l_orderkey", 8)
+    Writers.bucketedTable(o, "bw_orders", s"$tmp/o", "o_orderkey", 8)
+    Writers.bucketedTable(l, "bw_lineitem", s"$tmp/l", "l_orderkey", 8)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+      val j = spark.table("bw_orders").join(spark.table("bw_lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
@@ -50,8 +53,8 @@ class BucketedJoinSpec extends SparkSpec {
       assert(got.toSeq == want.toSeq)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bw_orders")
+      spark.sql("DROP TABLE IF EXISTS bw_lineitem")
       ()
     }
   }

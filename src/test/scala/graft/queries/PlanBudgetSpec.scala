@@ -66,9 +66,9 @@ class PlanBudgetSpec extends SparkSpec {
     // community aggregate + presentation sort over the label scan
     "g02_label_prop" -> 1,
     // g03: edge build + orientation run inside the two checkpoints;
-    // the static tail is wedge join + closing join + the unioned
-    // per-corner count (its aggregate subtree prints per branch)
-    "g03_triangles" -> 14,
+    // the static tail is wedge join + closing join + one corner
+    // explode + count (the explode keeps the join single-execution)
+    "g03_triangles" -> 6,
     // g04: relaxation rounds run inside checkpoints; static tail =
     // seed-degree argmax + distance census + presentation sort
     "g04_bfs_reach" -> 2,
