@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   *
   * Arithmetic contract: pure integer min-plus relaxation, so results
   * are bit-exact under any partitioning (min commutes) and [[sqlCtes]]
-  * replays the identical rounds in DuckDB. Each round relaxes EVERY
-  * labeled node (Bellman-Ford style): for unit weights this reaches the
-  * same fixpoint as frontier-only BFS after the same number of rounds,
-  * and keeps the oracle a plain UNION ALL + GROUP BY min per layer. (At
-  * 100 TB the frontier-only delta — join only nodes improved last
-  * round — is the constant-factor optimization; the result is
-  * identical, so it can be swapped in without touching the contract.)
+  * replays the rounds in DuckDB. The engine relaxes FRONTIER-ONLY:
+  * with unit weights a node's distance equals the first round that
+  * labels it and never improves afterwards, so round k only needs to
+  * expand nodes at distance k−1 — the edge join touches the frontier,
+  * not every labeled node (on a high-diameter graph the difference
+  * between O(Σ frontier_k · deg) = O(m) total edge work and
+  * O(rounds · m)). The oracle replays the FULL Bellman-Ford relaxation
+  * per layer (plain UNION ALL + GROUP BY min), which reaches the
+  * identical fixpoint after the same rounds — BfsSpec pins the two
+  * formulations equal on random graphs.
   *
   * Scale shape: the edge list is persisted src-partitioned once; each
   * round is one equi-join of the label frame against it plus one
@@ -41,8 +44,11 @@ object Bfs {
       .repartition(col("src")).persist()
     var labels = sources.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to maxHops) {
-      val cand = labels.join(e, labels("node") === e("src"))
+    for (k <- 1 to maxHops) {
+      // frontier = nodes first labeled last round (dist = k−1); only
+      // their edges can discover anything new at distance k
+      val frontier = labels.filter(col("dist") === (k - 1).toLong)
+      val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
       labels = labels.unionAll(cand)
         .groupBy("node").agg(min("dist").as("dist"))
