@@ -327,6 +327,57 @@ object ExtraQueries {
         .orderBy("event_type")
     },
 
+    // Histogram quantile sketch, MEASURED against the exact answer —
+    // the quantile member of the bounded-state sketch ladder (x17 KMV
+    // / x21 HLL distinct, t09 Count-Min heavy hitters, p14 Bloom):
+    // where x12's exact percentile must sort its group, this keeps 256
+    // integer bin counts per partition (mergeable by plain addition —
+    // constant bytes cross the shuffle at ANY cardinality, the 100 TB
+    // shape) and answers by linear interpolation inside the covering
+    // bin. Two passes: a min/max aggregate (1-row broadcast fixes the
+    // bin width), then one count aggregate over ≤ 256 bins; the
+    // cumulative walk + per-quantile bin pick happen on the 256-row
+    // frame (min(struct) argmin — both engines pick the first bin
+    // whose cumulative count reaches q·N). est and the measured
+    // |est − exact| are fixed-order double arithmetic over exact
+    // longs, round6'd; exact comes from the same interpolating
+    // percentile x12 pins against quantile_cont.
+    "x23_quantile_sketch" -> { (s, dir) =>
+      val B = 256
+      val ev = Tables(s, dir, "events").select(col("value"))
+      val mm = ev.agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("n"))
+      val hist = ev.crossJoin(broadcast(mm))
+        .select(least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B).cast(LongType), lit(B - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.orderBy("bin")))
+      val exact = ev.agg(
+        expr("percentile(value, 0.25)").as("e25"),
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"))
+      val qs = exact.select(explode(array(
+        struct(lit(0.25).as("q"), col("e25").as("exact")),
+        struct(lit(0.5).as("q"), col("e50").as("exact")),
+        struct(lit(0.9).as("q"), col("e90").as("exact")))).as("s"))
+        .select(col("s.q").as("q"), col("s.exact").as("exact"))
+      val picked = cum.crossJoin(broadcast(mm)).crossJoin(broadcast(qs))
+        .filter(col("cum") >= col("q") * col("n"))
+        .groupBy("q", "exact", "lo", "hi", "n")
+        .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("p"))
+      picked
+        .select(col("q"), col("exact"),
+          (col("lo") + (col("hi") - col("lo")) *
+            ((col("p.bin") + (col("q") * col("n") - (col("p.cum") - col("p.cnt"))) /
+              col("p.cnt")) / B)).as("est"))
+        .select(col("q"), round6(col("est")).as("est"),
+          round6(col("exact")).as("exact"),
+          round6(abs(col("est") - col("exact"))).as("abs_err"))
+        .orderBy("q")
+    },
+
     // salted shuffle join on a deliberately skewed key: event_type has
     // ~5 distinct values, so a plain shuffle join would funnel the whole
     // fact table through 5 reducers. SkewJoin.saltedJoin spreads each
@@ -591,6 +642,34 @@ object ExtraQueries {
         |FROM probe p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts >= b.ts
         |ORDER BY p.event_id""".stripMargin,
+    // q is CAST to DOUBLE up front (a bare 0.25 is DECIMAL in DuckDB
+    // and would drag the est arithmetic into decimal); est and the
+    // error are the same fixed-order double chain as the Spark side
+    "x23_quantile_sketch" ->
+      """WITH v AS (SELECT value FROM events),
+        |mm AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM v),
+        |hist AS (
+        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT), 255) AS bin,
+        |    count(*) AS cnt
+        |  FROM v, mm GROUP BY 1),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        |ex AS (
+        |  SELECT CAST(0.25 AS DOUBLE) AS q, quantile_cont(value, 0.25) AS exact FROM v
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM v
+        |  UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9) FROM v),
+        |pick AS (
+        |  SELECT e.q, e.exact, c.bin, c.cnt, c.cum, m.lo, m.hi, m.n,
+        |    row_number() OVER (PARTITION BY e.q ORDER BY c.bin) AS rn
+        |  FROM ex e CROSS JOIN mm m JOIN cum c ON c.cum >= e.q * m.n),
+        |est AS (
+        |  SELECT q, exact,
+        |    lo + (hi - lo) * ((bin + (q * n - (cum - cnt)) / cnt) / 256) AS est
+        |  FROM pick WHERE rn = 1)
+        |SELECT q,
+        |  floor(est * 1000000.0 + 0.5) / 1000000.0 AS est,
+        |  floor(exact * 1000000.0 + 0.5) / 1000000.0 AS exact,
+        |  floor(abs(est - exact) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+        |FROM est ORDER BY q""".stripMargin,
     "x12_percentiles" ->
       """SELECT event_type,
         |  floor((quantile_cont(value, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,

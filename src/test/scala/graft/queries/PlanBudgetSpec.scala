@@ -125,6 +125,10 @@ class PlanBudgetSpec extends SparkSpec {
     "x17_kmv_distinct" -> 2, "x18_zorder" -> 1,
     "x21_hll_distinct" -> 2, "x22_grouping_sets" -> 2,
     "x19_latest_by_key" -> 2, "x20_mm_window" -> 1,
+    // x23: min/max agg, 256-bin histogram agg, 256-row cumulative
+    // window, per-quantile argmin agg, presentation sort — the sketch
+    // itself crosses the shuffle as ≤256 constant-size bin counts
+    "x23_quantile_sketch" -> 5,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first

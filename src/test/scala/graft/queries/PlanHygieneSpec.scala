@@ -77,7 +77,12 @@ class PlanHygieneSpec extends SparkSpec {
       //       whose assignment folds over a 1-ROW broadcast centroid
       //       list (BNLJ with a single build row by construction)
       "s11_kmeans_topk", "s12_quantizer_recall", "d16_blocking_compare",
-      "d11_semdedup")
+      "d11_semdedup",
+      // x23 - the p14/d12 single-build-row shape: the events scan and
+      //       the 256-row histogram each cross-join a broadcast 1-ROW
+      //       min/max frame (and the 3-row quantile frame) to fix the
+      //       bin width — BNLJ with a constant-size build by design
+      "x23_quantile_sketch")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
