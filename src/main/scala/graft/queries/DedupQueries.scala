@@ -781,6 +781,58 @@ object DedupQueries {
       val p = new org.apache.hadoop.fs.Path(tmpRoot.toString)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       days.reduce(_ unionByName _).orderBy("day", "doc_id")
+    },
+
+    // EXACT set-similarity self-join via prefix filtering (AllPairs /
+    // SSJoin; Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06) — the
+    // exact counterpart to d03's probabilistic LSH banding. Word-BIGRAM
+    // sets (distinct words are too coarse on a templated corpus — the
+    // shared vocabulary makes 59% of all pairs pass at 0.6; bigrams
+    // isolate the 25-pair true near-dup population d05 finds) in a
+    // GLOBAL rarest-first canonical order (ascending document
+    // frequency, token tiebreak); for Jaccard >= 0.6 a doc of n grams
+    // only needs its first n - ceil(0.6 n) + 1 grams indexed: any
+    // qualifying pair's first common token (in canonical order) falls
+    // inside BOTH prefixes, so joining prefixes on the token misses
+    // nothing (zero false negatives, unlike LSH). The length filter
+    // 3*na <= 5*nb && 3*nb <= 5*na prunes candidates a hot prefix
+    // token would otherwise admit. Verification is the d05 shape:
+    // exact intersection only on candidates, with the integer gate
+    // 8i >= 3(na+nb)  <=>  i/(na+nb-i) >= 0.6 (no float threshold).
+    // Scale: the candidate shuffle carries only prefix tokens — the
+    // RAREST ~40% of each doc's vocabulary, so inverted-index buckets
+    // stay small precisely where the join fans out (Zipf heads are
+    // excluded from prefixes of any doc with enough rare tokens); the
+    // df table is vocabulary-sized, not corpus-sized.
+    "d20_prefix_filter_join" -> { (s, dir) =>
+      val toksDf = Tables(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(grams2(tokens(col("text")))).as("ts"))
+      val tok = toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n"),
+        explode(col("ts")).as("tok"))
+      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val prefix = tok.join(dfreq, "tok")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+        .filter(col("rn") <= col("n") - expr("(3 * n + 4) DIV 5") + lit(1))
+        .select(col("doc_id"), col("n"), col("tok"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 3 <= col("b.n") * 5 && col("b.n") * 3 <= col("a.n") * 5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = toksDf.select(col("doc_id").as("doc_a"), col("ts").as("ta"))
+      val sb = toksDf.select(col("doc_id").as("doc_b"), col("ts").as("tb"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast(LongType).as("i"),
+          size(col("ta")).cast(LongType).as("na"),
+          size(col("tb")).cast(LongType).as("nb"))
+        .filter(col("i") * 8 >= (col("na") + col("nb")) * 3)
+        .select(col("doc_a"), col("doc_b"),
+          round6(col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1274,6 +1326,36 @@ object DedupQueries {
          |SELECT d.doc_id, chosen_r FROM documents d, chosen
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY d.doc_id""".stripMargin
-    }
+    },
+
+    // independent restatement of the prefix-filter join; the integer
+    // threshold gate 8i >= 3(na+nb) and the DIV 5 prefix length keep
+    // both engines float-free until the displayed jaccard
+    "d20_prefix_filter_join" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS ts
+        |  FROM words),
+        |tok AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |prefix AS (
+        |  SELECT doc_id, n, tok FROM (
+        |    SELECT t.doc_id, t.n, t.tok,
+        |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |    FROM tok t JOIN dfreq d ON t.tok = d.tok)
+        |  WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5),
+        |v AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(x.ts, y.ts)) AS i,
+        |    len(x.ts) AS na, len(y.ts) AS nb
+        |  FROM cand JOIN toks x ON doc_a = x.doc_id JOIN toks y ON doc_b = y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM v WHERE i * 8 >= (na + nb) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -598,6 +598,57 @@ object EventQueries {
       s.table(sink)
         .select("user_id", "day", "cnt", "z")
         .orderBy("user_id", "day")
+    },
+
+    // Interval-overlap aggregation by SWEEP LINE: each event opens a
+    // 5-minute activity interval; per (event_type, day) report the peak
+    // number of simultaneously-open intervals and the union-covered
+    // time. Boundaries (+1 at start, −1 at end, half-open [s,e)) are
+    // collapsed per timestamp, then ONE running sum per group gives the
+    // active count; covered time sums segment lengths where the count
+    // is positive. Midnight-crossing intervals are clipped into both
+    // days (≤ 2 segments for a 5-min hold), so every group's sweep is
+    // self-contained and every +1 has its −1 in-group — the final
+    // count always returns to 0. Scale: the sweep is confined to
+    // (event_type, day) partitions — thousands of independent
+    // per-partition sorts instead of one global order; the boundary
+    // stream is a map-side 2–4 rows/event, and all arithmetic is
+    // integer nanos. Same-timestamp ties are handled by the RANGE
+    // window frame (peers aggregate together), identical in both
+    // engines, so no within-timestamp order dependence exists.
+    "e22_max_concurrency" -> { (s, dir) =>
+      val HoldNs = 300000000000L // 5 min
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts").as("s"), (col("ts") + HoldNs).as("e"))
+        .withColumn("d1", expr(s"s div $DayNs"))
+        .withColumn("d2", expr(s"(e - 1) div $DayNs"))
+      val seg = ev.select(col("event_type"), explode(
+          when(col("d1") === col("d2"),
+            array(struct(col("d1").as("day"), col("s").as("cs"), col("e").as("ce"))))
+            .otherwise(array(
+              struct(col("d1").as("day"), col("s").as("cs"),
+                ((col("d1") + 1) * DayNs).as("ce")),
+              struct(col("d2").as("day"), (col("d2") * DayNs).as("cs"),
+                col("e").as("ce"))))).as("g"))
+        .select(col("event_type"), col("g.day").as("day"),
+          col("g.cs").as("cs"), col("g.ce").as("ce"))
+      val b = seg.select(col("event_type"), col("day"), explode(array(
+          struct(col("cs").as("t"), lit(1L).as("delta")),
+          struct(col("ce").as("t"), lit(-1L).as("delta")))).as("x"))
+        .select(col("event_type"), col("day"), col("x.t").as("t"),
+          col("x.delta").as("delta"))
+      val g = b.groupBy("event_type", "day", "t").agg(sum("delta").as("d"))
+      val w = Window.partitionBy("event_type", "day").orderBy("t")
+      val r = g
+        .withColumn("cnt", sum("d").over(w))
+        .withColumn("nxt", lead("t", 1).over(w))
+      r.groupBy("event_type", "day")
+        .agg(max("cnt").as("max_conc"),
+          sum(when(col("cnt") > 0, col("nxt") - col("t")).otherwise(lit(0L)))
+            .as("covered"))
+        .select(col("event_type"), col("day"), col("max_conc"),
+          expr("covered div 1000000").as("covered_ms"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -919,6 +970,34 @@ object EventQueries {
         |  event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY w_start_ns, w_end_ns, event_type
-        |ORDER BY w_start_ns, event_type""".stripMargin
+        |ORDER BY w_start_ns, event_type""".stripMargin,
+    // independent sweep-line restatement; both engines use the default
+    // RANGE window frame so same-timestamp peers aggregate together
+    "e22_max_concurrency" ->
+      s"""WITH iv AS (
+         |  SELECT event_type, epoch_ns(ts) AS s, epoch_ns(ts) + 300000000000 AS e
+         |  FROM events),
+         |parts AS (
+         |  SELECT event_type, s // $DayNs AS d1, (e - 1) // $DayNs AS d2, s, e
+         |  FROM iv),
+         |seg AS (
+         |  SELECT event_type, d1 AS day, s AS cs,
+         |    CASE WHEN d1 = d2 THEN e ELSE (d1 + 1) * $DayNs END AS ce
+         |  FROM parts
+         |  UNION ALL
+         |  SELECT event_type, d2, d2 * $DayNs, e FROM parts WHERE d1 <> d2),
+         |b AS (
+         |  SELECT event_type, day, cs AS t, 1 AS delta FROM seg
+         |  UNION ALL SELECT event_type, day, ce, -1 FROM seg),
+         |g AS (SELECT event_type, day, t, sum(delta) AS d FROM b GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT event_type, day, t,
+         |    sum(d) OVER (PARTITION BY event_type, day ORDER BY t) AS cnt,
+         |    lead(t) OVER (PARTITION BY event_type, day ORDER BY t) AS nxt
+         |  FROM g)
+         |SELECT event_type, day, max(cnt) AS max_conc,
+         |  sum(CASE WHEN cnt > 0 THEN nxt - t ELSE 0 END) // 1000000 AS covered_ms
+         |FROM r GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -475,6 +476,67 @@ object ExtraQueries {
               lit(m.toDouble) * log(lit(m.toDouble) / col("sk.zeros").cast(DoubleType)))
             .otherwise(estRaw)).as("est_users"))
         .orderBy("event_type")
+    },
+
+    // Association-rule mining over order baskets (the co-purchase
+    // support/confidence/lift classic): items = distinct (order, part),
+    // pair support from the g03-style within-basket self-join with the
+    // support >= 2 threshold (single co-occurrences are noise — the g03
+    // finding: the >= 2 population stays ~constant across SFs because
+    // random co-occurrence doesn't repeat, so the rule table is
+    // sub-linear in corpus size). Rules emit both directions from ONE
+    // pair aggregate; per-item counts join on the item key (a dimension
+    // -sized table, broadcastable downstream of AQE) and the basket
+    // total rides as the documented 1-ROW broadcast frame. Metrics are
+    // one fixed-order double division each over exact longs, round6'd.
+    "x24_assoc_rules" -> { (s, dir) =>
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nOrders = items.agg(countDistinct("o").as("nord"))
+      val ic = items.groupBy("p").agg(count(lit(1)).as("np"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val fwd = pairs.select(col("pa").as("ant"), col("pb").as("cons"), col("nab"))
+      val rev = pairs.select(col("pb").as("ant"), col("pa").as("cons"), col("nab"))
+      fwd.unionByName(rev)
+        .join(ic.select(col("p").as("ant"), col("np").as("na")), "ant")
+        .join(ic.select(col("p").as("cons"), col("np").as("nb")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ant"), col("cons"), col("nab").as("support"),
+          round6(col("nab").cast(DoubleType) / col("na")).as("confidence"),
+          round6((col("nab") * col("nord")).cast(DoubleType) /
+            (col("na") * col("nb"))).as("lift"))
+        .orderBy("ant", "cons")
+    },
+
+    // SCD2 interval build (gaps-and-islands): the events table replayed
+    // as a change log — consecutive same-state rows per user collapse
+    // into one validity interval [valid_from, valid_to), the current
+    // state's valid_to left NULL. Two user-partitioned windows (change
+    // flag + running version; interval close via lead over the grouped
+    // frame) and one aggregate — no global order except presentation.
+    // The inverse of x19's latest-by-key snapshot: x19 keeps the last
+    // row per key, this keeps the full temporal history a warehouse
+    // time-travel query needs.
+    "x25_scd2_intervals" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("ver", sum("chg").over(w))
+      val iv = ev.groupBy("user_id", "ver")
+        .agg(max("event_type").as("state"), min("ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy("user_id").orderBy("ver")
+      iv.withColumn("valid_to", lead("valid_from", 1).over(w2))
+        .select(col("user_id"), col("ver").as("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .orderBy("user_id", "version")
     }
   )
 
@@ -684,6 +746,47 @@ object ExtraQueries {
         |      FROM events GROUP BY event_type) d
         |  ON e.event_type = d.event_type
         |GROUP BY e.event_type, d.type_cnt
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+    "x24_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS nord FROM items),
+        |ic AS (SELECT p, count(*) AS np FROM items GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (
+        |  SELECT pa AS ant, pb AS cons, nab FROM pairs
+        |  UNION ALL SELECT pb, pa, nab FROM pairs)
+        |SELECT r.ant, r.cons, r.nab AS support,
+        |  floor((CAST(r.nab AS DOUBLE) / ca.np) * 1000000.0 + 0.5) / 1000000.0
+        |    AS confidence,
+        |  floor((CAST(r.nab * n.nord AS DOUBLE) / (ca.np * cb.np)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS lift
+        |FROM rules r
+        |JOIN ic ca ON r.ant = ca.p JOIN ic cb ON r.cons = cb.p CROSS JOIN n
+        |ORDER BY r.ant, r.cons""".stripMargin,
+    "x25_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, tsn, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tsn, event_id) IS DISTINCT FROM event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, tsn, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS ver
+        |  FROM c),
+        |iv AS (
+        |  SELECT user_id, ver, max(event_type) AS state, min(tsn) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY user_id, ver)
+        |SELECT user_id, ver AS version, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+        |  n_events
+        |FROM iv ORDER BY user_id, version""".stripMargin
   )
 }

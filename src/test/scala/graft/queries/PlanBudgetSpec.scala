@@ -129,6 +129,20 @@ class PlanBudgetSpec extends SparkSpec {
     // window, per-quantile argmin agg, presentation sort — the sketch
     // itself crosses the shuffle as ≤256 constant-size bin counts
     "x23_quantile_sketch" -> 5,
+    // x24: the distinct-items subtree appears 4× statically (self-join
+    // sides, per-item counts, basket total) — ReusedExchange collapses
+    // the identical shuffles at runtime, so the data-scale cost is one
+    // distinct + one pair aggregate + the rule joins
+    "x24_assoc_rules" -> 13,
+    // x25: one user-partitioned exchange shared by both windows and the
+    // interval aggregate, + presentation sort
+    "x25_scd2_intervals" -> 2,
+    // d20: token-df aggregate, per-doc rank window, prefix self-join,
+    // candidate distinct, verify joins + presentation sort
+    "d20_prefix_filter_join" -> 5,
+    // e22: boundary collapse aggregate, per-(type,day) sweep window,
+    // presentation sort
+    "e22_max_concurrency" -> 3,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first

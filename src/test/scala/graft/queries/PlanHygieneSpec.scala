@@ -82,7 +82,10 @@ class PlanHygieneSpec extends SparkSpec {
       //       the 256-row histogram each cross-join a broadcast 1-ROW
       //       min/max frame (and the 3-row quantile frame) to fix the
       //       bin width — BNLJ with a constant-size build by design
-      "x23_quantile_sketch")
+      "x23_quantile_sketch",
+      // x24 - the rule table cross-joins the broadcast 1-ROW basket
+      //       total (the d12/p14 single-build-row shape)
+      "x24_assoc_rules")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
