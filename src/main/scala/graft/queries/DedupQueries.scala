@@ -785,10 +785,14 @@ object DedupQueries {
 
     // EXACT set-similarity self-join via prefix filtering (AllPairs /
     // SSJoin; Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06) — the
-    // exact counterpart to d03's probabilistic LSH banding. Word-BIGRAM
-    // sets (distinct words are too coarse on a templated corpus — the
-    // shared vocabulary makes 59% of all pairs pass at 0.6; bigrams
-    // isolate the 25-pair true near-dup population d05 finds) in a
+    // exact counterpart to d03's probabilistic LSH banding, over the
+    // house 3-gram shingle sets (d05's element). Element choice is the
+    // whole ballgame for prefix filtering — its selectivity is
+    // VOCABULARY-driven: measured at sf0.1, word bigrams (931 distinct
+    // across the templated corpus) left prefix buckets so fat the join
+    // emitted 25.7M pre-pairs (73 s — worse than brute force), while
+    // trigrams (27k vocab) cut that 35× to 0.73M and 193k distinct
+    // candidates for the same 256-pair answer. Shingles sit in a
     // GLOBAL rarest-first canonical order (ascending document
     // frequency, token tiebreak); for Jaccard >= 0.6 a doc of n grams
     // only needs its first n - ceil(0.6 n) + 1 grams indexed: any
@@ -806,7 +810,7 @@ object DedupQueries {
     // df table is vocabulary-sized, not corpus-sized.
     "d20_prefix_filter_join" -> { (s, dir) =>
       val toksDf = Tables(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(grams2(tokens(col("text")))).as("ts"))
+        .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("ts"))
       val tok = toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n"),
         explode(col("ts")).as("tok"))
       val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1335,7 +1339,8 @@ object DedupQueries {
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |toks AS (
         |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS ts
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ts
         |  FROM words),
         |tok AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks),
         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),

@@ -537,6 +537,63 @@ object ExtraQueries {
         .select(col("user_id"), col("ver").as("version"), col("state"),
           col("valid_from"), col("valid_to"), col("n_events"))
         .orderBy("user_id", "version")
+    },
+
+    // Ranking-function medley with REAL ties: rank / dense_rank /
+    // percent_rank / cume_dist over (priority → status) where status
+    // duplicates heavily, so tie semantics (peer groups share the
+    // value; percent_rank = (rank-1)/(n-1), cume_dist counts peers
+    // cumulatively) are what's being exercised — all deterministic
+    // under any within-tie order. ntile is the one ranker that SPLITS
+    // tie groups by physical order, so it ranks over the unique
+    // o_orderkey instead (second sort, same single exchange on the
+    // partition key). The doubles are the same int/int division in
+    // both engines, round6'd.
+    "x26_ranking_funcs" -> { (s, dir) =>
+      val wt = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+      val wu = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("rnk", rank().over(wt).cast(LongType))
+        .withColumn("drnk", dense_rank().over(wt).cast(LongType))
+        .withColumn("prnk", round6(percent_rank().over(wt)))
+        .withColumn("cdist", round6(cume_dist().over(wt)))
+        .withColumn("tile", ntile(4).over(wu).cast(LongType))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // MERGE (upsert + delete + insert) as ONE full-outer equi-join —
+    // the warehouse CDC-apply x25 snapshots the history of. The change
+    // batch is derived deterministically from the base (update keys
+    // %7, delete keys %11 — delete wins on overlap — and inserts at
+    // offset keys %13): matched+U rewrites the value, matched+D drops
+    // the row, unmatched-I lands the new row, untouched base rows pass
+    // through. Scale: the apply is a single key-partitioned join
+    // however large the batch; no per-row driver logic, and the same
+    // plan serves continuous CDC apply when the base is bucketed on
+    // the key (io.Writers.bucketedTable: zero-shuffle apply).
+    "x27_merge_upsert" -> { (s, dir) =>
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          (col("o_totalprice") + 1000.0).as("new_price"))
+      val del = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast(DoubleType).as("new_price"))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+          col("o_totalprice").as("new_price"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("orderkey"),
+          when(col("op") === "U", col("new_price"))
+            .when(col("op") === "I", col("new_price"))
+            .otherwise(col("o_totalprice")).as("totalprice"),
+          coalesce(col("op"), lit("base")).as("src"))
+        .orderBy("orderkey")
     }
   )
 
@@ -787,6 +844,38 @@ object ExtraQueries {
         |SELECT user_id, ver AS version, state, valid_from,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
         |  n_events
-        |FROM iv ORDER BY user_id, version""".stripMargin
+        |FROM iv ORDER BY user_id, version""".stripMargin,
+    "x26_ranking_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_orderstatus,
+        |  rank() OVER wt AS rnk,
+        |  dense_rank() OVER wt AS drnk,
+        |  floor((percent_rank() OVER wt) * 1000000.0 + 0.5) / 1000000.0 AS prnk,
+        |  floor((cume_dist() OVER wt) * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS tile
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "x27_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 1000.0 AS new_price
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0),
+        |del AS (
+        |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM base
+        |  WHERE o_orderkey % 11 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000, 'I', o_totalprice FROM base
+        |  WHERE o_orderkey % 13 = 0),
+        |changes AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM ins),
+        |m AS (SELECT * FROM base FULL OUTER JOIN changes ON o_orderkey = k)
+        |SELECT coalesce(o_orderkey, k) AS orderkey,
+        |  CASE WHEN op IN ('U', 'I') THEN new_price ELSE o_totalprice END
+        |    AS totalprice,
+        |  coalesce(op, 'base') AS src
+        |FROM m WHERE coalesce(op, '') <> 'D'
+        |ORDER BY orderkey""".stripMargin
   )
 }

@@ -143,6 +143,11 @@ class PlanBudgetSpec extends SparkSpec {
     // e22: boundary collapse aggregate, per-(type,day) sweep window,
     // presentation sort
     "e22_max_concurrency" -> 3,
+    // x26: one exchange on the partition key feeds both window sorts,
+    // + presentation sort
+    "x26_ranking_funcs" -> 2,
+    // x27: full-outer SMJ (both sides) + presentation sort
+    "x27_merge_upsert" -> 3,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first

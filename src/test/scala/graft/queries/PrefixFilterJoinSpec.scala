@@ -8,12 +8,13 @@ import graft.{SparkEntry, SparkSpec}
 
 /** Pins d20's defining property — prefix filtering is EXACT: the
   * candidate pruning (rarest-first prefixes + length filter) may drop
-  * pairs, but never a pair whose bigram Jaccard meets the 0.6 threshold.
+  * pairs, but never a pair whose 3-gram Jaccard meets the 0.6 threshold.
   * The spec computes the brute-force all-pairs answer in plain Scala on
   * a corpus crafted to stress the pruning:
-  *   - true near-dups (one-word edits of a shared sentence),
-  *   - docs overlapping ONLY in globally-frequent bigrams (a hot prefix
-  *     token would admit them; the length filter + verify must reject),
+  *   - true near-dups (one-word edits of a shared sentence; pair (1,2)
+  *     lands EXACTLY at the 0.6 boundary — 6 shared of 8+8 trigrams —
+  *     so the integer gate's >= is exercised, not just cleared),
+  *   - docs overlapping only in globally-frequent shingles,
   *   - length-skewed pairs (prefix sizes differ),
   *   - an exact duplicate (jaccard 1.0).
   */
@@ -31,13 +32,14 @@ class PrefixFilterJoinSpec extends SparkSpec {
     9L -> "the quick brown fox jumps over the lazy dog today and then some more trailing words here"
   )
 
-  private def bigrams(text: String): Set[String] = {
+  private def trigrams(text: String): Set[String] = {
     val t = text.split(" ", -1)
-    (0 until math.max(t.length - 1, 0)).map(i => t(i) + " " + t(i + 1)).toSet
+    (0 until math.max(t.length - 2, 0))
+      .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2)).toSet
   }
 
   private def brute(): Set[(Long, Long, Double)] = {
-    val sets = corpus.map { case (id, tx) => id -> bigrams(tx) }
+    val sets = corpus.map { case (id, tx) => id -> trigrams(tx) }
     (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       i = (sa intersect sb).size
