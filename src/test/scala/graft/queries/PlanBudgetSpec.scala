@@ -148,6 +148,15 @@ class PlanBudgetSpec extends SparkSpec {
     "x26_ranking_funcs" -> 2,
     // x27: full-outer SMJ (both sides) + presentation sort
     "x27_merge_upsert" -> 3,
+    // x28: two partial aggregates (base snapshot + delta) + the merge
+    // aggregate; at 100 TB the base partial is a persisted view and
+    // only the delta side recomputes
+    "x28_incremental_agg" -> 3,
+    // g05: the peel itself runs eagerly inside per-round checkpoints;
+    // the static tail is 12 profile rows × (survivor-count +
+    // edge-count single-partition aggregates) over checkpointed
+    // frames — 24 one-row exchanges, zero data-scale shuffles
+    "g05_kcore_peel" -> 24,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first

@@ -85,7 +85,11 @@ class PlanHygieneSpec extends SparkSpec {
       "x23_quantile_sketch",
       // x24 - the rule table cross-joins the broadcast 1-ROW basket
       //       total (the d12/p14 single-build-row shape)
-      "x24_assoc_rules")
+      "x24_assoc_rules",
+      // g05 - each peel-profile row cross-joins two 1-ROW count
+      //       aggregates (survivors × edges_left) — the single-build-
+      //       row shape, 12 times
+      "g05_kcore_peel")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
