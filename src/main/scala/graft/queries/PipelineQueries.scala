@@ -524,6 +524,54 @@ object PipelineQueries {
         .select(col("keep.doc_id").as("doc_id"), col("keep.k").as("k"),
           col("n_copies"))
         .orderBy("doc_id", "k")
+    },
+
+    // Quality-filter ATTRIBUTION funnel — the report every filtering
+    // pipeline (C4, Gopher, RefinedWeb) publishes beside its rules:
+    // each document is attributed to the FIRST rule that rejects it
+    // (ordered cheap → expensive, the short-circuit evaluation order),
+    // and the output is the per-stage rejection count + surviving
+    // corpus size. Where p01 applies ONE composite score, this answers
+    // "which rule is doing the work" — the tuning signal (a rule
+    // rejecting 0 docs, like long_words here, is measured as inert
+    // rather than assumed useful). All rules are integer predicates on
+    // counts from ONE scan (no floats to disagree across engines);
+    // zero-count stages survive via the static stage dim; the 5-row
+    // funnel cumulates with one tiny window. Scale: map-only rule
+    // evaluation + one 5-group aggregate — the corpus never shuffles.
+    "p21_filter_funnel" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(t).cast(LongType).as("words"),
+          size(array_distinct(t)).cast(LongType).as("dw"),
+          length(regexp_replace(col("text"), " ", "")).cast(LongType).as("chars"),
+          stopwordHits(t, StopEn).cast(LongType).as("stop"))
+        .select(
+          when(col("words") < 20, 1L)                       // too_short
+            .when(col("chars") > col("words") * 8, 2L)      // long_words (awl > 8)
+            .when(col("dw") * 10 < col("words") * 3, 3L)    // repetitive
+            .when(col("stop") * 25 < col("words"), 4L)      // low_stopword
+            .otherwise(5L).as("stage"))
+      val counts = scored.groupBy("stage").agg(count(lit(1)).as("n"))
+      val total = scored.agg(count(lit(1)).as("total"))
+      val stages = Seq(1L -> "too_short", 2L -> "long_words", 3L -> "repetitive",
+        4L -> "low_stopword", 5L -> "pass")
+      val dim = stages.map { case (id, nm) =>
+        struct(lit(id).as("stage"), lit(nm).as("rule"))
+      }
+      val dimDf = s.range(1)
+        .select(explode(array(dim: _*)).as("x"))
+        .select(col("x.stage").as("stage"), col("x.rule").as("rule"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      dimDf.join(counts, Seq("stage"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("rejected", when(col("stage") === 5L, 0L).otherwise(col("n")))
+        .withColumn("survivors",
+          col("total") - sum(col("rejected")).over(w))
+        .select(col("stage"), col("rule"), col("rejected"), col("survivors"))
+        .orderBy("stage")
     }
   )
 
@@ -844,7 +892,34 @@ object PipelineQueries {
          |    count(*) AS n_copies
          |  FROM long GROUP BY h)
          |SELECT keep.doc_id AS doc_id, keep.k AS k, n_copies
-         |FROM g ORDER BY doc_id, k""".stripMargin
+         |FROM g ORDER BY doc_id, k""".stripMargin,
+    // same ordered first-fail CASE; zero-count stages kept by the
+    // VALUES dim; survivors = running total minus cumulated rejections
+    "p21_filter_funnel" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, len(t) AS words, len(list_distinct(t)) AS dw,
+         |    length(replace(text, ' ', '')) AS chars,
+         |    ${sqlHits(StopEn)} AS stop
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         |cls AS (
+         |  SELECT CASE WHEN words < 20 THEN 1
+         |              WHEN chars > words * 8 THEN 2
+         |              WHEN dw * 10 < words * 3 THEN 3
+         |              WHEN stop * 25 < words THEN 4
+         |              ELSE 5 END AS stage
+         |  FROM s),
+         |cnt AS (SELECT stage, count(*) AS n FROM cls GROUP BY stage),
+         |tot AS (SELECT count(*) AS total FROM cls),
+         |dim AS (SELECT * FROM (VALUES (1, 'too_short'), (2, 'long_words'),
+         |  (3, 'repetitive'), (4, 'low_stopword'), (5, 'pass')) AS d(stage, rule)),
+         |f AS (
+         |  SELECT d.stage, d.rule, coalesce(n, 0) AS n
+         |  FROM dim d LEFT JOIN cnt ON d.stage = cnt.stage)
+         |SELECT CAST(f.stage AS BIGINT) AS stage, rule,
+         |  CAST(CASE WHEN f.stage = 5 THEN 0 ELSE n END AS BIGINT) AS rejected,
+         |  CAST(total - sum(CASE WHEN f.stage = 5 THEN 0 ELSE n END)
+         |    OVER (ORDER BY f.stage) AS BIGINT) AS survivors
+         |FROM f, tot ORDER BY stage""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.functions.TextFns.cdcChunks]] + explode-

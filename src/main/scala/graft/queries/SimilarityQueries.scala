@@ -408,6 +408,49 @@ object SimilarityQueries {
         .unionByName(tier("ivf", "s03_ivf_topk"))
         .unionByName(tier("pq", "s05_pq_topk"))
         .orderBy("tier")
+    },
+
+    // Attribute-FILTERED ANN — the production retrieval shape: top-k
+    // cosine among vectors satisfying a metadata predicate (here the
+    // label-parity stand-in for "lang = 'en'" / "license = permissive").
+    // Two design decisions the filtered-search literature names:
+    // (1) the predicate is pushed INTO the inverted-list scan — a
+    // post-filtered plain top-k under-delivers k whenever the filter
+    // would have dropped survivors (filter-then-rank, not
+    // rank-then-filter); (2) the probe widens to nprobe=2 because
+    // filtering thins each cluster's yield (the s10 sweep knob applied
+    // for selectivity rather than recall). The quantizer stays trained
+    // on the FULL corpus — selection must not move centroids. Scale:
+    // the predicate rides the cluster-member scan (partition-pruned by
+    // the inverted-list key, filter pushed to the parquet scan), so
+    // cost is proportional to SURVIVING members of probed clusters.
+    "s13_filtered_ann" -> { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+      val centroids = ivfCentroids(v)
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val probes = q.crossJoin(broadcast(centroids))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("c_label").as("probe_label"))
+      val filtered = v.filter(col("label") % 2 === 0)
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      probes
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(filtered.select(col("label").as("probe_label"),
+          col("vec_id").as("neighbor_id"), col("e").as("ce")), "probe_label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("c")).as("cos"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -755,7 +798,42 @@ object SimilarityQueries {
            |FROM ex_n LEFT JOIN hit USING (query_id)
            |ORDER BY query_id""".stripMargin
       },
-      "s03_ivf_topk" -> s03Sql
+      "s03_ivf_topk" -> s03Sql,
+      // s03's probe/search shape with nprobe=2 and the parity predicate
+      // applied to cluster MEMBERS (cv), never to queries or centroids
+      "s13_filtered_ann" -> {
+        val dqc2 = sqlDotSeq("qv.e", "cv.e")
+        s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+           |pos AS (
+           |  SELECT label, i AS pos, e[i] AS x
+           |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+           |cd AS (
+           |  SELECT label, pos,
+           |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+           |  FROM pos GROUP BY label, pos),
+           |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+           |probe AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |         ${sqlDotSeq("q.e", "cent.c")} AS d
+           |  FROM v q, cent WHERE q.vec_id < 10),
+           |best AS (
+           |  SELECT query_id, label AS probe_label FROM (
+           |    SELECT query_id, label,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+           |    FROM probe) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT b.query_id, cv.vec_id AS neighbor_id, $dqc2 AS c
+           |  FROM best b
+           |  JOIN v qv ON qv.vec_id = b.query_id
+           |  JOIN v cv ON cv.label = b.probe_label AND cv.vec_id <> b.query_id
+           |    AND cv.label % 2 = 0),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, c,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      }
     )
   }
 }

@@ -157,6 +157,12 @@ class PlanBudgetSpec extends SparkSpec {
     // edge-count single-partition aggregates) over checkpointed
     // frames — 24 one-row exchanges, zero data-scale shuffles
     "g05_kcore_peel" -> 24,
+    // s13: the s03 probe/search shape + the member-filter — centroid
+    // agg, probe window, rank window
+    "s13_filtered_ann" -> 3,
+    // p21: stage-count aggregate, corpus total, 5-row funnel window —
+    // the corpus itself never shuffles (map-only rule evaluation)
+    "p21_filter_funnel" -> 3,
     "s09_ann_mrr" -> 18, "s10_ivf_nprobe" -> 12,
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first

@@ -89,7 +89,13 @@ class PlanHygieneSpec extends SparkSpec {
       // g05 - each peel-profile row cross-joins two 1-ROW count
       //       aggregates (survivors × edges_left) — the single-build-
       //       row shape, 12 times
-      "g05_kcore_peel")
+      "g05_kcore_peel",
+      // s13 - the s03 probe shape: queries crossJoin(broadcast(tiny
+      //       centroid table))
+      "s13_filtered_ann",
+      // p21 - the 5-row funnel cross-joins the broadcast 1-ROW corpus
+      //       total (the d12/p14 shape)
+      "p21_filter_funnel")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
