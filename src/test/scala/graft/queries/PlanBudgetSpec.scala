@@ -152,11 +152,10 @@ class PlanBudgetSpec extends SparkSpec {
     // aggregate; at 100 TB the base partial is a persisted view and
     // only the delta side recomputes
     "x28_incremental_agg" -> 3,
-    // g05: the peel itself runs eagerly inside per-round checkpoints;
-    // the static tail is 12 profile rows × (survivor-count +
-    // edge-count single-partition aggregates) over checkpointed
-    // frames — 24 one-row exchanges, zero data-scale shuffles
-    "g05_kcore_peel" -> 24,
+    // g05: the peel runs eagerly inside per-round checkpoints with
+    // driver-side convergence counts; the returned profile is a
+    // LocalTableScan of 12 literal rows + the presentation sort
+    "g05_kcore_peel" -> 1,
     // s13: the s03 probe/search shape + the member-filter — centroid
     // agg, probe window, rank window
     "s13_filtered_ann" -> 3,

@@ -86,10 +86,6 @@ class PlanHygieneSpec extends SparkSpec {
       // x24 - the rule table cross-joins the broadcast 1-ROW basket
       //       total (the d12/p14 single-build-row shape)
       "x24_assoc_rules",
-      // g05 - each peel-profile row cross-joins two 1-ROW count
-      //       aggregates (survivors × edges_left) — the single-build-
-      //       row shape, 12 times
-      "g05_kcore_peel",
       // s13 - the s03 probe shape: queries crossJoin(broadcast(tiny
       //       centroid table))
       "s13_filtered_ann",
