@@ -26,7 +26,7 @@ object EventQueries {
     * after stop(), so the shared session is untouched; at scale this
     * knob is sized to the stream rate instead.
     */
-  private def scopedStream[T](s: SparkSession)(body: => T): T = {
+  private[queries] def scopedStream[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "8")

@@ -572,6 +572,37 @@ object PipelineQueries {
           col("total") - sum(col("rejected")).over(w))
         .select(col("stage"), col("rule"), col("rejected"), col("survivors"))
         .orderBy("stage")
+    },
+
+    // LIVE streaming CDC chunk dedup — Streaming.dedupCdcChunksStream
+    // (previously spec-only; the d14 promotion pattern) run as a REAL
+    // file-stream query over the documents table: stateless
+    // content-defined chunking in append mode, then watermarked
+    // dropDuplicatesWithinWatermark on the chunk hash (state = distinct
+    // hashes inside the horizon). Event time is synthesized from
+    // doc_id (day 1+ — the epoch-0 late-row trap). The output projects
+    // (chunk_key, chunk_chars), both FUNCTIONS OF THE KEY, so the
+    // result is deterministic even though which carrier document
+    // survives a within-batch race is not. Oracle = the distinct-chunk
+    // closed form of the same CDC cut definition (one shared
+    // CdcChunkSql with p19/p20).
+    "p22_stream_cdc_dedup" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docs = src.withColumn("ts",
+        timestamp_micros(col("doc_id") * 1000000L + lit(86400000000L)))
+      val deduped = graft.streaming.Streaming.dedupCdcChunksStream(docs)
+        .select(col("chunk_key"),
+          length(col("chunk")).cast(LongType).as("chunk_chars"))
+      val sink = "p22_stream_cdc_sink"
+      s.catalog.dropTempView(sink)
+      EventQueries.scopedStream(s) {
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy("chunk_key")
     }
   )
 
@@ -919,7 +950,17 @@ object PipelineQueries {
          |  CAST(CASE WHEN f.stage = 5 THEN 0 ELSE n END AS BIGINT) AS rejected,
          |  CAST(total - sum(CASE WHEN f.stage = 5 THEN 0 ELSE n END)
          |    OVER (ORDER BY f.stage) AS BIGINT) AS survivors
-         |FROM f, tot ORDER BY stage""".stripMargin
+         |FROM f, tot ORDER BY stage""".stripMargin,
+    // the streaming run's closed form: a single batch inside the
+    // watermark horizon keeps exactly one row per distinct chunk hash,
+    // and both published columns are functions of the hash
+    "p22_stream_cdc_dedup" ->
+      s"""WITH $CdcChunkSql,
+         |long AS (
+         |  SELECT doc_id, chunks[CAST(t AS INT)] AS chunk FROM e)
+         |SELECT DISTINCT sha256(chunk) AS chunk_key,
+         |  CAST(length(chunk) AS BIGINT) AS chunk_chars
+         |FROM long ORDER BY chunk_key""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.functions.TextFns.cdcChunks]] + explode-

@@ -29,7 +29,8 @@ class PlanBudgetSpec extends SparkSpec {
   private val excluded =
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
-      "e21_stream_anomaly")
+      "e21_stream_anomaly",
+      "p22_stream_cdc_dedup")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
   // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose

@@ -97,7 +97,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val excluded =
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
-      "e21_stream_anomaly")
+      "e21_stream_anomaly",
+      "p22_stream_cdc_dedup")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
