@@ -603,6 +603,46 @@ object PipelineQueries {
         try q.processAllAvailable() finally q.stop()
       }
       s.table(sink).orderBy("chunk_key")
+    },
+
+    // LIVE streaming decontamination — Streaming.decontaminateStream
+    // (previously spec-only) as a real file-stream query: the Bloom
+    // bitset of the benchmark set (every 20th doc, p14's convention)
+    // is built batch-side by the graft_bloom native aggregate, pulled
+    // to the driver as the 8 KB literal the streaming plan embeds, and
+    // every arriving candidate doc is flagged with its bloom-hit
+    // count as pure append-mode expressions — no stream-static join,
+    // no state. At scale this is the shape that matters: the
+    // eval-suite index ships to every executor once inside the plan;
+    // a benchmark refresh is a new literal on query restart. The
+    // oracle replays the identical double-hash bit math in SQL (the
+    // p14 layers, bloom columns only).
+    "p23_stream_decontam" -> { (s, dir) =>
+      val M = 1L << 16
+      val K = 3
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
+        .withColumn("h1", h60(col("g")))
+        .withColumn("h2", h60(concat(lit("#"), col("g"))))
+      val bits = grams.filter(col("doc_id") % 20 === 0)
+        .select("g", "h1", "h2").distinct()
+        .agg(expr(s"graft_bloom(h1, h2, $M, $K)").as("bits"))
+        .collect()(0).getAs[Array[Byte]]("bits")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val flagged = graft.streaming.Streaming
+        .decontaminateStream(src.filter(col("doc_id") % 20 =!= 0), bits, M, K)
+        .select(col("doc_id"), col("n_grams"), col("n_bloom"))
+      val sink = "p23_stream_decontam_sink"
+      s.catalog.dropTempView(sink)
+      EventQueries.scopedStream(s) {
+        val q = flagged.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy("doc_id")
     }
   )
 
@@ -960,7 +1000,34 @@ object PipelineQueries {
          |  SELECT doc_id, chunks[CAST(t AS INT)] AS chunk FROM e)
          |SELECT DISTINCT sha256(chunk) AS chunk_key,
          |  CAST(length(chunk) AS BIGINT) AS chunk_chars
-         |FROM long ORDER BY chunk_key""".stripMargin
+         |FROM long ORDER BY chunk_key""".stripMargin,
+    // p14's bloom layers, bloom columns only; candidates = non-benchmark
+    // docs, n_grams counts the doc's distinct 3-grams
+    "p23_stream_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks),
+        |hg AS (
+        |  SELECT doc_id, g,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(concat('0x', substr(md5(concat('#', g)), 1, 15)) AS BIGINT) AS h2
+        |  FROM grams),
+        |bench AS (SELECT DISTINCT g, h1, h2 FROM hg WHERE doc_id % 20 = 0),
+        |bits AS (SELECT DISTINCT (h1 + i * h2) % 65536 AS p
+        |         FROM bench, (SELECT unnest(range(0, 3)) AS i) ii),
+        |cand AS (SELECT doc_id, g, h1, h2 FROM hg WHERE doc_id % 20 <> 0),
+        |probe AS (
+        |  SELECT c.doc_id, c.g, count(b.p) AS nset
+        |  FROM (SELECT doc_id, g, (h1 + i * h2) % 65536 AS p
+        |        FROM cand, (SELECT unnest(range(0, 3)) AS i) ii) c
+        |  LEFT JOIN bits b USING (p)
+        |  GROUP BY c.doc_id, c.g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.functions.TextFns.cdcChunks]] + explode-
