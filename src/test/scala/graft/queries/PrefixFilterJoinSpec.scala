@@ -80,4 +80,51 @@ class PrefixFilterJoinSpec extends SparkSpec {
     assert(got.contains((1L, 3L, 1.0)), "exact duplicate pair must score 1.0")
     assert(got.exists(p => p._1 == 1L && p._2 == 2L), "near-dup 1-2 must survive")
   }
+
+  test("randomized corpora: prefix-filter == brute force (seeded)") {
+    // seeded generator; every corpus plants near-dups by mutating 1-2
+    // words of earlier docs, so qualifying pairs exist and the check
+    // catches BOTH false negatives (a dropped candidate) and false
+    // positives (a broken verify gate)
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 25).map(i => s"w$i")
+      val bases = (1 to 12).map { id =>
+        id.toLong -> Seq.fill(8 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val mutants = (1 to 6).map { j =>
+        val (srcId, text) = bases(rnd.nextInt(bases.size))
+        val w = text.split(" ")
+        val k = rnd.nextInt(w.length)
+        w(k) = vocab(rnd.nextInt(vocab.size))
+        (100L + j, w.mkString(" "))
+      }
+      val corpus = bases ++ mutants
+      val sets = corpus.map { case (id, tx) => id -> trigrams(tx) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa intersect sb).size
+        if i * 8 >= (sa.size + sb.size) * 3
+        j = i.toDouble / (sa.size + sb.size - i)
+      } yield (a, b, math.floor(j * 1e6 + 0.5) / 1e6)).toSet
+      val base = java.nio.file.Files.createTempDirectory(s"d20_rand$trial").toString
+      val df = spark.createDataFrame(corpus.map { case (id, tx) =>
+        (id, tx, "en", "spec", tx.length.toLong)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = s"$base/tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/data/documents.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      val got = SparkEntry.queries("d20_prefix_filter_join")(spark, s"$base/data")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"trial $trial: missing=${(want -- got).toSeq.sorted}, " +
+        s"extra=${(got -- want).toSeq.sorted}")
+    }
+  }
 }
