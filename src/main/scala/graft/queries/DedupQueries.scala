@@ -837,6 +837,37 @@ object DedupQueries {
           round6(col("i").cast(DoubleType) / (col("na") + col("nb") - col("i")))
             .as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // LIVE streaming minhash near-dup dedup — Streaming.dedupNearStream
+    // (previously spec-only) as a real file-stream query: the d08
+    // signature (all K minhash slots, exact-content fallback for
+    // shingle-less docs) computed as PURE per-row expressions — no
+    // aggregation between source and dedup, which is what makes the
+    // batch signature streamable at all — then watermarked
+    // dropDuplicatesWithinWatermark on the key. The published column
+    // is the signature itself (a function of CONTENT), so the result
+    // is deterministic even though which carrier doc survives a
+    // within-batch race is not. Oracle = d08's signature CTEs closed
+    // into DISTINCT keys. State: one entry per distinct signature
+    // inside the watermark horizon, evicted as it passes — bounded at
+    // any corpus rate.
+    "d21_stream_sig_dedup" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docs = src.withColumn("ts",
+        timestamp_micros(col("doc_id") * 1000000L + lit(86400000000L)))
+      val deduped = graft.streaming.Streaming.dedupNearStream(docs)
+        .select(col("sig_key"))
+      val sink = "d21_stream_sig_sink"
+      s.catalog.dropTempView(sink)
+      EventQueries.scopedStream(s) {
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy("sig_key")
     }
   )
 
@@ -1361,6 +1392,19 @@ object DedupQueries {
         |SELECT doc_a, doc_b,
         |  floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM v WHERE i * 8 >= (na + nb) * 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the streaming run's closed form: one batch inside the watermark
+    // horizon keeps exactly one row per distinct d08 signature, and the
+    // published column IS the signature
+    "d21_stream_sig_dedup" ->
+      s"""WITH $sqlSigs,
+         |keys AS (
+         |  SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS sig_key
+         |  FROM sig GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(k.sig_key, d.text) AS sig_key
+         |  FROM documents d LEFT JOIN keys k ON d.doc_id = k.doc_id)
+         |SELECT DISTINCT sig_key FROM keyed ORDER BY sig_key""".stripMargin
   )
 }

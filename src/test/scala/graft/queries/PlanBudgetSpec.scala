@@ -30,7 +30,8 @@ class PlanBudgetSpec extends SparkSpec {
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
       "e21_stream_anomaly",
-      "p22_stream_cdc_dedup", "p23_stream_decontam")
+      "p22_stream_cdc_dedup", "p23_stream_decontam",
+      "d21_stream_sig_dedup")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
   // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose

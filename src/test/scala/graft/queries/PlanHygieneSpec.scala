@@ -98,7 +98,8 @@ class PlanHygieneSpec extends SparkSpec {
     Set("e05_stream_window", "e10_stream_session", "e11_stream_topk",
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
       "e21_stream_anomaly",
-      "p22_stream_cdc_dedup", "p23_stream_decontam")
+      "p22_stream_cdc_dedup", "p23_stream_decontam",
+      "d21_stream_sig_dedup")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
