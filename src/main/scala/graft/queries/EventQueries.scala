@@ -538,6 +538,41 @@ object EventQueries {
         .orderBy("user_id", "click_id", "view_id")
     },
 
+    // LIVE streaming LEFT-OUTER interval join — e17 with the outer
+    // semantics streaming makes hard: the unmatched-click null rows
+    // are WATERMARK-GATED (Spark emits them in the state-cleanup
+    // batch once the watermark proves no qualifying view can still
+    // arrive), so the outer results are append-only and never
+    // retracted. Clicks younger than the final watermark stay pending
+    // at stream stop by the same contract — the oracle replays it:
+    // an unmatched click emits its null row iff its millisecond
+    // timestamp is strictly below the final watermark, which is the
+    // MIN of the two sides' (max event-time − 2 h) marks (each
+    // watermark node observes only the rows flowing through it).
+    "e24_stream_outer_join" -> { (s, dir) =>
+      def src = Tables.eventsStream(s, dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .select("user_id", "event_id", "event_type", "ts")
+      val clicks = src.filter(col("event_type") === "click")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val joined = graft.streaming.Streaming.streamIntervalJoin(
+        clicks, views, "user_id", "2 hours", "left_outer")
+      val sink = "e24_stream_outer_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("l_event_id").as("click_id"),
+          col("r_event_id").as("view_id"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
     // LIVE streaming transition matrix — e18's batch matrix computed
     // from a stream via Streaming.transitionsStream: per-user ordering
     // is recovered by buffering events in keyed state until the
@@ -911,6 +946,29 @@ object EventQueries {
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND vus >= cus - 7200000000 AND vus <= cus
         |ORDER BY c.user_id, click_id, view_id""".stripMargin,
+    // e17's matches plus the watermark-gated null rows; wm = MIN of the
+    // two sides' (max event-time ms − 2 h); NULLS FIRST pinned (Spark
+    // asc default) since view_id is a nullable sort key
+    "e24_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(cus) FROM c), (SELECT max(vus) FROM v))
+        |         // 1000 - 7200000 AS wm_ms),
+        |m AS (
+        |  SELECT c.user_id, click_id, view_id, (cus - vus) AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND vus >= cus - 7200000000 AND vus <= cus),
+        |unmatched AS (
+        |  SELECT c.user_id, click_id, CAST(NULL AS BIGINT) AS view_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM c, wm
+        |  WHERE click_id NOT IN (SELECT click_id FROM m)
+        |    AND cus // 1000 < wm_ms)
+        |SELECT user_id, click_id, view_id, gap_us FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM unmatched)
+        |ORDER BY user_id, click_id, view_id NULLS FIRST""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

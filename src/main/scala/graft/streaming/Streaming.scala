@@ -185,9 +185,18 @@ object Streaming {
     * and evict older rows, so state is O(rate × horizon) per key range,
     * never unbounded. Column names are prefixed `l_`/`r_` (except the
     * shared key) so the joined schema is collision-free.
+    *
+    * `joinType` "left_outer" adds the unmatched-left null rows with
+    * WATERMARK-GATED emission: a left row's null result appears only
+    * once the watermark proves no qualifying right row can still
+    * arrive (Spark emits it in the state-cleanup batch after the
+    * watermark passes the row's interval), so outer results are
+    * append-safe and never retracted — the finality contract the
+    * oracle replays. Matches themselves emit immediately under any
+    * join type.
     */
   def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
-      maxLag: String = "1 hour"): DataFrame = {
+      maxLag: String = "1 hour", joinType: String = "inner"): DataFrame = {
     def prefixed(df: DataFrame, p: String) = df.columns.foldLeft(df) {
       (d, c) => if (c == key) d else d.withColumnRenamed(c, s"$p$c")
     }
@@ -198,7 +207,7 @@ object Streaming {
     val cond = l(key) === r(key) &&
       r("r_ts") >= l("l_ts") - expr(s"INTERVAL $maxLag") &&
       r("r_ts") <= l("l_ts")
-    l.join(r, cond, "inner").drop(r(key))
+    l.join(r, cond, joinType).drop(r(key))
   }
 
   /** Idempotent micro-batch parquet write: the batch lands in its own
