@@ -99,12 +99,27 @@ object Bench {
     // the 3-4 s steady state) — each retry re-evicts so every sample is
     // a real build. The last build's frames stay persisted for the
     // d-queries.
+    // Per-component attribution (r5 lesson: one d00 number hid an +11 s
+    // regression in embedPairsExact): each build times the five component
+    // materializations separately; the total is their sum, and the
+    // component breakdown of the FASTEST build lands in BENCH_local.json
+    // as "d00_components" so the next prelude regression names its culprit.
+    var preludeParts: Seq[(String, Double)] = Nil
     val prelude = {
       def build(): Option[Double] = {
         graft.queries.DedupQueries.evict(spark, sfDir)
         graft.queries.Quantizer.evict(spark, sfDir)
-        timedOnce("d00_dedup_prelude",
-          graft.queries.DedupQueries.prewarm(spark, sfDir))
+        val thunks = graft.queries.DedupQueries.prewarmParts(spark, sfDir)
+        val parts = thunks.flatMap { case (part, body) =>
+          timedOnce(s"d00/$part", body()).map(part -> _)
+        }
+        if (parts.length < thunks.length) None
+        else {
+          val total = parts.map(_._2).sum
+          if (preludeParts.isEmpty || total < preludeParts.map(_._2).sum)
+            preludeParts = parts
+          Some(total)
+        }
       }
       var ts = Seq(build(), build()).flatten
       var extra = 0
@@ -139,6 +154,7 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$Passes,""" +
       s""""queries":${jmap(results.map { case (k, (mn, _)) => k -> f(mn) })},""" +
       s""""spread":${jmap(results.map { case (k, (_, sp)) => k -> f(sp) })},""" +
+      s""""d00_components":${jmap(preludeParts.map { case (k, t) => k -> f(t) })},""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), fullLine + "\n")
     catch { case _: Throwable => () }

@@ -573,6 +573,41 @@ object EventQueries {
         .orderBy("user_id", "click_id", "view_id")
     },
 
+    // LIVE streaming FULL-OUTER interval join — completes e24's family
+    // (the CDC-enrichment shape where BOTH unmatched sides matter).
+    // Null rows from the two sides have DIFFERENT finality horizons,
+    // each derived from its own state-eviction bound: an unmatched
+    // click at c can still be matched by views in [c − 2 h, c], none of
+    // which can arrive once the watermark passes c — null row iff
+    // c_ms < wm. An unmatched view at v can still be matched by clicks
+    // in [v, v + 2 h] — null row iff v_ms < wm − 2 h. Both boundaries
+    // are STRICT (StreamingSpec's full_outer boundary probes pin
+    // 339<340 emits / 340 doesn't, and 309<310 emits / 310 doesn't);
+    // wm = MIN of the two sides' (max event-time − 2 h) marks.
+    "e25_stream_full_outer_join" -> { (s, dir) =>
+      def src = Tables.eventsStream(s, dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .select("user_id", "event_id", "event_type", "ts")
+      val clicks = src.filter(col("event_type") === "click")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val joined = graft.streaming.Streaming.streamIntervalJoin(
+        clicks, views, "user_id", "2 hours", "full_outer")
+      val sink = "e25_stream_full_outer_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("l_event_id").as("click_id"),
+          col("r_event_id").as("view_id"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
     // LIVE streaming transition matrix — e18's batch matrix computed
     // from a stream via Streaming.transitionsStream: per-user ordering
     // is recovered by buffering events in keyed state until the
@@ -948,14 +983,21 @@ object EventQueries {
         |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     // e17's matches plus the watermark-gated null rows; wm = MIN of the
     // two sides' (max event-time ms − 2 h); NULLS FIRST pinned (Spark
-    // asc default) since view_id is a nullable sort key
+    // asc default) since view_id is a nullable sort key. If EITHER side
+    // is empty its max is NULL and Spark's global watermark never
+    // advances (no null rows emitted) — DuckDB's least() would skip the
+    // NULL, so the CASE pins wm_ms to NULL (the `<` then matches
+    // nothing), keeping the two engines' finality contracts identical.
     "e24_stream_outer_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
         |  FROM events WHERE event_type = 'click'),
         |v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
         |  FROM events WHERE event_type = 'view'),
-        |wm AS (SELECT least((SELECT max(cus) FROM c), (SELECT max(vus) FROM v))
-        |         // 1000 - 7200000 AS wm_ms),
+        |wm AS (SELECT CASE
+        |           WHEN (SELECT max(cus) FROM c) IS NULL
+        |             OR (SELECT max(vus) FROM v) IS NULL THEN NULL
+        |           ELSE least((SELECT max(cus) FROM c), (SELECT max(vus) FROM v))
+        |         END // 1000 - 7200000 AS wm_ms),
         |m AS (
         |  SELECT c.user_id, click_id, view_id, (cus - vus) AS gap_us
         |  FROM c JOIN v ON c.user_id = v.user_id
@@ -969,6 +1011,41 @@ object EventQueries {
         |SELECT user_id, click_id, view_id, gap_us FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM unmatched)
         |ORDER BY user_id, click_id, view_id NULLS FIRST""".stripMargin,
+    // e24's contract on BOTH sides: unmatched clicks gate on c_ms < wm
+    // (a click's candidate views precede it), unmatched views on
+    // v_ms < wm − 2 h (a view's candidate clicks FOLLOW it by up to the
+    // lag, so its state lives 2 h longer) — both strict, pinned by
+    // StreamingSpec's boundary probes. Same empty-side CASE guard: if
+    // either side is empty Spark's watermark never advances.
+    "e25_stream_full_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT CASE
+        |           WHEN (SELECT max(cus) FROM c) IS NULL
+        |             OR (SELECT max(vus) FROM v) IS NULL THEN NULL
+        |           ELSE least((SELECT max(cus) FROM c), (SELECT max(vus) FROM v))
+        |         END // 1000 - 7200000 AS wm_ms),
+        |m AS (
+        |  SELECT c.user_id, click_id, view_id, (cus - vus) AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND vus >= cus - 7200000000 AND vus <= cus),
+        |uc AS (
+        |  SELECT c.user_id, click_id, CAST(NULL AS BIGINT) AS view_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM c, wm
+        |  WHERE click_id NOT IN (SELECT click_id FROM m)
+        |    AND cus // 1000 < wm_ms),
+        |uv AS (
+        |  SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id, view_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM v, wm
+        |  WHERE view_id NOT IN (SELECT view_id FROM m)
+        |    AND vus // 1000 < wm_ms - 7200000)
+        |SELECT user_id, click_id, view_id, gap_us FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM uc UNION ALL SELECT * FROM uv)
+        |ORDER BY user_id, click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
@@ -1053,8 +1130,8 @@ object EventQueries {
          |    sum(d) OVER (PARTITION BY event_type, day ORDER BY t) AS cnt,
          |    lead(t) OVER (PARTITION BY event_type, day ORDER BY t) AS nxt
          |  FROM g)
-         |SELECT event_type, day, max(cnt) AS max_conc,
-         |  sum(CASE WHEN cnt > 0 THEN nxt - t ELSE 0 END) // 1000000 AS covered_ms
+         |SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS max_conc,
+         |  CAST(sum(CASE WHEN cnt > 0 THEN nxt - t ELSE 0 END) // 1000000 AS BIGINT) AS covered_ms
          |FROM r GROUP BY event_type, day
          |ORDER BY event_type, day""".stripMargin
   )

@@ -335,7 +335,9 @@ object ExtraQueries {
     // integer bin counts per partition (mergeable by plain addition —
     // constant bytes cross the shuffle at ANY cardinality, the 100 TB
     // shape) and answers by linear interpolation inside the covering
-    // bin. Two passes: a min/max aggregate (1-row broadcast fixes the
+    // bin (hi = lo — a single-valued input — pins bin 0 on both
+    // engines: Spark's non-ANSI /0 is NULL where DuckDB's is inf, so
+    // the degenerate case must never reach the divide). Two passes: a min/max aggregate (1-row broadcast fixes the
     // bin width), then one count aggregate over ≤ 256 bins; the
     // cumulative walk + per-quantile bin pick happen on the 256-row
     // frame (min(struct) argmin — both engines pick the first bin
@@ -349,8 +351,9 @@ object ExtraQueries {
       val mm = ev.agg(min("value").as("lo"), max("value").as("hi"),
         count(lit(1)).as("n"))
       val hist = ev.crossJoin(broadcast(mm))
-        .select(least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B).cast(LongType), lit(B - 1L)).as("bin"))
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B).cast(LongType), lit(B - 1L))).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
       val cum = hist
         .withColumn("cum", sum("cnt").over(
@@ -566,7 +569,9 @@ object ExtraQueries {
     // the warehouse CDC-apply x25 snapshots the history of. The change
     // batch is derived deterministically from the base (update keys
     // %7, delete keys %11 — delete wins on overlap — and inserts at
-    // offset keys %13): matched+U rewrites the value, matched+D drops
+    // NEGATED keys %13: orderkeys are positive at every SF, so the
+    // insert namespace is disjoint at any scale — a fixed offset
+    // would collide once orderkeys exceed it, ~sf 1.7 for +10M): matched+U rewrites the value, matched+D drops
     // the row, unmatched-I lands the new row, untouched base rows pass
     // through. Scale: the apply is a single key-partitioned join
     // however large the batch; no per-row driver logic, and the same
@@ -582,7 +587,7 @@ object ExtraQueries {
         .select(col("o_orderkey").as("k"), lit("D").as("op"),
           lit(null).cast(DoubleType).as("new_price"))
       val ins = base.filter(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        .select((-col("o_orderkey")).as("k"), lit("I").as("op"),
           col("o_totalprice").as("new_price"))
       val changes = upd.unionByName(del).unionByName(ins)
       base.join(changes, col("o_orderkey") === col("k"), "full_outer")
@@ -793,7 +798,9 @@ object ExtraQueries {
       """WITH v AS (SELECT value FROM events),
         |mm AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM v),
         |hist AS (
-        |  SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT), 255) AS bin,
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT), 255)
+        |    END AS bin,
         |    count(*) AS cnt
         |  FROM v, mm GROUP BY 1),
         |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
@@ -860,7 +867,7 @@ object ExtraQueries {
         |  FROM e),
         |v AS (
         |  SELECT user_id, tsn, event_type,
-        |    sum(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS ver
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT) AS ver
         |  FROM c),
         |iv AS (
         |  SELECT user_id, ver, max(event_type) AS state, min(tsn) AS valid_from,
@@ -890,7 +897,7 @@ object ExtraQueries {
         |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM base
         |  WHERE o_orderkey % 11 = 0),
         |ins AS (
-        |  SELECT o_orderkey + 10000000, 'I', o_totalprice FROM base
+        |  SELECT -o_orderkey, 'I', o_totalprice FROM base
         |  WHERE o_orderkey % 13 = 0),
         |changes AS (
         |  SELECT * FROM upd UNION ALL SELECT * FROM del

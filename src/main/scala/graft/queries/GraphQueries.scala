@@ -227,8 +227,8 @@ object GraphQueries {
          |SELECT CASE WHEN label % 2 = 0 THEN 'customer' ELSE 'supplier' END AS community_type,
          |  label // 2 AS community_id,
          |  count(*) AS members,
-         |  sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS customers,
-         |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS suppliers
+         |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS customers,
+         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS suppliers
          |FROM lp
          |GROUP BY 1, 2
          |ORDER BY members DESC, community_type, community_id
@@ -280,8 +280,8 @@ object GraphQueries {
           |  ORDER BY dg DESC, src LIMIT 1""".stripMargin,
         BfsHops)}
          |SELECT dist, count(*) AS nodes,
-         |  sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS customers,
-         |  sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS suppliers
+         |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS customers,
+         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS suppliers
          |FROM bfs
          |GROUP BY dist
          |ORDER BY dist""".stripMargin,

@@ -207,7 +207,12 @@ object Streaming {
     val cond = l(key) === r(key) &&
       r("r_ts") >= l("l_ts") - expr(s"INTERVAL $maxLag") &&
       r("r_ts") <= l("l_ts")
-    l.join(r, cond, joinType).drop(r(key))
+    // keep ONE key column that is non-null under every join type: the
+    // left copy alone is null on unmatched-right rows (right/full outer)
+    l.join(r, cond, joinType)
+      .withColumn("__graft_key", coalesce(l(key), r(key)))
+      .drop(l(key)).drop(r(key))
+      .withColumnRenamed("__graft_key", key)
   }
 
   /** Idempotent micro-batch parquet write: the batch lands in its own
@@ -391,7 +396,7 @@ object Streaming {
     * — identical integer arithmetic to Spark's watermark tracker, so
     * the streamed pair set equals the batch lag over the final slice.
     */
-  def transitionsStream(events: Dataset[TEvent], delayMs: Long = 7200000L): Dataset[TPair] = {
+  def transitionsStream(events: Dataset[TEvent]): Dataset[TPair] = {
     import events.sparkSession.implicits._
     val isStreaming = events.isStreaming
     val timeoutConf =
@@ -453,7 +458,7 @@ object Streaming {
     * against moments over the user's earlier final days — the same
     * integer arithmetic as Spark's watermark tracker.
     */
-  def anomalyStream(events: Dataset[TEvent], delayMs: Long = 7200000L): Dataset[AnomDay] = {
+  def anomalyStream(events: Dataset[TEvent]): Dataset[AnomDay] = {
     import events.sparkSession.implicits._
     val isStreaming = events.isStreaming
     val timeoutConf =

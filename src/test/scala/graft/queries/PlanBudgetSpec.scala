@@ -31,7 +31,8 @@ class PlanBudgetSpec extends SparkSpec {
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
       "e21_stream_anomaly",
       "p22_stream_cdc_dedup", "p23_stream_decontam",
-      "d21_stream_sig_dedup", "e24_stream_outer_join")
+      "d21_stream_sig_dedup", "e24_stream_outer_join",
+      "e25_stream_full_outer_join")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
   // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose

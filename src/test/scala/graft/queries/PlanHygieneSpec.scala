@@ -99,7 +99,8 @@ class PlanHygieneSpec extends SparkSpec {
       "e13_stream_kmv", "e17_stream_join", "e19_stream_transitions",
       "e21_stream_anomaly",
       "p22_stream_cdc_dedup", "p23_stream_decontam",
-      "d21_stream_sig_dedup", "e24_stream_outer_join")
+      "d21_stream_sig_dedup", "e24_stream_outer_join",
+      "e25_stream_full_outer_join")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

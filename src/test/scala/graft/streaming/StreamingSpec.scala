@@ -431,6 +431,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin full_outer: null rows from BOTH sides, each watermark-gated by its own eviction bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)] // (user_id, ts_ns, view_id)
+    val clicks = MemoryStream[(Long, Long, Long)] // (user_id, ts_ns, click_id)
+    def src(m: MemoryStream[(Long, Long, Long)], idName: String) =
+      m.toDF().toDF("user_id", "ts_ns", idName)
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "1 hour")
+    val joined = Streaming.streamIntervalJoin(
+      src(clicks, "click_id"), src(views, "view_id"), "user_id", "30 minutes",
+      "full_outer")
+      .select("user_id", "l_click_id", "r_view_id")
+    val ckpt = Files.createTempDirectory("graft-fojoin-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("fo_attributed")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val M = 60L * 1000 * 1000 * 1000 // 1 min in ns
+    try {
+      // user 1: views at 100 and 140, click at 150 -> 140 matches (within
+      // the 30-min lag), 100 is an unmatched view. user 2: click at 160
+      // with no views (unmatched click), view at 170 AFTER the click
+      // (unmatched view). users 3/4: boundary probes for each side's
+      // eviction bound under the final watermark.
+      views.addData((1L, 100 * M, 501L), (1L, 140 * M, 502L), (2L, 170 * M, 503L))
+      clicks.addData((1L, 150 * M, 901L), (2L, 160 * M, 902L))
+      q.processAllAvailable()
+      // sentinels advance both watermark nodes to 400 - 60 = 340 min;
+      // boundary rows: clicks at 339/340/341 (left bound = wm), views at
+      // 309/310/311 (right bound = wm - lag)
+      clicks.addData((3L, 339 * M, 903L), (3L, 340 * M, 904L), (3L, 341 * M, 905L))
+      views.addData((4L, 309 * M, 504L), (4L, 310 * M, 505L), (4L, 311 * M, 506L))
+      clicks.addData((99L, 400 * M, 999L))
+      views.addData((98L, 400 * M, 599L))
+      q.processAllAvailable()
+      val got = spark.table("fo_attributed").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val matches = got.filter(t => t._2 >= 0 && t._3 >= 0)
+      val nullClicks = got.collect { case (_, c, -1L) if c >= 0 => c }
+      val nullViews = got.collect { case (_, -1L, v) => v }
+      assert(matches == Set((1L, 901L, 502L)), s"matches: $got")
+      // left eviction: l_ts strictly below wm (the e24 contract)
+      assert(nullClicks == Set(902L, 903L),
+        s"unmatched clicks must be exactly those strictly below wm=340; got $nullClicks")
+      // right eviction: r_ts strictly below wm - lag
+      assert(nullViews == Set(501L, 503L, 504L),
+        s"unmatched views must be exactly those strictly below wm-lag=310; got $nullViews")
+    } finally q.stop()
+  }
+
   test("partitioned parquet sink: checkpointed restart is exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]

@@ -34,12 +34,13 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            ours = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            ours_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+            ours_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ours_cols = list(ours_rel.columns)
+            ours_types = {c: str(t) for c, t in zip(ours_rel.columns, ours_rel.types)}
+            ours = ours_rel.fetchall()
             theirs_rel = con.sql(sql)
-            theirs_cols = [d[0] for d in theirs_rel.description]
+            theirs_cols = list(theirs_rel.columns)
+            theirs_types = {c: str(t) for c, t in zip(theirs_rel.columns, theirs_rel.types)}
             theirs = theirs_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -52,14 +53,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(ours_cols)} vs {sorted(theirs_cols)}")
             n_fail += 1
             continue
-        # dtype drift is a warning (value compare below is the gate, but
-        # if the driver hashes schemas too, these are the risk spots)
-        ours_types = {d[0]: str(d[1]) for d in con.sql(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description}
-        theirs_types = {d[0]: str(d[1]) for d in theirs_rel.description}
-        for c in ours_types:
-            if ours_types[c] != theirs_types.get(c):
-                print(f"  WARN {name}.{c}: ours={ours_types[c]} oracle={theirs_types.get(c)}")
+        # the driver's hash is TYPE-AWARE: DuckDB logical-type drift
+        # (HUGEINT vs BIGINT, INTEGER vs BIGINT, FLOAT vs DOUBLE) fails
+        # the driver gate even when every value matches — so it FAILS here.
+        type_drift = [c for c in ours_types if ours_types[c] != theirs_types.get(c)]
+        if type_drift:
+            for c in type_drift:
+                print(f"  TYPE {name}.{c}: ours={ours_types[c]} oracle={theirs_types.get(c)}")
+            print(f"FAIL {name}: {len(type_drift)} column type drift(s)")
+            n_fail += 1
+            continue
         if len(ours) != len(theirs):
             print(f"FAIL {name}: rows {len(ours)} vs {len(theirs)}")
             n_fail += 1
@@ -82,5 +85,33 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """Guard: a seeded HUGEINT-vs-BIGINT drift must FAIL, not pass.
+
+    Builds a parquet with a BIGINT sum next to an oracle whose uncast
+    integer SUM returns HUGEINT (the exact r5 drift class), runs the
+    same compare path as main(), and asserts the drift is caught.
+    """
+    import os
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        qdir = os.path.join(d, "fx_drift")
+        os.makedirs(qdir)
+        con.execute(
+            f"COPY (SELECT CAST(3 AS BIGINT) AS s) TO '{qdir}/part-0.parquet'")
+        ours_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        theirs_rel = con.sql("SELECT sum(1) AS s FROM range(3)")  # HUGEINT
+        ours_t = {c: str(t) for c, t in zip(ours_rel.columns, ours_rel.types)}
+        theirs_t = {c: str(t) for c, t in zip(theirs_rel.columns, theirs_rel.types)}
+        drift = [c for c in ours_t if ours_t[c] != theirs_t.get(c)]
+        assert drift == ["s"], f"seeded drift not caught: {ours_t} vs {theirs_t}"
+        assert ours_rel.fetchall() == theirs_rel.fetchall(), "values should match"
+    print("selftest PASS: seeded HUGEINT drift caught despite equal values")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
