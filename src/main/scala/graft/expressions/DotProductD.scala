@@ -64,6 +64,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2norm", exprs => L2NormalizeD(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "built-in")

@@ -40,7 +40,15 @@ object VecFns {
     * stage, so this is the only sane shape. The oracle mirrors the same
     * ops (divide each element, then sequential dot), keeping bits equal.
     */
-  def l2normalize(v: Column): Column = {
+  def l2normalize(v: Column): Column =
+    call_function("graft_l2norm", v)
+
+  /** Reference implementation with built-in higher-order functions —
+    * kept for equivalence testing only: the lambda re-evaluates the
+    * captured norm (a full dot product) PER ELEMENT, an O(n²)
+    * interpreted loop per row.
+    */
+  def l2normFold(v: Column): Column = {
     val n = sqrt(dotSeq(v, v))
     transform(v, x => x / n)
   }

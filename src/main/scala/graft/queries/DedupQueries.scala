@@ -80,6 +80,9 @@ object DedupQueries {
     "lsh_candidates" -> (() => { lshCandidates(s, dir); () }),
     "shingle_sets" -> (() => { shingleSets(s, dir); () }),
     "sweep_candidates" -> (() => { sweepCandidates(s, dir); () }),
+    // the widened norm frame feeds embed_pairs_exact, sign proposals
+    // AND the quantizer — built (and attributed) before its consumers
+    "vecs_norm" -> (() => { Quantizer.vecsNorm(s, dir); () }),
     "embed_pairs_exact" -> (() => { embedPairsExact(s, dir); () }),
     // trained coarse quantizer (d16/s11/s12)
     "quantizer" -> (() => { Quantizer.assignments(s, dir); () }))
@@ -114,8 +117,10 @@ object DedupQueries {
 
   private def embedPairsExact(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "embedpairs") {
-      val v0 = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+      // the memoized widened norm frame (Quantizer.vecsNorm): the
+      // quadratic stage's parallelism = stream-side partitions, so the
+      // single-split test file must not reach the join un-widened
+      val v0 = Quantizer.vecsNorm(s, dir)
       val v = boundedExactInput(v0, v0.count(), MaxExactVectors)
       val a = v.as("a")
       val b = v.as("b")
@@ -136,8 +141,7 @@ object DedupQueries {
     */
   private def signProposals(s: SparkSession, dir: String): DataFrame = {
       val configs = Seq((2, 8), (4, 4), (8, 2)) // (bits per band, bands)
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+      val v = Quantizer.vecsNorm(s, dir)
       val sig = (0 until 16).map { j =>
         when(dotSeq(lit(hyperplane(j)), col("e")) > 0.0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -262,7 +266,11 @@ object DedupQueries {
   /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sets") {
-      Tables(s, dir, "documents")
+      // widen BEFORE the shingle projection: the single-row-group test
+      // file would otherwise compute every doc's grams on one task, and
+      // the persisted frame (which minhashArr and the verify tiers read)
+      // would stay single-partition forever
+      Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("gs"))
     }
 

@@ -42,9 +42,20 @@ object Quantizer {
       .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
   }
 
-  private def vecsNorm(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+  /** Normalized vectors (vec_id, e), memoized per (session, dir) and
+    * WIDENED to the session's parallelism when the source scan is
+    * narrower: the embeddings file at test SFs is a single parquet
+    * split, which would run every downstream corpus pass (the 3 Lloyd's
+    * rounds, the final assign, the exact all-pairs stream side) on ONE
+    * core. At 100 TB the scan has thousands of splits and the widen
+    * branch never fires; here it is one tiny one-time shuffle that buys
+    * every quadratic/iterative consumer full parallelism.
+    */
+  def vecsNorm(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "kmVecs") {
+      Tables.widenIfNarrow(s, Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
+    }
 
   /** Trained centroids (cid, c), cid ∈ 1..K. */
   def centroids(s: SparkSession, dir: String): DataFrame =

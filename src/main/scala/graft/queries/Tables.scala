@@ -47,6 +47,20 @@ object Tables {
     normalizeTs(src)
   }
 
+  /** Widen a frame to the session's parallelism when its scan is
+    * narrower — for MEMOIZED frames whose build carries heavy per-row
+    * compute (shingling, minhash, vector normalization). The test-SF
+    * parquet files are single-row-group (one task however large
+    * maxPartitionBytes splits are), which would run a whole persisted
+    * build single-threaded; at 100 TB scans have thousands of splits
+    * and this is the identity. Only memoized builds get it: one tiny
+    * shuffle per session, never a per-query data-scale exchange.
+    */
+  def widenIfNarrow(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Normalize an events frame's `ts` column to epoch-nanos BIGINT,
     * whatever type the reader surfaced it as. Exposed for the
     * dual-encoding guard spec.

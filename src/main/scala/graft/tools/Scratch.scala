@@ -20,7 +20,15 @@ object Scratch {
 
     for (i <- 1 to n) {
       val t0 = System.nanoTime()
-      if (q == "d00") {
+      if (q == "km") {
+        graft.queries.Quantizer.evict(spark, dir)
+        val c0 = System.nanoTime()
+        graft.queries.Quantizer.centroids(spark, dir)
+        println(f"[scratch]   km/fit: ${(System.nanoTime() - c0) / 1e9}%.2f s")
+        val a0 = System.nanoTime()
+        graft.queries.Quantizer.assignments(spark, dir)
+        println(f"[scratch]   km/assign: ${(System.nanoTime() - a0) / 1e9}%.2f s")
+      } else if (q == "d00") {
         graft.queries.DedupQueries.evict(spark, dir)
         graft.queries.Quantizer.evict(spark, dir)
         graft.queries.DedupQueries.prewarmParts(spark, dir).foreach {

@@ -34,15 +34,18 @@ class PlanBudgetSpec extends SparkSpec {
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join")
 
-  // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount);
-  // d02/d03/d05/d10 embed the memoized dedup-prelude plan, whose
-  // signature-build exchanges print inside the reused subtree
+  // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
+  // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
+  // one-time memoized-prelude build exchange counted ONCE (the tree
+  // string reprints nested memo builds per consumer and AQE initial
+  // plans; mention counting would multiply one real shuffle ~6×).
+  // d02/d03/d05/d10 embed the memoized dedup-prelude build exchanges
   private val budget: Map[String, Int] = Map(
-    "d01_dedup_exact" -> 2, "d02_minhash_pairs" -> 16,
-    "d03_minhash_lsh" -> 15, "d04_simhash" -> 2,
-    "d05_ngram_jaccard" -> 15, "d06_embed_neardup" -> 1,
+    "d01_dedup_exact" -> 2, "d02_minhash_pairs" -> 18,
+    "d03_minhash_lsh" -> 17, "d04_simhash" -> 2,
+    "d05_ngram_jaccard" -> 17, "d06_embed_neardup" -> 3,
     "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
-    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 15,
+    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 17,
     // d11 embeds the quantizer memo's first-build plan when it is the
     // first toucher (k-means fit exchanges print inside the subtree)
     "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
@@ -50,8 +53,8 @@ class PlanBudgetSpec extends SparkSpec {
     // d15/d17 pipeline the shared signProposals banding join inline
     // (deliberately not materialized — the 2-bit config proposes ~all
     // pairs, caching it would cost n²/4 rows)
-    "d15_blocking_eval" -> 4, "d17_threshold_sweep" -> 4,
-    "d18_containment" -> 15, // d05's candidate-verify shape
+    "d15_blocking_eval" -> 6, "d17_threshold_sweep" -> 6,
+    "d18_containment" -> 17, // d05's candidate-verify shape
     // e18: user-lag window + tiny (prev,next) matrix agg + present sort
     "e18_transitions" -> 4,
     // t18: the uni/bi aggregate subtrees print once per consumer
@@ -64,7 +67,7 @@ class PlanBudgetSpec extends SparkSpec {
     "d19_central_keeper" -> 4,
     // g01: per-iteration exchanges run eagerly inside localCheckpoint
     // rounds; the static tail plan is checkpoint-scan + presentation
-    "g01_pagerank" -> 1,
+    "g01_pagerank" -> 0,
     // g02: LPA rounds run inside checkpoints like g01; static tail =
     // community aggregate + presentation sort over the label scan
     "g02_label_prop" -> 1,
@@ -169,11 +172,11 @@ class PlanBudgetSpec extends SparkSpec {
     // s11/d16 read the memoized quantizer frames; budgets include the
     // k-means fit's centroid-fold and update exchanges printed on first
     // (uncached) planning. s12 composes s01+s03+s11.
-    "s11_kmeans_topk" -> 8, "s12_quantizer_recall" -> 21,
-    "d16_blocking_compare" -> 14)
+    "s11_kmeans_topk" -> 6, "s12_quantizer_recall" -> 19,
+    "d16_blocking_compare" -> 12)
 
   private def shuffles(planStr: String): Int =
-    raw"(^|[\s\-:+])Exchange ".r.findAllIn(planStr).size
+    graft.tools.ShuffleCount.count(planStr)
 
   test("every query stays within its pinned shuffle budget") {
     val names = SparkEntry.queries.keySet -- excluded
