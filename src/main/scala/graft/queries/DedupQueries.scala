@@ -266,11 +266,12 @@ object DedupQueries {
   /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sets") {
-      // widen BEFORE the shingle projection: the single-row-group test
-      // file would otherwise compute every doc's grams on one task, and
-      // the persisted frame (which minhashArr and the verify tiers read)
-      // would stay single-partition forever
-      Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
+      // NOT widened (unlike vecsNorm): measured net-negative — the
+      // build's parallel gain (~2 s) is smaller than the tax its
+      // iterative consumers pay (d19's CC+PageRank rounds re-schedule
+      // every inherited partition per round; 8-way widening cost d19
+      // +3 s and d07/d09/d13 ~+0.6 s each at sf0.1)
+      Tables(s, dir, "documents")
         .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("gs"))
     }
 

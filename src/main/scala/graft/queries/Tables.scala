@@ -57,7 +57,11 @@ object Tables {
     * shuffle per session, never a per-query data-scale exchange.
     */
   def widenIfNarrow(spark: SparkSession, df: DataFrame): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
+    // cap at 8: wide enough to engage the cores this host actually
+    // delivers for the heavy build projections, without taxing the
+    // iterative consumers (CC/PageRank rounds schedule every partition
+    // per round — 32-way tiny partitions measurably doubled d19/d07)
+    val par = math.min(spark.sparkContext.defaultParallelism, 8)
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
