@@ -847,8 +847,11 @@ object DedupQueries {
     // excluded from prefixes of any doc with enough rare tokens); the
     // df table is vocabulary-sized, not corpus-sized.
     "d20_prefix_filter_join" -> { (s, dir) =>
-      val toksDf = Tables(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("ts"))
+      // the memoized shingle frame IS this query's trigram universe
+      // (same array_distinct(grams3(tokens(text))) projection); the
+      // inline form recomputed it on every reference — three per run
+      // (prefix explode + both verify sides)
+      val toksDf = shingleSets(s, dir).withColumnRenamed("gs", "ts")
       val tok = toksDf.select(col("doc_id"), size(col("ts")).cast(LongType).as("n"),
         explode(col("ts")).as("tok"))
       val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))

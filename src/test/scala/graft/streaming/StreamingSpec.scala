@@ -481,6 +481,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin right_outer: only unmatched-RIGHT null rows, key non-null") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    def src(m: MemoryStream[(Long, Long, Long)], idName: String) =
+      m.toDF().toDF("user_id", "ts_ns", idName)
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "1 hour")
+    val joined = Streaming.streamIntervalJoin(
+      src(clicks, "click_id"), src(views, "view_id"), "user_id", "30 minutes",
+      "right_outer")
+      .select("user_id", "l_click_id", "r_view_id")
+    val ckpt = Files.createTempDirectory("graft-rojoin-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("ro_attributed")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val M = 60L * 1000 * 1000 * 1000
+    try {
+      // same base fixture as the full-outer test: one match (901, 502),
+      // unmatched click 902 (must NOT produce a null row here),
+      // unmatched views 501/503 (must)
+      views.addData((1L, 100 * M, 501L), (1L, 140 * M, 502L), (2L, 170 * M, 503L))
+      clicks.addData((1L, 150 * M, 901L), (2L, 160 * M, 902L))
+      q.processAllAvailable()
+      clicks.addData((99L, 400 * M, 999L))
+      views.addData((98L, 400 * M, 599L))
+      q.processAllAvailable()
+      val rows = spark.table("ro_attributed").collect()
+      assert(rows.forall(!_.isNullAt(0)), "key must be coalesced non-null")
+      val got = rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 901L, 502L), (1L, -1L, 501L), (2L, -1L, 503L)),
+        s"matches + right nulls only (no unmatched-click rows); got $got")
+    } finally q.stop()
+  }
+
   test("partitioned parquet sink: checkpointed restart is exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
