@@ -25,6 +25,13 @@ object DedupQueries {
 
   private val P = MinhashP
 
+  /** d22 duplicated-substring window length, in tokens. Long enough that
+    * a shared window implies copied text rather than phrase reuse (the
+    * Lee et al. 2022 exact-substring threshold is 50 BPE tokens; 12
+    * whitespace tokens is the same order on this corpus's short docs).
+    */
+  private val SpanK = 12
+
   /** Session-scoped memo of shared, eagerly-persisted sub-results
     * (signatures, LSH candidates, shingle sets). Two reasons:
     * (1) d02/d03/d05 all build on the same candidate pairs — one
@@ -880,6 +887,53 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better" shape): find every K-token
+    // window whose exact token sequence occurs at more than one position
+    // in the corpus (any document, including elsewhere in the same one),
+    // then collapse each doc's duplicated positions into maximal runs —
+    // a run of R consecutive duplicated windows is one duplicated span
+    // of R + K − 1 tokens, the unit a training pipeline would excise.
+    // Scale shape: one explode to (doc, pos, window), ONE shuffle on the
+    // window key for the multiplicity count, the (small) duplicated-key
+    // set joined back, then doc-partitioned islands. At 100 TB the
+    // window key would be a 64-bit rolling hash instead of the joined
+    // string (shuffle bytes ∝ corpus × K otherwise) with a string verify
+    // on the collided groups; here the exact string keeps the oracle
+    // trivially identical. The dup-key join-back side is
+    // duplicated-spans-only — broadcastable precisely when dup rate is
+    // low, the common corpus case.
+    "d22_substring_dedup" -> { (s, dir) =>
+      val k = SpanK
+      val len = greatest(size(col("t")) - (k - 1), lit(0))
+      // K shifted slices zipped into K-token window strings: each slice
+      // evaluates once per ROW (the grams3 zip_with rule — a transform
+      // capturing t would re-evaluate the split per element)
+      val spanCol = (2 to k).foldLeft(slice(col("t"), lit(1), len)) {
+        (acc, j) => zip_with(acc, slice(col("t"), lit(j), len),
+          (a, b) => concat_ws(" ", a, b))
+      }
+      val spans = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(spanCol))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("span"))
+      val dupKeys = spans.groupBy("span").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("span")
+      val dup = spans.join(dupKeys, "span").select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      dup
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_id")
+        .agg(sum(col("run")).as("dup_windows"),
+          count(lit(1)).as("n_runs"),
+          (max(col("run")) + lit(k - 1L)).as("max_span_tokens"))
+        .orderBy("doc_id")
+    },
+
     // LIVE streaming minhash near-dup dedup — Streaming.dedupNearStream
     // (previously spec-only) as a real file-stream query: the d08
     // signature (all K minhash slots, exact-content fallback for
@@ -1434,6 +1488,31 @@ object DedupQueries {
         |  floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM v WHERE i * 8 >= (na + nb) * 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // positions are 1-based here vs Spark's 0-based posexplode — the
+    // published columns (counts, runs) are translation-invariant.
+    // sum(run) over BIGINT is HUGEINT in DuckDB → explicit BIGINT cast
+    // (the r5 type-drift class; check.py is type-exact now)
+    "d22_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(len(t) - ${SpanK - 1}, 0) + 1),
+         |    i -> array_to_string(t[i:i+${SpanK - 1}], ' ')) AS sp
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, unnest(range(1, len(sp) + 1)) AS pos, unnest(sp) AS span
+         |  FROM w WHERE len(sp) > 0),
+         |dupkeys AS (SELECT span FROM spans GROUP BY span HAVING count(*) > 1),
+         |dup AS (SELECT doc_id, pos FROM spans JOIN dupkeys USING (span)),
+         |runs AS (
+         |  SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup),
+         |r AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_windows,
+         |  count(*) AS n_runs, max(run) + ${SpanK - 1} AS max_span_tokens
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the streaming run's closed form: one batch inside the watermark
     // horizon keeps exactly one row per distinct d08 signature, and the

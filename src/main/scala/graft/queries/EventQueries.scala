@@ -608,6 +608,74 @@ object EventQueries {
         .orderBy("user_id", "click_id", "view_id")
     },
 
+    // LIVE streaming RIGHT-OUTER interval join — the third member of the
+    // e17/e24/e25 family (the attribution shape where only the unmatched
+    // DIMENSION side matters: every view must land in the report even
+    // when no click followed it). Only the right side's null rows are
+    // emitted, on the right side's OWN finality horizon: an unmatched
+    // view at v can still be matched by clicks in [v, v + 2 h], so its
+    // state lives the lag longer and its null row gates on
+    // v_ms < wm − 2 h (strict — the same boundary e25's probes pin).
+    "e26_stream_right_outer_join" -> { (s, dir) =>
+      def src = Tables.eventsStream(s, dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .select("user_id", "event_id", "event_type", "ts")
+      val clicks = src.filter(col("event_type") === "click")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .drop("event_type").withWatermark("ts", "2 hours")
+      val joined = graft.streaming.Streaming.streamIntervalJoin(
+        clicks, views, "user_id", "2 hours", "right_outer")
+      val sink = "e26_stream_right_outer_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("l_event_id").as("click_id"),
+          col("r_event_id").as("view_id"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
+    // LIVE stream-static broadcast enrichment — the canonical streaming
+    // dimension join: an unbounded event stream joined to a bounded
+    // dimension table (customer segments) with NO stream-side state at
+    // all. The static side rides a broadcast into every micro-batch
+    // (re-resolved per batch, so a refreshed dimension snapshot is
+    // picked up at the next batch boundary), the stream side never
+    // shuffles for the join, and the only stateful operator is the
+    // windowed aggregate after it. At 100 TB/day this is the shape that
+    // keeps enrichment off the shuffle service entirely; the oracle is
+    // the batch join — the streamed answer must equal it once all input
+    // is consumed (complete mode, the e11 contract).
+    "e27_stream_static_enrich" -> { (s, dir) =>
+      val dim = broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val src = Tables.eventsStream(s, dir)
+        .withColumn("ts", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .select("user_id", "value", "ts")
+      val agg = src.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"),
+          col("c_mktsegment"), col("cnt"), col("total_value"))
+      val sink = "e27_stream_static_enrich_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select((unix_micros(col("window_start")) * 1000L).as("w_start_ns"),
+          col("c_mktsegment").as("segment"), col("cnt"), col("total_value"))
+        .orderBy("w_start_ns", "segment")
+    },
+
     // LIVE streaming transition matrix — e18's batch matrix computed
     // from a stream via Streaming.transitionsStream: per-user ordering
     // is recovered by buffering events in keyed state until the
@@ -1046,6 +1114,42 @@ object EventQueries {
         |SELECT user_id, click_id, view_id, gap_us FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM uc UNION ALL SELECT * FROM uv)
         |ORDER BY user_id, click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
+    // e25's contract restricted to the RIGHT side: only unmatched views
+    // emit null rows, gated on v_ms < wm − 2 h (strict; a view's
+    // candidate clicks follow it by up to the lag, so its state lives
+    // 2 h past the watermark). Same empty-side CASE guard as e24/e25.
+    "e26_stream_right_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT CASE
+        |           WHEN (SELECT max(cus) FROM c) IS NULL
+        |             OR (SELECT max(vus) FROM v) IS NULL THEN NULL
+        |           ELSE least((SELECT max(cus) FROM c), (SELECT max(vus) FROM v))
+        |         END // 1000 - 7200000 AS wm_ms),
+        |m AS (
+        |  SELECT c.user_id, click_id, view_id, (cus - vus) AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND vus >= cus - 7200000000 AND vus <= cus),
+        |uv AS (
+        |  SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id, view_id,
+        |    CAST(NULL AS BIGINT) AS gap_us
+        |  FROM v, wm
+        |  WHERE view_id NOT IN (SELECT view_id FROM m)
+        |    AND vus // 1000 < wm_ms - 7200000)
+        |SELECT user_id, click_id, view_id, gap_us FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM uv)
+        |ORDER BY user_id, click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
+    // the batch form of the stream-static enrichment: e05's window math
+    // over the events-customer join (user_id is a customer key)
+    "e27_stream_static_enrich" ->
+      """SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000000 AS w_start_ns,
+        |  c_mktsegment AS segment, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY w_start_ns, segment
+        |ORDER BY w_start_ns, segment""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -174,6 +174,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PPS SYSTEMATIC SAMPLING (probability proportional to size): lay
+    // the corpus out on a weight axis via the p08 prefix sum, place
+    // m=50 evenly spaced ticks (step = total DIV m), keep every doc
+    // whose weight interval [off, off+w) captures a tick — inclusion
+    // probability ∝ w, docs with w ≥ step included with certainty, and
+    // the whole draw is a pure function of the corpus (no RNG: the
+    // reproducible, audit-friendly form of weighted subsampling a
+    // training-mix pipeline needs — p03/p09 are its uniform cousins).
+    // Scale: the two-level PrefixSum replaces the single-task global
+    // cumsum window; the 1-row total broadcasts; everything else is
+    // map-only. Integer tick math (DIV) replays exactly in DuckDB.
+    "p24_pps_sample" -> { (s, dir) =>
+      val m = 50L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"))
+      val off = graft.ops.PrefixSum.exclusiveOffsets(docs, "doc_id", "w",
+        rangeWidth = 500L)
+      off.crossJoin(broadcast(docs.agg(sum("w").as("tw"))))
+        .withColumn("step", expr(s"tw DIV $m"))
+        .filter(expr("(off + w) DIV step > off DIV step"))
+        .select(col("doc_id"), col("w"), expr("(off + w) DIV step").as("tick"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic k-PER-STRATUM sampling ("hash reservoir"): each
     // source keeps its k=10 docs with the smallest 52-bit hash priority —
     // a uniform, reproducible sample whose membership is stable under
@@ -770,6 +794,18 @@ object PipelineQueries {
         |  FROM d)
         |SELECT doc_id, tokens, off, CAST(off // 4096 AS BIGINT) AS shard
         |FROM o ORDER BY doc_id""".stripMargin,
+    "p24_pps_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) // 50 AS step FROM d),
+        |o AS (
+        |  SELECT doc_id, w,
+        |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d)
+        |SELECT doc_id, w, CAST((off + w) // step AS BIGINT) AS tick
+        |FROM o, t
+        |WHERE (off + w) // step > off // step
+        |ORDER BY doc_id""".stripMargin,
     "p09_sample_topk" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -32,7 +32,8 @@ class PlanBudgetSpec extends SparkSpec {
       "e21_stream_anomaly",
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
-      "e25_stream_full_outer_join")
+      "e25_stream_full_outer_join", "e26_stream_right_outer_join",
+      "e27_stream_static_enrich")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
@@ -173,7 +174,16 @@ class PlanBudgetSpec extends SparkSpec {
     // k-means fit's centroid-fold and update exchanges printed on first
     // (uncached) planning. s12 composes s01+s03+s11.
     "s11_kmeans_topk" -> 6, "s12_quantizer_recall" -> 19,
-    "d16_blocking_compare" -> 12)
+    "d16_blocking_compare" -> 12,
+    // d22: span-key aggregate + doc-islands window + presentation sort;
+    // the dup-key set broadcasts back onto the spans side and the
+    // run/per-doc aggregates ride the window's doc partitioning
+    "d22_substring_dedup" -> 3,
+    // p24: per-range totals aggregate, |ranges|-row offsets window,
+    // within-range cumsum window, 1-row total aggregate, presentation
+    // sort — the corpus itself crosses one exchange (the range window);
+    // offsets + total are range-count / single-row frames
+    "p24_pps_sample" -> 5)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

@@ -65,6 +65,7 @@ class PlanHygieneSpec extends SparkSpec {
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
       "s09_ann_mrr", "d13_auto_dedup",
       "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
+      "p24_pps_sample", // corpus total weight: one 1-ROW broadcast frame
       // s11 - learned-IVF probe: queries crossJoin(broadcast(trained
       //       centroids)) + the 1-row centroid-fold inside the k-means
       //       assignment (the s03 probe shape over ops.KMeans output)
@@ -100,7 +101,8 @@ class PlanHygieneSpec extends SparkSpec {
       "e21_stream_anomaly",
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
-      "e25_stream_full_outer_join")
+      "e25_stream_full_outer_join", "e26_stream_right_outer_join",
+      "e27_stream_static_enrich")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
