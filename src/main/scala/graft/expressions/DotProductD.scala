@@ -90,6 +90,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_cuts", exprs => CdcCutsExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_windows",
+      // k must be an integer literal: it folds to a constant here
+      exprs => TokenWindowsExpr(exprs(0), BloomBits.longLit(exprs(1), "k").toInt),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       // m and k must be integer literals: they fold to constants here
       exprs => BloomContains(exprs(0), exprs(1), exprs(2),

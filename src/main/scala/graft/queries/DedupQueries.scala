@@ -904,18 +904,15 @@ object DedupQueries {
     // duplicated-spans-only — broadcastable precisely when dup rate is
     // low, the common corpus case.
     "d22_substring_dedup" -> { (s, dir) =>
-      val k = SpanK
-      val len = greatest(size(col("t")) - (k - 1), lit(0))
-      // K shifted slices zipped into K-token window strings: each slice
-      // evaluates once per ROW (the grams3 zip_with rule — a transform
-      // capturing t would re-evaluate the split per element)
-      val spanCol = (2 to k).foldLeft(slice(col("t"), lit(1), len)) {
-        (acc, j) => zip_with(acc, slice(col("t"), lit(j), len),
-          (a, b) => concat_ws(" ", a, b))
-      }
+      // native one-pass window build (TokenWindowsExpr): the K−1
+      // chained zip_with layers it replaces allocated K−1 intermediate
+      // arrays per row with an interpreted lambda per element — the
+      // dominant cost of this query's two span-side builds (equivalence
+      // pinned by TokenWindowsSpec; zip chain kept there as reference)
       val spans = Tables(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
-        .select(col("doc_id"), posexplode(spanCol))
+        .select(col("doc_id"),
+          posexplode(call_function("graft_token_windows", col("t"), lit(SpanK))))
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
           col("col").as("span"))
       val dupKeys = spans.groupBy("span").agg(count(lit(1)).as("c"))
@@ -930,7 +927,7 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(sum(col("run")).as("dup_windows"),
           count(lit(1)).as("n_runs"),
-          (max(col("run")) + lit(k - 1L)).as("max_span_tokens"))
+          (max(col("run")) + lit(SpanK - 1L)).as("max_span_tokens"))
         .orderBy("doc_id")
     },
 

@@ -516,6 +516,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dim join stays broadcast: no stream-side join shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    val src = mem.toDF().toDF("user_id", "value", "ts_ns")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    val dim = broadcast(Seq((1L, "AUTO"), (2L, "BUILD")).toDF("c_custkey", "c_mktsegment"))
+    val agg = src.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("sse_plan")
+      .outputMode("complete").start()
+    try {
+      val M = 60L * 1000 * 1000 * 1000
+      mem.addData((1L, 1.0, 100 * M), (2L, 2.0, 200 * M), (3L, 3.0, 300 * M))
+      q.processAllAvailable()
+      // e27's zero-join-state contract, pinned on the real micro-batch
+      // plan: the dim rides a BroadcastHashJoin and the stream side is
+      // never hash-partitioned on the join key — the only exchange
+      // belongs to the stateful windowed aggregate downstream
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(q.explain())
+      val plan = out.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(user_id"),
+        s"stream side must not shuffle for the join:\n$plan")
+      // and the no-dim-row user is dropped (inner enrichment)
+      val segs = spark.table("sse_plan").collect().map(_.getString(1)).toSet
+      assert(segs == Set("AUTO", "BUILD"))
+    } finally q.stop()
+  }
+
   test("partitioned parquet sink: checkpointed restart is exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
