@@ -931,6 +931,32 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // SPLIT LEAKAGE audit — the reason decontamination matters: a
+    // near-duplicate pair that straddles the p13 train/val/test
+    // boundary leaks evaluation data into training however clean the
+    // exact-dedup pass was (the p13 hash split is doc-ID-uniform, so it
+    // splits near-dup CLUSTERS independently — ~1−Σfᵢ² of multi-doc
+    // clusters cross a boundary in expectation). Composes the pinned
+    // d05 verified pairs (LSH propose → exact Jaccard ≥ 0.5 verify)
+    // with p13's split rule and keeps only cross-split pairs — the
+    // actionable report: each row is a doc to quarantine or re-split.
+    // Scale: the pair frame is near-dup-sized (tiny vs corpus), so the
+    // corpus-sized split frame joins it by key; no new corpus pass
+    // beyond the memoized prelude.
+    "d23_split_leakage" -> { (s, dir) =>
+      val bucket = pmod(h60(col("doc_id").cast(StringType)), lit(100L))
+      val split = when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test")
+      val splits = Tables(s, dir, "documents").select(col("doc_id"), split.as("split"))
+      neardupPairs(s, dir)
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          round6(col("j")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // LIVE streaming minhash near-dup dedup — Streaming.dedupNearStream
     // (previously spec-only) as a real file-stream query: the d08
     // signature (all K minhash slots, exact-content fallback for
@@ -1510,6 +1536,33 @@ object DedupQueries {
          |SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_windows,
          |  count(*) AS n_runs, max(run) + ${SpanK - 1} AS max_span_tokens
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d05's verified pairs joined to p13's split rule; only cross-split
+    // survivors
+    "d23_split_leakage" ->
+      s"""WITH $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id),
+         |sp AS (
+         |  SELECT doc_id, CASE
+         |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+         |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b,
+         |  floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM scored JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
+         |WHERE j >= 0.5 AND sa.split <> sb.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the streaming run's closed form: one batch inside the watermark
     // horizon keeps exactly one row per distinct d08 signature, and the

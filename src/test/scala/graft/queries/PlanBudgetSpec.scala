@@ -179,6 +179,9 @@ class PlanBudgetSpec extends SparkSpec {
     // the dup-key set broadcasts back onto the spans side and the
     // run/per-doc aggregates ride the window's doc partitioning
     "d22_substring_dedup" -> 3,
+    // d23: the d05 propose/verify chain (embeds the memoized prelude
+    // build exchanges like d05's 15) + two split-map joins
+    "d23_split_leakage" -> 15,
     // p24: per-range totals aggregate, |ranges|-row offsets window,
     // within-range cumsum window, 1-row total aggregate, presentation
     // sort — the corpus itself crosses one exchange (the range window);
