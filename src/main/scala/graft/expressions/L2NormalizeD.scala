@@ -49,12 +49,13 @@ case class L2NormalizeD(child: Expression) extends UnaryExpression {
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
+      val e = ctx.freshName("e")
       s"""
          |int $n = $a.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double e = $a.getDouble($i);
-         |  $ss += e * e;
+         |  double $e = $a.getDouble($i);
+         |  $ss += $e * $e;
          |}
          |double $norm = java.lang.Math.sqrt($ss);
          |double[] $out = new double[$n];

@@ -128,7 +128,18 @@ object DedupQueries {
       // quadratic stage's parallelism = stream-side partitions, so the
       // single-split test file must not reach the join un-widened
       val v0 = Quantizer.vecsNorm(s, dir)
-      val v = boundedExactInput(v0, v0.count(), MaxExactVectors)
+      val n = v0.count()
+      if (n > MaxExactVectors) {
+        // loud, not silent: the DuckDB oracles of every consumer
+        // (d06/d15/d16/d17) compute over ALL rows, so an engaged bound
+        // means parity checks at this SF are expected to FAIL — say so
+        // instead of letting the mismatch look like an engine bug
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"embedPairsExact: $n vectors > MaxExactVectors=$MaxExactVectors — " +
+            s"exact reference runs on a 1-in-${(n + MaxExactVectors - 1) / MaxExactVectors} " +
+            "subsample (vec_id % m == 0); d06/d15/d16/d17 oracle parity does NOT hold at this scale")
+      }
+      val v = boundedExactInput(v0, n, MaxExactVectors)
       val a = v.as("a")
       val b = v.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
@@ -901,8 +912,9 @@ object DedupQueries {
     // string (shuffle bytes ∝ corpus × K otherwise) with a string verify
     // on the collided groups; here the exact string keeps the oracle
     // trivially identical. The dup-key join-back side is
-    // duplicated-spans-only — broadcastable precisely when dup rate is
-    // low, the common corpus case.
+    // duplicated-spans-only — small precisely when dup rate is low, the
+    // common corpus case — and pinned with an explicit broadcast() so
+    // the plan never depends on AQE's post-aggregate size estimate.
     "d22_substring_dedup" -> { (s, dir) =>
       // native one-pass window build (TokenWindowsExpr): the K−1
       // chained zip_with layers it replaces allocated K−1 intermediate
@@ -917,7 +929,7 @@ object DedupQueries {
           col("col").as("span"))
       val dupKeys = spans.groupBy("span").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).select("span")
-      val dup = spans.join(dupKeys, "span").select("doc_id", "pos")
+      val dup = spans.join(broadcast(dupKeys), "span").select("doc_id", "pos")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
       dup

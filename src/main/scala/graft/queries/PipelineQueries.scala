@@ -192,7 +192,11 @@ object PipelineQueries {
       val off = graft.ops.PrefixSum.exclusiveOffsets(docs, "doc_id", "w",
         rangeWidth = 500L)
       off.crossJoin(broadcast(docs.agg(sum("w").as("tw"))))
-        .withColumn("step", expr(s"tw DIV $m"))
+        // greatest(…, 1): on a degenerate corpus with total weight < m
+        // the tick step would be 0 — Spark's non-ANSI x DIV 0 is NULL
+        // (filter silently drops all rows) while DuckDB's // raises, so
+        // an unguarded step diverges the engines instead of failing both
+        .withColumn("step", expr(s"greatest(tw DIV $m, 1)"))
         .filter(expr("(off + w) DIV step > off DIV step"))
         .select(col("doc_id"), col("w"), expr("(off + w) DIV step").as("tick"))
         .orderBy("doc_id")
@@ -796,7 +800,7 @@ object PipelineQueries {
         |FROM o ORDER BY doc_id""".stripMargin,
     "p24_pps_sample" ->
       """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
-        |t AS (SELECT CAST(sum(w) AS BIGINT) // 50 AS step FROM d),
+        |t AS (SELECT greatest(CAST(sum(w) AS BIGINT) // 50, 1) AS step FROM d),
         |o AS (
         |  SELECT doc_id, w,
         |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
