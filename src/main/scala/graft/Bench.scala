@@ -30,6 +30,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Local-iteration filter (comma-separated query names). The driver
+    // never sets it; when set, only the named queries run and the full
+    // record goes to BENCH_filtered.json so a partial run can never
+    // masquerade as the committed full-surface BENCH_local.json.
+    val filter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => filter.forall(_.contains(n)) }
+    val runPrelude = filter.forall(_.exists(_.startsWith("d")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +55,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -105,7 +113,7 @@ object Bench {
     // component breakdown of the FASTEST build lands in BENCH_local.json
     // as "d00_components" so the next prelude regression names its culprit.
     var preludeParts: Seq[(String, Double)] = Nil
-    val prelude = {
+    val prelude = if (!runPrelude) None else {
       def build(): Option[Double] = {
         graft.queries.DedupQueries.evict(spark, sfDir)
         graft.queries.Quantizer.evict(spark, sfDir)
@@ -133,7 +141,7 @@ object Bench {
 
     val results: Seq[(String, (Double, Double))] =
       (prelude.map("d00_dedup_prelude" -> _).toSeq ++
-        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
           timed(name, fn(spark, sfDir).count()).map(name -> _)
         })
 
@@ -156,7 +164,8 @@ object Bench {
       s""""spread":${jmap(results.map { case (k, (_, sp)) => k -> f(sp) })},""" +
       s""""d00_components":${jmap(preludeParts.map { case (k, t) => k -> f(t) })},""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), fullLine + "\n")
+    val outFile = if (filter.isDefined) "BENCH_filtered.json" else "BENCH_local.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case _: Throwable => () }
 
     // Stdout record: the driver keeps only the LAST ~2000 chars of output
