@@ -624,6 +624,36 @@ object ExtraQueries {
         .agg(sum("cnt").as("orders"),
           sum("rev").cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
         .orderBy("o_custkey")
+    },
+
+    // Calendar GAP-FILL + last-observation-carried-forward: regularize
+    // the per-(type, day) event counts onto the complete day grid
+    // [global min day, global max day] — missing days get cnt_filled
+    // from the most recent observed day (0 before the first
+    // observation) and observed=false. The time-series resample every
+    // metrics/feature pipeline needs before windowed math (a rolling
+    // mean over a gappy series silently shortens its window; the grid
+    // makes gaps explicit). Scale shape: the corpus crosses ONE
+    // exchange (the (type, day) count); the grid is |types| × |days|
+    // rows built from a broadcast 1-row bounds aggregate — dimension-
+    // sized, never corpus-sized — and the LOCF window partitions by
+    // type over day-count rows.
+    "x29_gap_fill" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), expr(s"ts DIV $DayNs").as("day"))
+      val obs = e.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          col("cnt").isNotNull.as("observed"),
+          coalesce(last(col("cnt"), ignoreNulls = true).over(w), lit(0L))
+            .as("cnt_filled"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -918,6 +948,25 @@ object ExtraQueries {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
         |    AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    "x29_gap_fill" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_ns(ts) // $DayNs AS day FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |grid AS (
+         |  SELECT t.event_type, d.day
+         |  FROM (SELECT DISTINCT event_type FROM e) t,
+         |       (SELECT unnest(generate_series(lo, hi)) AS day FROM b) d),
+         |obs AS (SELECT event_type, day, count(*) AS cnt
+         |        FROM e GROUP BY event_type, day)
+         |SELECT g.event_type, g.day,
+         |  o.cnt IS NOT NULL AS observed,
+         |  CAST(coalesce(last_value(o.cnt IGNORE NULLS) OVER (
+         |    PARTITION BY g.event_type ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         |    AS cnt_filled
+         |FROM grid g LEFT JOIN obs o
+         |  ON g.event_type = o.event_type AND g.day = o.day
+         |ORDER BY g.event_type, g.day""".stripMargin
   )
 }

@@ -186,7 +186,11 @@ class PlanBudgetSpec extends SparkSpec {
     // within-range cumsum window, 1-row total aggregate, presentation
     // sort — the corpus itself crosses one exchange (the range window);
     // offsets + total are range-count / single-row frames
-    "p24_pps_sample" -> 5)
+    "p24_pps_sample" -> 5,
+    // x29: (type, day) count, distinct-types + 1-row bounds aggregates
+    // feeding the broadcast grid, grid⋈obs + LOCF window sharing one
+    // exchange, presentation sort — the corpus crosses only the count
+    "x29_gap_fill" -> 4)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

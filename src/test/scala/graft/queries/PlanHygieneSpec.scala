@@ -67,6 +67,7 @@ class PlanHygieneSpec extends SparkSpec {
       "s09_ann_mrr", "d13_auto_dedup",
       "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
       "p24_pps_sample", // corpus total weight: one 1-ROW broadcast frame
+      "x29_gap_fill", // day-grid bounds: one 1-ROW broadcast frame
       // s11 - learned-IVF probe: queries crossJoin(broadcast(trained
       //       centroids)) + the 1-row centroid-fold inside the k-means
       //       assignment (the s03 probe shape over ops.KMeans output)
