@@ -676,6 +676,51 @@ object EventQueries {
         .orderBy("w_start_ns", "segment")
     },
 
+    // Streaming UPSERT sink — incremental view maintenance under a live
+    // stream (the e-side twin of x28's batch IVM, through a REAL
+    // foreachBatch merge instead of a stateful operator): per-user
+    // (cnt, total) maintained as an external parquet state table that
+    // each micro-batch MERGES into via Streaming.mergeAggBatch —
+    // generation-addressed writes (gen=<batchId>, previous generation
+    // as input, own generation overwritten on replay) make the
+    // at-least-once checkpoint replay compose to exactly-once. The
+    // events table arrives as THREE arrival slices (one file each,
+    // maxFilesPerTrigger=1 => three micro-batches, three real merges);
+    // DECIMAL(18,2) partials make merge order irrelevant, so the final
+    // generation equals the from-scratch batch aggregate — which is
+    // exactly what the oracle recomputes (the x28 contract: the gate
+    // checks merge-of-generations == recompute).
+    "e28_stream_upsert" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e28").toString
+      val srcDir = s"$tmp/src"; val stateDir = s"$tmp/state"
+      val src = Tables(s, dir, "events").select("user_id", "value", "event_id")
+      (0 until 3).foreach { i =>
+        src.filter(pmod(col("event_id"), lit(3)) === i).drop("event_id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/slice$i")
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$srcDir/slice*")
+      scopedStream(s) {
+        val q = graft.streaming.Streaming
+          .upsertAggSink(stream, stateDir, "user_id", "value")
+          .option("checkpointLocation", s"$tmp/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val fin = graft.streaming.Streaming.latestGen(s, stateDir, Long.MaxValue)
+        .getOrElse(sys.error("e28: no state generation written"))
+        .select(col("user_id"), col("cnt"),
+          col("total").cast(DoubleType).as("total_value"))
+        .orderBy("user_id")
+        .localCheckpoint() // materialize before the temp state is reclaimed
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      fin
+    },
+
     // LIVE streaming transition matrix — e18's batch matrix computed
     // from a stream via Streaming.transitionsStream: per-user ordering
     // is recovered by buffering events in keyed state until the
@@ -1150,6 +1195,13 @@ object EventQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY w_start_ns, segment
         |ORDER BY w_start_ns, segment""".stripMargin,
+    // deliberately the from-scratch recompute (the x28 convention): the
+    // compare verifies the three-generation streaming merge equals it
+    "e28_stream_upsert" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "e08_topk_plan" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -243,6 +243,68 @@ object Streaming {
         writeBatchIdempotent(batch.toDF(), batchId, path)
     }
 
+  /** Latest state GENERATION strictly below `before` (None if the state
+    * table has none yet). Generations are `gen=<batchId>` directories
+    * written by [[mergeAggBatch]]; reading only generations BELOW the
+    * current batch id is what makes a replayed batch idempotent — its
+    * own (possibly half-written) output is never an input.
+    */
+  def latestGen(s: org.apache.spark.sql.SparkSession, stateDir: String,
+      before: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val gens = fs.listStatus(path).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") => n.drop(4).toLong }
+        .filter(_ < before)
+      if (gens.isEmpty) None
+      else Some(s.read.parquet(s"$stateDir/gen=${gens.max}"))
+    }
+  }
+
+  /** Generation-addressed aggregate MERGE for foreachBatch — streaming
+    * incremental view maintenance (the live twin of the x28 batch IVM
+    * row, and the parquet stand-in for a transactional MERGE sink).
+    * Each micro-batch folds its per-key partial aggregate (count +
+    * DECIMAL(18,2) sum of `valCol` — exact and order-independent, so
+    * merge-of-partials equals recompute no matter how rows split across
+    * batches) into the PREVIOUS generation of the state table and
+    * writes the result as a new `gen=<batchId>` directory, never
+    * mutating a generation in place. Exactly-once without transactions:
+    * the checkpoint replays a crashed batch at-least-once, but a replay
+    * re-reads generation < batchId and OVERWRITES its own gen dir —
+    * idempotent per batch id, the writeBatchIdempotent contract lifted
+    * from append to upsert. At 100 TB: generations are table-format
+    * snapshots (Delta/Iceberg MERGE commits replace the directory
+    * dance), the merge is one co-partitioned aggregate over (snapshot +
+    * tiny delta), and old generations are vacuumed out-of-band.
+    */
+  def mergeAggBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      keyCol: String, valCol: String): Unit = {
+    val money = DecimalType(18, 2)
+    val partial = batch.groupBy(keyCol)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol).cast(money)).cast(money).as("total"))
+    val merged = latestGen(batch.sparkSession, stateDir, batchId).fold(partial)(
+      prev => prev.unionByName(partial)
+        .groupBy(keyCol)
+        .agg(sum("cnt").as("cnt"), sum("total").cast(money).as("total")))
+    merged.write.mode("overwrite").parquet(s"$stateDir/gen=$batchId")
+  }
+
+  /** foreachBatch wiring of [[mergeAggBatch]] — start() with a
+    * checkpointLocation; read the final state with [[latestGen]].
+    */
+  def upsertAggSink(stream: DataFrame, stateDir: String,
+      keyCol: String, valCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeAggBatch(batch.toDF(), batchId, stateDir, keyCol, valCol)
+    }
+
   case class Event(user_id: Long, ts_ns: Long, event_id: Long, value: Double)
   case class SessionState(startNs: Long, lastNs: Long, firstEvent: Long,
       lastEvent: Long, n: Long, total: Double)

@@ -778,4 +778,26 @@ class StreamingSpec extends SparkSpec {
     }.sortBy(p => (p.user_id, p.next_ts_ns, p.prev, p.next))
     assert(got == want)
   }
+
+  test("mergeAggBatch: generation merge equals recompute; a replayed batch is idempotent") {
+    val tmp = Files.createTempDirectory("graft-upsert").toString
+    val stateDir = s"$tmp/state"
+    val b0 = Seq((1L, 1.25), (1L, 2.00), (2L, 5.50)).toDF("user_id", "value")
+    val b1 = Seq((1L, 0.75), (3L, 4.25)).toDF("user_id", "value")
+    Streaming.mergeAggBatch(b0, 0L, stateDir, "user_id", "value")
+    Streaming.mergeAggBatch(b1, 1L, stateDir, "user_id", "value")
+    def gen(before: Long): Set[(Long, Long, Double)] =
+      Streaming.latestGen(spark, stateDir, before).get
+        .select(col("user_id"), col("cnt"), col("total").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set((1L, 3L, 4.00), (2L, 1L, 5.50), (3L, 1L, 4.25))
+    assert(gen(Long.MaxValue) == expected, "merge-of-generations == recompute")
+    // replay of batch 1 (crash between sink write and checkpoint commit):
+    // the merge re-reads gen=0 — never its own half-written gen=1 — and
+    // overwrites gen=1, so the replayed state is identical
+    Streaming.mergeAggBatch(b1, 1L, stateDir, "user_id", "value")
+    assert(gen(Long.MaxValue) == expected, "replayed batch is idempotent")
+    // generations are immutable history: gen=0 still holds only batch 0
+    assert(gen(1L) == Set((1L, 2L, 3.25), (2L, 1L, 5.50)))
+  }
 }
