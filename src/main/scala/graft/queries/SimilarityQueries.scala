@@ -451,6 +451,56 @@ object SimilarityQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("c")).as("cos"))
         .orderBy("query_id", "rank")
+    },
+
+    // MMR diverse top-k (Carbonell & Goldstein, SIGIR'98): greedy rerank
+    // of the retrieved candidate set that trades relevance against
+    // redundancy — pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    // k=5 picks from the top-20 candidates of query vec 0, λ=0.7. The
+    // RAG-context / eval-set-selection step after every ANN query: pure
+    // cosine top-k returns near-duplicates (this corpus plants them);
+    // MMR surfaces one per neighborhood. Scale shape: retrieval (the
+    // top-C TakeOrdered scan) is the distributed stage; the rerank
+    // touches only the C-row candidate set and its C² pairwise sims
+    // (C=20 here, ~200 in production — broadcastable at any corpus
+    // size), with each greedy round one tiny aggregate + argmax,
+    // localCheckpoint'ed so the plan stays O(1) across rounds. The
+    // DuckDB oracle replays all five greedy steps as unrolled CTEs —
+    // double arithmetic is identical expression-for-expression, so the
+    // gate checks the full selection path, not just the final set.
+    "s14_mmr_diverse" -> { (s, dir) =>
+      val v = vecsNorm(s, dir)
+      val q = broadcast(v.filter(col("vec_id") === 0).select(col("e").as("qe")))
+      val cand = v.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id"), col("e"), dotSeq(col("e"), col("qe")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(20)
+        .localCheckpoint()
+      val sims = cand.select(col("vec_id").as("va"), col("e").as("ea"))
+        .join(broadcast(cand.select(col("vec_id").as("vb"), col("e").as("eb"))),
+          col("va") =!= col("vb"))
+        .select(col("va"), col("vb"), dotSeq(col("ea"), col("eb")).as("s"))
+        .localCheckpoint()
+      var selected = cand
+        .select(col("vec_id"), col("rel"), (col("rel") * 0.7).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(1)
+        .withColumn("pick", lit(1)).localCheckpoint()
+      (2 to 5).foreach { i =>
+        val selIds = selected.select(col("vec_id").as("vb"))
+        val pick = cand
+          .join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(sims, col("vec_id") === col("va"))
+          .join(broadcast(selIds), "vb")
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max("s").as("ms"))
+          .select(col("vec_id"), col("rel"),
+            (col("rel") * 0.7 - col("ms") * 0.3).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(1)
+          .withColumn("pick", lit(i))
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.select(col("pick").cast("int").as("pick"), col("vec_id"),
+        round6(col("rel")).as("rel"), round6(col("score")).as("score"))
+        .orderBy("pick")
     }
   )
 
@@ -833,6 +883,40 @@ object SimilarityQueries {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      },
+      // the five greedy MMR steps unrolled: p_i picks the argmax of
+      // rel*0.7 - max-sim-to-picked*0.3 over the not-yet-picked
+      // candidates — expression-for-expression the Spark round's math
+      "s14_mmr_diverse" -> {
+        def r6(x: String) = s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+        val steps = (2 to 5).map { i =>
+          val prevSel = (1 until i).map(j => s"SELECT vec_id FROM p$j")
+            .mkString(" UNION ALL ")
+          s"""p$i AS (
+             |  SELECT c.vec_id, c.rel, c.rel * 0.7 - max(s.s) * 0.3 AS score
+             |  FROM cand c JOIN sims s ON s.va = c.vec_id
+             |    AND s.vb IN ($prevSel)
+             |  WHERE c.vec_id NOT IN ($prevSel)
+             |  GROUP BY c.vec_id, c.rel
+             |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(i =>
+          s"SELECT CAST($i AS INT) AS pick, vec_id, ${r6("rel")} AS rel, " +
+            s"${r6("score")} AS score FROM p$i").mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |q AS (SELECT e FROM v WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT c.vec_id, c.e, ${sqlDotSeq("c.e", "q.e")} AS rel
+           |  FROM v c, q WHERE c.vec_id <> 0
+           |  ORDER BY rel DESC, c.vec_id LIMIT 20),
+           |sims AS (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb, ${sqlDotSeq("a.e", "b.e")} AS s
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |p1 AS (SELECT vec_id, rel, rel * 0.7 AS score FROM cand
+           |       ORDER BY score DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT * FROM ($out)
+           |ORDER BY pick""".stripMargin
       }
     )
   }

@@ -187,6 +187,10 @@ class PlanBudgetSpec extends SparkSpec {
     // sort — the corpus itself crosses one exchange (the range window);
     // offsets + total are range-count / single-row frames
     "p24_pps_sample" -> 5,
+    // s14: greedy rounds run eagerly inside per-round localCheckpoints;
+    // the static tail is the 5-row union of checkpoint scans + the
+    // presentation sort (1 range exchange)
+    "s14_mmr_diverse" -> 1,
     // x29: (type, day) count, distinct-types + 1-row bounds aggregates
     // feeding the broadcast grid, grid⋈obs + LOCF window sharing one
     // exchange, presentation sort — the corpus crosses only the count
