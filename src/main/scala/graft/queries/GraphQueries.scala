@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns.round6
-import graft.ops.{Bfs, KCore, LabelPropagation, PageRank}
+import graft.ops.{Bfs, KCore, LabelPropagation, PageRank, Sssp}
 
 /** Graph-analytics rows over graphs derived from the synthetic tables —
   * the iterative-algorithm pillar beside d07's connected components
@@ -29,10 +29,27 @@ object GraphQueries {
       .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
   }
 
+  /** Weighted trade graph: same bipartite customer–supplier nodes as
+    * [[tradeEdges]], but each edge carries an integer COST
+    * greatest(1, 6 − co-trade count) — strong ties (≥5 joint line
+    * items) cost 1, one-off ties cost 5. Both orientations emitted.
+    */
+  private def tradeEdgesW(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("c"), col("sp"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
+      .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
+  }
+
   private val Iters = 5
   private val Scale = 1000000000000L
   private val LpRounds = 4
   private val BfsHops = 6
+  private val SsspRounds = 10
   private val MinSupport = 2
   private val KCoreK = 2
   private val KCoreRounds = 12
@@ -195,6 +212,32 @@ object GraphQueries {
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       val (profile, _) = KCore.run(edges, KCoreK, KCoreRounds)
       profile.orderBy("round")
+    },
+
+    // WEIGHTED shortest paths from the trade hub — ops.Sssp, the
+    // weighted member of the iterative family (g04's BFS is its
+    // unit-weight case, and the case it cannot express: here a cheap
+    // multi-hop route through strong ties beats an expensive direct
+    // edge). Edge cost greatest(1, 6 − co-trade count): a pair that
+    // traded ≥5 times costs 1, a one-off tie costs 5 — proximity along
+    // RELIABLE relationships, the trust-propagation prior a curation
+    // pipeline scores by. Same hub seed as g04; the output is the
+    // per-cost census, which makes the contrast with g04's hop census
+    // directly readable. Integer min-plus, improvement-frontier rounds
+    // with early stop at the fixpoint; the oracle replays fixed full-
+    // relaxation layers (equal per round — SsspSpec pins it).
+    "g06_sssp" -> { (s, dir) =>
+      val e = tradeEdgesW(s, dir)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val top = deg
+        .agg(max(struct(col("dg").as("d"), (-col("src")).as("nn"))).as("m"))
+        .select((-col("m.nn")).as("node"))
+      Sssp.run(e, top, SsspRounds)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("nodes"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("suppliers"))
+        .orderBy("dist")
     })
 
   private val tradeEdgesSql =
@@ -299,5 +342,28 @@ object GraphQueries {
             "SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs",
             KCoreK, KCoreRounds)}
          |SELECT round, survivors, edges_left FROM profile
-         |ORDER BY round""".stripMargin)
+         |ORDER BY round""".stripMargin,
+
+    // weighted edges with the same hub seed as g04; the relaxation
+    // layers come from ops.Sssp.sqlCtes (full Bellman-Ford per layer —
+    // same per-round fixpoint as the engine's improvement frontier)
+    "g06_sssp" ->
+      s"""WITH tpairs AS (
+         |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp,
+         |    greatest(1, 6 - count(*)) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY c, sp),
+         |${Sssp.sqlCtes(
+        """SELECT c AS src, sp AS dst, w FROM tpairs
+          |  UNION ALL SELECT sp AS src, c AS dst, w FROM tpairs""".stripMargin,
+        """SELECT src AS node FROM (
+          |    SELECT src, count(*) AS dg FROM edges GROUP BY src)
+          |  ORDER BY dg DESC, src LIMIT 1""".stripMargin,
+        SsspRounds)}
+         |SELECT dist, count(*) AS nodes,
+         |  CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS customers,
+         |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS suppliers
+         |FROM sssp
+         |GROUP BY dist
+         |ORDER BY dist""".stripMargin)
 }

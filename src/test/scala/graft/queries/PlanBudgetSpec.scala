@@ -79,6 +79,9 @@ class PlanBudgetSpec extends SparkSpec {
     // g04: relaxation rounds run inside checkpoints; static tail =
     // seed-degree argmax + distance census + presentation sort
     "g04_bfs_reach" -> 2,
+    // g06: relaxation rounds run inside checkpoints (g04's shape);
+    // static tail = seed-degree argmax + cost census + presentation sort
+    "g06_sssp" -> 2,
     "e01_sessionize" -> 2, "e02_running_window" -> 2,
     "e03_json_stats" -> 2, "e04_topn_per_group" -> 3,
     "e06_topk_agg" -> 2, "e07_topk_native" -> 2,
