@@ -25,7 +25,9 @@ class IvfLayoutSpec extends SparkSpec {
   test("cid-partitioned IVF layout: probe prunes partitions, matches in-memory path") {
     val dir = "/root/testdata/sf0.001"
     val asg = Quantizer.assignments(spark, dir) // (vec_id, e, cid)
-    val path = Files.createTempDirectory("graft-ivf-layout").toString
+    // write into a SUBPATH: createTempDirectory makes the root exist,
+    // and Spark's ErrorIfExists mode rejects any existing target path
+    val path = Files.createTempDirectory("graft-ivf-layout").toString + "/ivf"
     asg.write.partitionBy("cid").parquet(path)
     val layout = spark.read.parquet(path)
 
@@ -36,7 +38,7 @@ class IvfLayoutSpec extends SparkSpec {
     val probed = Quantizer.centroids(spark, dir).collect()
       .map { r =>
         val c = r.getSeq[Double](r.fieldIndex("c"))
-        (r.getLong(r.fieldIndex("cid")), c.zip(q).map { case (a, b) => a * b }.sum)
+        (r.getAs[Number]("cid").longValue(), c.zip(q).map { case (a, b) => a * b }.sum)
       }
       .sortBy { case (cid, d) => (-d, cid) }.take(2).map(_._1).toSeq
 
