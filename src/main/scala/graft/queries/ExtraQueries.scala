@@ -654,6 +654,27 @@ object ExtraQueries {
           coalesce(last(col("cnt"), ignoreNulls = true).over(w), lit(0L))
             .as("cnt_filled"))
         .orderBy("event_type", "day")
+    },
+
+    // Order-insensitive TABLE FINGERPRINT: per-source (count, XOR of
+    // 60-bit row hashes, min/max hash) over the full row content. The
+    // data-integrity primitive a 100 TB migration/replication pipeline
+    // runs on both sides of every copy: XOR is commutative AND
+    // overflow-free (unlike a hash SUM, which wraps in Spark but errors
+    // in ANSI engines), so the signature is identical under any
+    // partitioning, task order, or engine — two replicas disagree iff
+    // some row differs. One map-side-combined aggregate; the hash is
+    // the scan-fused graft_md5p60 expression;  field separators
+    // prevent cross-column splice collisions.
+    "x30_fingerprint" -> { (s, dir) =>
+      val h = h60(concat_ws("\u0001",
+        col("doc_id").cast(StringType), col("lang"), col("source"), col("text")))
+      Tables(s, dir, "documents")
+        .select(col("source"), h.as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(h)").as("xor_sig"),
+          min("h").as("min_h"), max("h").as("max_h"))
+        .orderBy("source")
     }
   )
 
@@ -967,6 +988,17 @@ object ExtraQueries {
          |    AS cnt_filled
          |FROM grid g LEFT JOIN obs o
          |  ON g.event_type = o.event_type AND g.day = o.day
-         |ORDER BY g.event_type, g.day""".stripMargin
+         |ORDER BY g.event_type, g.day""".stripMargin,
+    "x30_fingerprint" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) ||
+        |      source || chr(1) || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS cnt, bit_xor(h) AS xor_sig,
+        |  min(h) AS min_h, max(h) AS max_h
+        |FROM h GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

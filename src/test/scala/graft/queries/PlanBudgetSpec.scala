@@ -194,6 +194,8 @@ class PlanBudgetSpec extends SparkSpec {
     // the static tail is the 5-row union of checkpoint scans + the
     // presentation sort (1 range exchange)
     "s14_mmr_diverse" -> 1,
+    // x30: one map-side-combined fingerprint aggregate + presentation sort
+    "x30_fingerprint" -> 2,
     // x29: (type, day) count, distinct-types + 1-row bounds aggregates
     // feeding the broadcast grid, grid⋈obs + LOCF window sharing one
     // exchange, presentation sort — the corpus crosses only the count
