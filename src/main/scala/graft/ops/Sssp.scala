@@ -74,13 +74,18 @@ object Sssp {
 
   /** DuckDB mirror of [[run]] as unrolled FULL-relaxation CTE layers
     * (plain UNION ALL + GROUP BY min — same fixpoint per round as the
-    * frontier engine). Callers splice `WITH $sqlCtes` in front of a
-    * SELECT over `sssp` (node, dist). `edgesCte` must yield
-    * (src, dst, w); `sourcesCte` must yield (node).
+    * frontier engine). Every layer is MATERIALIZED: s_{k−1} is
+    * referenced twice by layer k, and DuckDB inlines plain CTEs per
+    * reference — 2^rounds expansions of the whole prefix (the KCore
+    * 3^rounds lesson; measured here: the 10-round plain form never
+    * finished at sf0.1, the materialized form runs in seconds).
+    * Callers splice `WITH $sqlCtes` in front of a SELECT over `sssp`
+    * (node, dist). `edgesCte` must yield (src, dst, w); `sourcesCte`
+    * must yield (node).
     */
   def sqlCtes(edgesCte: String, sourcesCte: String, maxRounds: Int): String = {
     val layers = (1 to maxRounds).map { k =>
-      s"""s$k AS (
+      s"""s$k AS MATERIALIZED (
          |  SELECT node, min(dist) AS dist FROM (
          |    SELECT node, dist FROM s${k - 1}
          |    UNION ALL
@@ -88,7 +93,7 @@ object Sssp {
          |    FROM edges e JOIN s${k - 1} b ON e.src = b.node)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""edges AS ($edgesCte),
+    s"""edges AS MATERIALIZED ($edgesCte),
        |srcs AS ($sourcesCte),
        |s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM srcs),
        |$layers,
