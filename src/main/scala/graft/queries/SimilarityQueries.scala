@@ -468,6 +468,45 @@ object SimilarityQueries {
     // DuckDB oracle replays all five greedy steps as unrolled CTEs —
     // double arithmetic is identical expression-for-expression, so the
     // gate checks the full selection path, not just the final set.
+    // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09): the production RAG shape — one lexical ranking (the
+    // pinned t08 BM25 scorer over the fixed query-term set) and one
+    // semantic ranking (cosine against query vec 0, the term set's
+    // embedding stand-in; doc_id ≡ vec_id in this corpus) fused by
+    // rrf = Σ_legs 1/(60 + rank). Neither score scale is comparable —
+    // RRF deliberately uses only RANKS, which is why it needs no
+    // per-leg calibration and why it replays exactly: each reciprocal
+    // is the INTEGER 10¹² div (60+rank), so the fused score is a long
+    // sum, engine-identical (the s09 integer-sixths trick). Doc 0 (the
+    // pseudo-query) is excluded from both legs. Scale shape: each leg
+    // is its own distributed retrieval (BM25 touches only term-matching
+    // rows; the cosine leg is one corpus scan) delivering a top-C
+    // candidate list via TakeOrdered — the rank windows then run over
+    // C=20 bounded rows (single tiny partition by design, the s14
+    // candidate-set contract), and the fusion join is C-row × C-row.
+    "s15_rrf_hybrid" -> { (s, dir) =>
+      val C = 20
+      val K = 60L
+      val RrfScale = 1000000000000L
+      val wLex = Window.orderBy(desc("bm25"), col("doc_id"))
+      val lex = TextQueries.queries("t08_bm25")(s, dir)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(desc("bm25"), col("doc_id")).limit(C)
+        .select(col("doc_id"), row_number().over(wLex).cast("int").as("lex_rank"))
+      val v = vecsNorm(s, dir)
+      val q = broadcast(v.filter(col("vec_id") === 0).select(col("e").as("qe")))
+      val wSem = Window.orderBy(desc("rel"), col("doc_id"))
+      val sem = v.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("doc_id"), dotSeq(col("e"), col("qe")).as("rel"))
+        .orderBy(desc("rel"), col("doc_id")).limit(C)
+        .select(col("doc_id"), row_number().over(wSem).cast("int").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          (coalesce(expr(s"$RrfScale div ($K + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale div ($K + sem_rank)"), lit(0L))).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+    },
+
     "s14_mmr_diverse" -> { (s, dir) =>
       val v = vecsNorm(s, dir)
       val q = broadcast(v.filter(col("vec_id") === 0).select(col("e").as("qe")))
@@ -884,6 +923,35 @@ object SimilarityQueries {
            |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
       },
+      // lexical leg = the pinned t08 BM25 SQL as a subquery (anti-drift);
+      // reciprocal ranks are INTEGER 10^12 // (60 + rank), so the fused
+      // score is exact long arithmetic on both engines
+      "s15_rrf_hybrid" ->
+        s"""WITH bm AS (SELECT doc_id, bm25 FROM (${TextQueries.T08Sql})
+           |  WHERE doc_id <> 0),
+           |lex AS (
+           |  SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+           |    SELECT doc_id,
+           |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM bm)
+           |  WHERE rn <= 20),
+           |v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+           |rel AS (
+           |  SELECT c.vec_id AS doc_id, ${sqlDotSeq("c.e", "qe")} AS rel
+           |  FROM v c, q WHERE c.vec_id <> 0),
+           |sem AS (
+           |  SELECT doc_id, CAST(rn AS INT) AS sem_rank FROM (
+           |    SELECT doc_id,
+           |      row_number() OVER (ORDER BY rel DESC, doc_id) AS rn FROM rel)
+           |  WHERE rn <= 20),
+           |f AS (
+           |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           |    lex_rank, sem_rank
+           |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+           |SELECT doc_id, lex_rank, sem_rank,
+           |  CAST(COALESCE(1000000000000 // (60 + lex_rank), 0)
+           |    + COALESCE(1000000000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf
+           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
       // the five greedy MMR steps unrolled: p_i picks the argmax of
       // rel*0.7 - max-sim-to-picked*0.3 over the not-yet-picked
       // candidates — expression-for-expression the Spark round's math

@@ -507,6 +507,30 @@ object TextQueries {
        |  floor((0.5 * least(words / 100.0, 1.0) + 0.3 * least(awl / 8.0, 1.0) + 0.2 * sr) * 1000000.0 + 0.5) / 1000000.0 AS quality
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // hoisted so s15's reciprocal-rank fusion composes the pinned BM25
+  // lexical leg as a subquery (the t13/s08 anti-drift pattern)
+  private[queries] val T08Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+      |       WHERE term IN ('data', 'query', 'hash') GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |piv AS (
+      |  SELECT doc_id,
+      |    coalesce(max(CASE WHEN term = 'data' THEN sc END), 0.0) AS s1,
+      |    coalesce(max(CASE WHEN term = 'query' THEN sc END), 0.0) AS s2,
+      |    coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, floor((s1 + s2 + s3) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+      |FROM piv ORDER BY doc_id""".stripMargin
+
   private val T12Sql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sc AS (
@@ -765,27 +789,7 @@ object TextQueries {
          |  CAST(est - n AS BIGINT) AS overcount
          |FROM est ORDER BY n DESC, term LIMIT 20""".stripMargin
     },
-    "t08_bm25" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
-        |       WHERE term IN ('data', 'query', 'hash') GROUP BY doc_id, term),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-        |piv AS (
-        |  SELECT doc_id,
-        |    coalesce(max(CASE WHEN term = 'data' THEN sc END), 0.0) AS s1,
-        |    coalesce(max(CASE WHEN term = 'query' THEN sc END), 0.0) AS s2,
-        |    coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
-        |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, floor((s1 + s2 + s3) * 1000000.0 + 0.5) / 1000000.0 AS bm25
-        |FROM piv ORDER BY doc_id""".stripMargin,
+    "t08_bm25" -> T08Sql,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
