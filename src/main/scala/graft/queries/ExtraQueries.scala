@@ -675,6 +675,57 @@ object ExtraQueries {
         .agg(count(lit(1)).as("cnt"), expr("bit_xor(h)").as("xor_sig"),
           min("h").as("min_h"), max("h").as("max_h"))
         .orderBy("source")
+    },
+
+    // SINGLE-PASS COLUMN PROFILE (the Deequ/constraint-check shape):
+    // per column of the events table — completeness (null rate),
+    // exact distinct cardinality, and type-appropriate min/max
+    // (numeric as DOUBLE, strings lexicographically; the corpus is
+    // ASCII by the testdata contract, so string order agrees across
+    // engines). The table-health card a pipeline asserts on before
+    // and after every ingest/migration step, beside x30's content
+    // fingerprint. Scale shape: ONE aggregate over one scan — the six
+    // exact distinct counts ride a single Expand (p18's shape), so the
+    // corpus crosses one shuffle carrying 7× row multiplicity; at
+    // 100 TB the documented 1:1 swap is graft_hll / approx_count_
+    // distinct per column (x16/x21's sketch ladder), which collapses
+    // the Expand multiplicity into constant-size registers while
+    // completeness and min/max stay map-side partials either way. The
+    // per-column rows then unfold from the 1-row aggregate by a
+    // dimension-sized explode (never a second corpus pass per column —
+    // the naive profile runs N scans for N columns).
+    "x31_profile" -> { (s, dir) =>
+      val numCols = Seq("event_id", "ts", "user_id", "value")
+      val strCols = Seq("event_type", "props")
+      val all = numCols ++ strCols
+      val aggs = count(lit(1)).as("n_rows") +: (
+        all.map(c => count(col(c)).as(s"nn_$c")) ++
+          all.map(c => count_distinct(col(c)).as(s"nd_$c")) ++
+          numCols.map(c => min(col(c)).cast(DoubleType).as(s"mn_$c")) ++
+          numCols.map(c => max(col(c)).cast(DoubleType).as(s"mx_$c")) ++
+          strCols.map(c => min(col(c)).as(s"mns_$c")) ++
+          strCols.map(c => max(col(c)).as(s"mxs_$c")))
+      val rows = all.map { c =>
+        val isNum = numCols.contains(c)
+        struct(
+          lit(c).as("column"),
+          col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"),
+          (if (isNum) col(s"mn_$c") else lit(null).cast(DoubleType)).as("min_num"),
+          (if (isNum) col(s"mx_$c") else lit(null).cast(DoubleType)).as("max_num"),
+          (if (isNum) lit(null).cast(StringType) else col(s"mns_$c")).as("min_str"),
+          (if (isNum) lit(null).cast(StringType) else col(s"mxs_$c")).as("max_str"))
+      }
+      Tables(s, dir, "events")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), explode(array(rows: _*)).as("st"))
+        .select(col("st.column").as("column"), col("n_rows"),
+          col("st.n_nonnull").as("n_nonnull"), col("st.n_distinct").as("n_distinct"),
+          round6(col("st.n_nonnull").cast(DoubleType) / col("n_rows"))
+            .as("completeness"),
+          col("st.min_num").as("min_num"), col("st.max_num").as("max_num"),
+          col("st.min_str").as("min_str"), col("st.max_str").as("max_str"))
+        .orderBy("column")
     }
   )
 
@@ -999,6 +1050,35 @@ object ExtraQueries {
         |SELECT source, count(*) AS cnt, bit_xor(h) AS xor_sig,
         |  min(h) AS min_h, max(h) AS max_h
         |FROM h GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+    // one UNION leg per column (each leg re-aggregates the table —
+    // the oracle restates the semantics; Spark does it in ONE pass)
+    "x31_profile" -> {
+      def leg(name: String, x: String, isNum: Boolean): String = {
+        val (mnN, mxN) =
+          if (isNum) (s"CAST(min($x) AS DOUBLE)", s"CAST(max($x) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        val (mnS, mxS) =
+          if (isNum) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else (s"min($x)", s"max($x)")
+        s"""SELECT '$name' AS "column", count(*) AS n_rows,
+           |  count($x) AS n_nonnull, count(DISTINCT $x) AS n_distinct,
+           |  floor((CAST(count($x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS completeness,
+           |  $mnN AS min_num, $mxN AS max_num,
+           |  $mnS AS min_str, $mxS AS max_str
+           |FROM events""".stripMargin
+      }
+      val legs = Seq(
+        leg("event_id", "event_id", isNum = true),
+        leg("ts", "epoch_ns(ts)", isNum = true),
+        leg("user_id", "user_id", isNum = true),
+        leg("value", "value", isNum = true),
+        leg("event_type", "event_type", isNum = false),
+        leg("props", "props", isNum = false))
+      s"""SELECT * FROM (
+         |${legs.mkString("\nUNION ALL\n")}
+         |) ORDER BY "column"""".stripMargin
+    }
   )
 }
