@@ -78,6 +78,108 @@ object PageRank {
     ranks
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): identical
+    * integer recurrence, but ALL teleport mass returns to the seed set
+    * instead of spreading uniformly — rank becomes proximity to the
+    * seeds rather than global centrality (the "importance relative to
+    * a trusted set" prior: topic-sensitive PageRank, Haveliwala 2002).
+    *
+    *   rank_0(v)   = scale div |S|  if v ∈ S else 0
+    *   rank_k+1(v) = [v ∈ S] · ((den − num) · (scale div |S|)) div den
+    *                 + (num · Σ_{u→v} (rank_k(u) div outdeg(u))) div den
+    *
+    * Same bit-exact fixed-point contract and per-iteration plan shape
+    * as [[run]] — the seed set rides as a broadcast membership flag on
+    * the node frame (no extra shuffle). Seeds without out-edges are
+    * dangling like any other node (their mass leaks by the same
+    * documented contract).
+    *
+    * @param sources (node: long) seed rows — small (broadcast) by
+    *                contract; duplicates are collapsed.
+    */
+  def runPersonalized(
+      edges: DataFrame,
+      sources: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampingNum: Long = 85,
+      dampingDen: Long = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg")).persist()
+    val srcs = sources.select(col("node")).distinct()
+      .withColumn("is_src", lit(1L)).persist()
+    // 1-row seed count, broadcast into the init/teleport projections
+    val ns = srcs.agg(count(lit(1)).as("ns"))
+    var ranks = deg.select(col("node"))
+      .join(broadcast(srcs), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .selectExpr("node",
+        s"CASE WHEN is_src IS NOT NULL THEN $scale div ns ELSE 0L END AS rank")
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(deg, "node")
+        .selectExpr("node", "rank div outdeg AS contrib")
+      val inflow = e.join(contrib, e("src") === contrib("node"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = deg.select(col("node"))
+        .join(broadcast(srcs), Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .join(inflow, col("node") === col("dst"), "left")
+        .selectExpr("node",
+          s"(CASE WHEN is_src IS NOT NULL THEN " +
+            s"((($dampingDen - $dampingNum) * ($scale div ns)) div $dampingDen) " +
+            s"ELSE 0L END) " +
+            s"+ (($dampingNum * coalesce(inflow, 0L)) div $dampingDen) AS rank")
+        .localCheckpoint()
+    }
+    e.unpersist()
+    deg.unpersist()
+    srcs.unpersist()
+    ranks
+  }
+
+  /** The DuckDB mirror of [[runPersonalized]] — callers splice
+    * `WITH $sqlCtesPersonalized` in front of a SELECT over `ppr`
+    * (node, rank). `sourcesCte` must yield (node) seed rows.
+    */
+  def sqlCtesPersonalized(
+      edgesCte: String,
+      sourcesCte: String,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampingNum: Long = 85,
+      dampingDen: Long = 100): String = {
+    val layers = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT d.node,
+         |    (CASE WHEN d.node IN (SELECT node FROM src) THEN
+         |      ((($dampingDen - $dampingNum) * ($scale // ns.ns)) // $dampingDen)
+         |      ELSE 0 END)
+         |    + (($dampingNum * coalesce(i.inflow, 0)) // $dampingDen) AS rank
+         |  FROM deg d CROSS JOIN ns
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // dg.outdeg) AS inflow
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN deg dg ON dg.node = e.src
+         |    GROUP BY e.dst) i ON d.node = i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS ($edgesCte),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |src AS (SELECT DISTINCT node FROM ($sourcesCte)),
+       |ns AS (SELECT count(*) AS ns FROM src),
+       |r0 AS (
+       |  SELECT d.node,
+       |    CASE WHEN d.node IN (SELECT node FROM src)
+       |      THEN ($scale // ns.ns) ELSE 0 END AS rank
+       |  FROM deg d CROSS JOIN ns),
+       |$layers,
+       |ppr AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations)""".stripMargin
+  }
+
   /** The DuckDB mirror of [[run]] as unrolled CTE layers, generated from
     * the same constants — callers splice `WITH $sqlCtes` in front of a
     * SELECT over `pr` (node, rank). `edgesCte` must yield (src, dst).

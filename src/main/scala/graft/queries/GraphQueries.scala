@@ -238,6 +238,35 @@ object GraphQueries {
           sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("customers"),
           sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("suppliers"))
         .orderBy("dist")
+    },
+
+    // PERSONALIZED PageRank from the trade hub — random walk with
+    // restart to the g04 seed (ops.PageRank.runPersonalized): all
+    // teleport mass returns to the hub, so rank measures PROXIMITY to
+    // it along trade relationships rather than g01's global
+    // centrality — the "importance relative to a trusted set" prior
+    // (topic-sensitive PageRank) a curation pipeline scores hosts/docs
+    // by when it trusts a seed list, where g04/g06 answer the same
+    // question with hop/cost distance and this answers it with visit
+    // mass (multi-path reinforcement counts, not just shortest
+    // distance). Same fixed-point integer contract and per-round plan
+    // shape as g01; the seed set rides as a broadcast membership flag
+    // (no extra shuffle). Top-25 by rank.
+    "g07_ppr" -> { (s, dir) =>
+      val e = tradeEdges(s, dir)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val top = deg
+        .agg(max(struct(col("dg").as("d"), (-col("src")).as("nn"))).as("m"))
+        .select((-col("m.nn")).as("node"))
+      PageRank.runPersonalized(e, top, Iters, Scale)
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+            .as("node_type"),
+          expr("node div 2").as("node_id"),
+          col("rank"),
+          round6(col("rank").cast("double") / lit(Scale.toDouble)).as("rank_f"))
+        .orderBy(desc("rank"), col("node_type"), col("node_id"))
+        .limit(25)
     })
 
   private val tradeEdgesSql =
@@ -365,5 +394,25 @@ object GraphQueries {
          |  CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS suppliers
          |FROM sssp
          |GROUP BY dist
-         |ORDER BY dist""".stripMargin)
+         |ORDER BY dist""".stripMargin,
+
+    // same hub-seed CTE as g04; the restart layers come from
+    // ops.PageRank.sqlCtesPersonalized — the same (edges, seed,
+    // iterations, damping) the Spark side iterates with
+    "g07_ppr" ->
+      s"""WITH tpairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |${PageRank.sqlCtesPersonalized(
+        tradeEdgesSql,
+        """SELECT src AS node FROM (
+          |    SELECT src, count(*) AS dg FROM edges GROUP BY src)
+          |  ORDER BY dg DESC, src LIMIT 1""".stripMargin,
+        Iters, Scale)}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  node // 2 AS node_id, rank,
+         |  floor((CAST(rank AS DOUBLE) / ${Scale.toDouble}) * 1000000.0 + 0.5) / 1000000.0 AS rank_f
+         |FROM ppr
+         |ORDER BY rank DESC, node_type, node_id
+         |LIMIT 25""".stripMargin)
 }
