@@ -783,6 +783,41 @@ object EventQueries {
         .orderBy("user_id", "day")
     },
 
+    // LIVE funnel completion — e14's ordered signup→click→purchase
+    // chain as a streaming trigger (Streaming.funnelStream): each user
+    // emits EXACTLY ONCE, the moment the watermark finalizes the third
+    // first-occurrence register and the strict s < c < p order holds.
+    // The buffered-fold recipe (e19/e21) makes the registers immutable
+    // once set, so both the completion and its negation are final —
+    // no retraction, and a settled user is a tombstone. Output columns
+    // are functions of the key under the finality contract, so results
+    // are deterministic whatever the micro-batch slicing. The oracle
+    // replays the contract: per-type min timestamps over events at/
+    // below the final watermark, kept where strictly increasing.
+    "e29_stream_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val done = graft.streaming.Streaming.funnelStream(ev)
+      val sink = "e29_stream_funnel_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = done.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // us-truncated ns on the way out (the e14/x13 DuckDB parity rule)
+      s.table(sink)
+        .select(col("user_id"),
+          (col("s_ns") - pmod(col("s_ns"), lit(1000L))).as("s_ns"),
+          (col("c_ns") - pmod(col("c_ns"), lit(1000L))).as("c_ns"),
+          (col("p_ns") - pmod(col("p_ns"), lit(1000L))).as("p_ns"))
+        .orderBy("user_id")
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1242,6 +1277,24 @@ object EventQueries {
     // floor(max event-time us / 1000) − 7 200 000; an event is in the
     // emitted slice iff its own ms is ≤ that; pairs lag over the slice
     // with the stateful op's (ts_ns, event_id) ordering
+    // the e19 finality contract (event folds iff its ms ≤ final
+    // watermark) + e14's closed form, kept where strictly increasing
+    "e29_stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |f AS (SELECT user_id, event_type, tsn
+        |      FROM e, wm WHERE (tsn // 1000) // 1000 <= wm_ms),
+        |m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN tsn END) AS s_ns,
+        |    min(CASE WHEN event_type = 'click' THEN tsn END) AS c_ns,
+        |    min(CASE WHEN event_type = 'purchase' THEN tsn END) AS p_ns
+        |  FROM f GROUP BY user_id)
+        |SELECT user_id, s_ns, c_ns, p_ns FROM m
+        |WHERE s_ns IS NOT NULL AND c_ns IS NOT NULL AND p_ns IS NOT NULL
+        |  AND s_ns < c_ns AND c_ns < p_ns
+        |ORDER BY user_id""".stripMargin,
     "e19_stream_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn FROM events),

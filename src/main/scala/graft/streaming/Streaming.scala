@@ -491,6 +491,80 @@ object Streaming {
       }
   }
 
+  case class FunnelState(pending: List[TEvent], sNs: Long, cNs: Long,
+      pNs: Long, settled: Boolean)
+  case class FunnelDone(user_id: Long, s_ns: Long, c_ns: Long, p_ns: Long)
+
+  /** LIVE ordered-funnel completion from a stream — the streaming twin
+    * of EventQueries.e14: emit each user ONCE, the moment their ordered
+    * signup → click → purchase chain completes (first-occurrence
+    * timestamps per stage, strictly increasing — e14's stage-3
+    * predicate). The conversion trigger every growth/activation
+    * pipeline wants as a push, not a nightly batch.
+    *
+    * Order sensitivity uses the transitionsStream recipe: events buffer
+    * per user until the watermark passes them (no earlier event can
+    * still arrive), then fold in (ts, event_id) order into the three
+    * first-occurrence registers. Because ripe events fold in event-time
+    * order, each register is immutable once set — so the completion
+    * verdict (s < c < p with all three set) is FINAL the moment the
+    * third register fills: emit-once needs no retraction, and a failed
+    * verdict (e.g. first click precedes first signup) is equally final,
+    * recorded as a tombstone flag so later events can never resurrect
+    * the user. State per user: O(rate × horizon) buffered events while
+    * unsettled, then the O(1) settled flag; EventTimeTimeout flushes
+    * newly-ripe buffers on watermark-only batches.
+    *
+    * Finality contract (what the oracle replays): an event folds iff
+    * floor(ts_ns/10⁶) ≤ final watermark (max event-time ms − delay);
+    * completed users are exactly those whose per-type min timestamps
+    * over that slice are all present and strictly increasing.
+    */
+  def funnelStream(events: Dataset[TEvent]): Dataset[FunnelDone] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDone](OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[FunnelState]) =>
+          val prior = state.getOption
+            .getOrElse(FunnelState(Nil, -1L, -1L, -1L, settled = false))
+          if (prior.settled) {
+            // verdict is final — drain arrivals, keep only the flag
+            // (dropping state would let later events rebuild fresh
+            // registers and re-emit)
+            Iterator.empty
+          } else {
+            val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+            val buf = prior.pending ++ it
+            val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+            var s = prior.sNs; var c = prior.cNs; var p = prior.pNs
+            ripe.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+              e.event_type match {
+                case "signup" if s < 0L => s = e.ts_ns
+                case "click" if c < 0L => c = e.ts_ns
+                case "purchase" if p < 0L => p = e.ts_ns
+                case _ =>
+              }
+            }
+            val settled = s >= 0L && c >= 0L && p >= 0L
+            if (isStreaming) {
+              if (settled) state.update(FunnelState(Nil, s, c, p, settled = true))
+              else {
+                state.update(FunnelState(rest, s, c, p, settled = false))
+                // wake on the next watermark advance to flush newly-ripe rows
+                if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+              }
+            }
+            if (settled && s < c && c < p) Iterator.single(FunnelDone(uid, s, c, p))
+            else Iterator.empty
+          }
+      }
+  }
+
   case class AnomDay(user_id: Long, day: Long, cnt: Long, z: Double)
   case class AnomState(pending: List[TEvent], partial: Map[Long, Long],
       h: Long, t: Long, s2: Long)

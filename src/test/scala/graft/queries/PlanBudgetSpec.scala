@@ -33,7 +33,7 @@ class PlanBudgetSpec extends SparkSpec {
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
-      "e27_stream_static_enrich", "e28_stream_upsert")
+      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each

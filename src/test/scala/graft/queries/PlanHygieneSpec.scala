@@ -104,7 +104,7 @@ class PlanHygieneSpec extends SparkSpec {
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
-      "e27_stream_static_enrich", "e28_stream_upsert")
+      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

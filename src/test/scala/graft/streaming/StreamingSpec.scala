@@ -733,6 +733,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: completes once across out-of-order batches; failed order is a tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelDone, TEvent}
+    val M = 1000000L // 1 ms in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "1 second") // in-horizon cross-batch disorder
+      .as[TEvent]
+    val out = Streaming.funnelStream(events)
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("funnel").as[FunnelDone].collect().toSeq
+      .sortBy(_.user_id)
+    try {
+      // user 1 completes s→c→p but the purchase ARRIVES first; user 2's
+      // first click precedes their first signup (never completes).
+      mem.addData((1L, 30 * M, 13L, "purchase"), (1L, 10 * M, 11L, "signup"),
+        (2L, 10 * M, 21L, "click"), (2L, 20 * M, 22L, "signup"))
+      q.processAllAvailable()
+      // cross-batch disorder WITHIN the 1 s horizon (watermark is still
+      // 0 ms, so these are not late): user 1's missing click, user 2's
+      // purchase
+      mem.addData((1L, 20 * M, 12L, "click"), (2L, 30 * M, 23L, "purchase"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing is final before the watermark moves")
+      // the sentinel advances the watermark (5000 − 1000 ms) past every
+      // buffered event: user 1 settles complete (registers fold in
+      // EVENT-TIME order despite arrival order), user 2 settles failed
+      mem.addData((9L, 5000 * M, 91L, "view"))
+      q.processAllAvailable()
+      assert(rows() == Seq(FunnelDone(1L, 10 * M, 20 * M, 30 * M)),
+        s"user 1 completes, user 2 must not: ${rows()}")
+      // tombstone: user 2's later signup→click→purchase run must NOT
+      // resurrect them (registers are first-occurrence, verdict final);
+      // user 1 must not emit twice
+      mem.addData((2L, 6000 * M, 24L, "signup"), (2L, 6100 * M, 25L, "click"),
+        (2L, 6200 * M, 26L, "purchase"), (1L, 6000 * M, 14L, "purchase"))
+      q.processAllAvailable()
+      mem.addData((9L, 20000 * M, 92L, "view"))
+      q.processAllAvailable()
+      assert(rows() == Seq(FunnelDone(1L, 10 * M, 20 * M, 30 * M)),
+        s"settled users must stay settled: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("funnelStream (batch): equals the e14 closed form on 600 random events (seeded)") {
+    import graft.streaming.Streaming.{FunnelDone, TEvent}
+    val rnd = new scala.util.Random(43)
+    val types = Vector("signup", "click", "purchase", "view", "error")
+    val evs = (1 to 600).map { i =>
+      TEvent(rnd.nextInt(40).toLong, (rnd.nextInt(200) + 1).toLong * 1000000L,
+        i.toLong, types(rnd.nextInt(5)))
+    }
+    val got = Streaming.funnelStream(spark.createDataset(evs))
+      .collect().toSeq.sortBy(_.user_id)
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      def first(t: String) = es.filter(_.event_type == t) match {
+        case Nil => None
+        case hit => Some(hit.map(_.ts_ns).min)
+      }
+      (first("signup"), first("click"), first("purchase")) match {
+        case (Some(s), Some(c), Some(p)) if s < c && c < p =>
+          Some(FunnelDone(u, s, c, p))
+        case _ => None
+      }
+    }.sortBy(_.user_id)
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("anomalyStream (batch): equals a driver replay of the sequential z-test (seeded)") {
     import graft.streaming.Streaming.{AnomDay, TEvent}
     val D = 86400000000000L
