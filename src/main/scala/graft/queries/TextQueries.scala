@@ -425,6 +425,36 @@ object TextQueries {
         .orderBy(desc("n"), col("term"))
     },
 
+    // Character-entropy quality signal — Shannon entropy (bits/char)
+    // of each document over the fixed 27-class alphabet (space + a-z):
+    // the gibberish/compressibility screen beside t14's bigram
+    // typicality (low entropy = repetitive/degenerate text, high =
+    // keyboard mash; natural English sits ~4 bits). Determinism recipe:
+    // per-class counts are exact integers (length minus length-after-
+    // strip — no tokenize, no explode), the 27 p·ln(1/p) terms are
+    // IDENTICAL expressions added in FIXED literal order (the t08
+    // pivot-order rule), and ln matches across engines (the t05/t08
+    // precedent); zero-count classes contribute an exact 0. Map-only
+    // plan at scan speed — the corpus never shuffles.
+    "t20_entropy" -> { (s, dir) =>
+      val alphabet = ' ' +: ('a' to 'z')
+      val lenD = length(col("text")).cast(DoubleType)
+      val cnts = alphabet.map { ch =>
+        (length(col("text")) -
+          length(regexp_replace(col("text"), ch.toString, ""))).cast(LongType)
+      }
+      val terms = cnts.map { c =>
+        when(c > 0, (c.cast(DoubleType) / lenD) * log(lenD / c.cast(DoubleType)))
+          .otherwise(lit(0.0))
+      }
+      val nDistinct = cnts.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("chars"),
+          nDistinct.cast(LongType).as("alphabet_size"),
+          round6(terms.reduce(_ + _) / log(lit(2.0))).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     // BM25 relevance scoring for a fixed query-term set — the retrieval
     // twin of t05's TF-IDF (k1 = 1.2, b = 0.75, idf = ln((N-df+.5)/(df+.5)+1)).
     // Scale shape: only rows matching the (tiny) query-term set survive
@@ -790,6 +820,27 @@ object TextQueries {
          |FROM est ORDER BY n DESC, term LIMIT 20""".stripMargin
     },
     "t08_bm25" -> T08Sql,
+    // same 27 fixed-order terms; ln + literal addition order mirror the
+    // Spark expressions token-for-token
+    "t20_entropy" -> {
+      val alphabet = ' ' +: ('a' to 'z')
+      def cnt(ch: Char) =
+        s"(length(text) - length(replace(text, '$ch', '')))"
+      val terms = alphabet.map { ch =>
+        val c = cnt(ch)
+        s"""CASE WHEN $c > 0
+           |  THEN (CAST($c AS DOUBLE) / CAST(length(text) AS DOUBLE))
+           |    * ln(CAST(length(text) AS DOUBLE) / CAST($c AS DOUBLE))
+           |  ELSE 0.0 END""".stripMargin
+      }
+      val nDistinct = alphabet.map(ch =>
+        s"(CASE WHEN ${cnt(ch)} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |  CAST($nDistinct AS BIGINT) AS alphabet_size,
+         |  floor(((${terms.mkString("\n + ")}) / ln(2.0)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS entropy_bits
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
