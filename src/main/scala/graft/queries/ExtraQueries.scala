@@ -677,6 +677,39 @@ object ExtraQueries {
         .orderBy("source")
     },
 
+    // EXPONENTIALLY-WEIGHTED smoothing over the x29 gap-filled day
+    // grid — the trend/denoise step after regularization (EWMA with
+    // α = 1/2, horizon-truncated at 8 days). Determinism recipe: the
+    // DYADIC weights 2^(7−k) keep numerator and denominator EXACT
+    // LONG window sums (a recursive float EWMA can neither replay nor
+    // merge), normalized per row so partial leading windows average
+    // over the weights actually present. Scale shape: the e12/e16
+    // generator trick — each grid day replicates to the ≤8 trailing
+    // target days it contributes to, then ONE (type, day) equi-shuffle
+    // aggregation; no per-key window sort over weighted frames (a
+    // weight-by-relative-position frame is not a window function), no
+    // NLJ. The grid is dimension-sized, so the replication is 8× a
+    // |types|×|days| frame whatever the corpus size; composing the
+    // pinned x29 row means the corpus still crosses only x29's one
+    // exchange.
+    "x32_ewma" -> { (s, dir) =>
+      val filled = queries("x29_gap_fill")(s, dir)
+        .select(col("event_type"), col("day"), col("cnt_filled"))
+      val kw = explode(array((0 to 7).map(k =>
+        struct(lit(k.toLong).as("k"), lit(1L << (7 - k)).as("w"))): _*)).as("kw")
+      val fused = filled.select(col("event_type"), col("day"), col("cnt_filled"), kw)
+        .select(col("event_type").as("fe"), (col("day") + col("kw.k")).as("day2"),
+          (col("cnt_filled") * col("kw.w")).as("cw"), col("kw.w").as("w"))
+        .groupBy("fe", "day2")
+        .agg(sum("cw").as("num"), sum("w").as("den"))
+      filled.join(fused,
+          col("event_type") === col("fe") && col("day") === col("day2"))
+        .select(col("event_type"), col("day"), col("cnt_filled"),
+          col("num"), col("den"),
+          round6(col("num").cast(DoubleType) / col("den")).as("ewma"))
+        .orderBy("event_type", "day")
+    },
+
     // SINGLE-PASS COLUMN PROFILE (the Deequ/constraint-check shape):
     // per column of the events table — completeness (null rate),
     // exact distinct cardinality, and type-appropriate min/max
@@ -728,6 +761,28 @@ object ExtraQueries {
         .orderBy("column")
     }
   )
+
+  // hoisted so x32's smoothing composes the pinned gap-filled grid as
+  // a subquery (the t13/s08/s15 anti-drift pattern)
+  private val X29Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day FROM events),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+       |grid AS (
+       |  SELECT t.event_type, d.day
+       |  FROM (SELECT DISTINCT event_type FROM e) t,
+       |       (SELECT unnest(generate_series(lo, hi)) AS day FROM b) d),
+       |obs AS (SELECT event_type, day, count(*) AS cnt
+       |        FROM e GROUP BY event_type, day)
+       |SELECT g.event_type, g.day,
+       |  o.cnt IS NOT NULL AS observed,
+       |  CAST(coalesce(last_value(o.cnt IGNORE NULLS) OVER (
+       |    PARTITION BY g.event_type ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+       |    AS cnt_filled
+       |FROM grid g LEFT JOIN obs o
+       |  ON g.event_type = o.event_type AND g.day = o.day
+       |ORDER BY g.event_type, g.day""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x01_semi_join" ->
@@ -1021,25 +1076,7 @@ object ExtraQueries {
         |    AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
-    "x29_gap_fill" ->
-      s"""WITH e AS (
-         |  SELECT event_type, epoch_ns(ts) // $DayNs AS day FROM events),
-         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
-         |grid AS (
-         |  SELECT t.event_type, d.day
-         |  FROM (SELECT DISTINCT event_type FROM e) t,
-         |       (SELECT unnest(generate_series(lo, hi)) AS day FROM b) d),
-         |obs AS (SELECT event_type, day, count(*) AS cnt
-         |        FROM e GROUP BY event_type, day)
-         |SELECT g.event_type, g.day,
-         |  o.cnt IS NOT NULL AS observed,
-         |  CAST(coalesce(last_value(o.cnt IGNORE NULLS) OVER (
-         |    PARTITION BY g.event_type ORDER BY g.day
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
-         |    AS cnt_filled
-         |FROM grid g LEFT JOIN obs o
-         |  ON g.event_type = o.event_type AND g.day = o.day
-         |ORDER BY g.event_type, g.day""".stripMargin,
+    "x29_gap_fill" -> X29Sql,
     "x30_fingerprint" ->
       """WITH h AS (
         |  SELECT source,
@@ -1051,6 +1088,23 @@ object ExtraQueries {
         |  min(h) AS min_h, max(h) AS max_h
         |FROM h GROUP BY source
         |ORDER BY source""".stripMargin,
+    // composes the pinned x29 grid; dyadic weights keep num/den exact
+    // longs (sums cast back from DuckDB's HUGEINT)
+    "x32_ewma" ->
+      s"""WITH x29 AS ($X29Sql),
+         |rep AS (
+         |  SELECT event_type, day + k AS day2,
+         |    cnt_filled * (1 << (7 - k)) AS cw, (1 << (7 - k)) AS w
+         |  FROM x29, (SELECT unnest(range(0, 8)) AS k) ks),
+         |f AS (
+         |  SELECT event_type, day2,
+         |    CAST(sum(cw) AS BIGINT) AS num, CAST(sum(w) AS BIGINT) AS den
+         |  FROM rep GROUP BY event_type, day2)
+         |SELECT g.event_type, g.day, g.cnt_filled, f.num, f.den,
+         |  floor((CAST(f.num AS DOUBLE) / f.den) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS ewma
+         |FROM x29 g JOIN f ON g.event_type = f.event_type AND g.day = f.day2
+         |ORDER BY g.event_type, g.day""".stripMargin,
     // one UNION leg per column (each leg re-aggregates the table —
     // the oracle restates the semantics; Spark does it in ONE pass)
     "x31_profile" -> {
