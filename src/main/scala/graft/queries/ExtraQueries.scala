@@ -693,8 +693,12 @@ object ExtraQueries {
     // pinned x29 row means the corpus still crosses only x29's one
     // exchange.
     "x32_ewma" -> { (s, dir) =>
+      // materialize the dimension-sized grid ONCE (both the replicate
+      // side and the join-back read it; without the checkpoint each
+      // consumer re-plans the x29 subtree = two corpus passes)
       val filled = queries("x29_gap_fill")(s, dir)
         .select(col("event_type"), col("day"), col("cnt_filled"))
+        .localCheckpoint()
       val kw = explode(array((0 to 7).map(k =>
         struct(lit(k.toLong).as("k"), lit(1L << (7 - k)).as("w"))): _*)).as("kw")
       val fused = filled.select(col("event_type"), col("day"), col("cnt_filled"), kw)

@@ -199,7 +199,22 @@ class PlanBudgetSpec extends SparkSpec {
     // x29: (type, day) count, distinct-types + 1-row bounds aggregates
     // feeding the broadcast grid, grid⋈obs + LOCF window sharing one
     // exchange, presentation sort — the corpus crosses only the count
-    "x29_gap_fill" -> 4)
+    "x29_gap_fill" -> 4,
+    // s15: each leg is a TakeOrdered top-20 (no exchange) + a bounded
+    // 20-row single-partition rank window; the fusion full-outer SMJ
+    // + presentation sort account for the rest
+    "s15_rrf_hybrid" -> 4,
+    // x31: ONE aggregate (six exact distincts on one Expand) +
+    // presentation sort over 6 rows
+    "x31_profile" -> 2,
+    // t20: map-only per-class counts + entropy terms; presentation sort
+    "t20_entropy" -> 1,
+    // g07: restart rounds run eagerly inside localCheckpoints (g01's
+    // shape); static tail = checkpoint scan + presentation sort
+    "g07_ppr" -> 0,
+    // x32: the x29 grid materializes once (localCheckpoint); static
+    // tail = replicate-aggregate + join-back + presentation sort
+    "x32_ewma" -> 2)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

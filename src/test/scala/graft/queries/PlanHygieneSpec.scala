@@ -94,7 +94,11 @@ class PlanHygieneSpec extends SparkSpec {
       "s13_filtered_ann",
       // p21 - the 5-row funnel cross-joins the broadcast 1-ROW corpus
       //       total (the d12/p14 shape)
-      "p21_filter_funnel")
+      "p21_filter_funnel",
+      // s15 - the semantic leg cross-joins the broadcast 1-ROW query
+      //       vector (the p14/d12 single-build-row shape); the lexical
+      //       leg and the fusion join are equi/TakeOrdered
+      "s15_rrf_hybrid")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
