@@ -818,6 +818,39 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // LIVE silence monitor — per event_type, every inter-event gap
+    // > 15 min emitted the moment its closing event finalizes
+    // (Streaming.gapsStream, the transitionsStream buffered-fold
+    // recipe): the dead-man switch on a feed, as an exactly-once
+    // append stream instead of a polling batch job. The oracle replays
+    // the finality contract as one lag window over the final slice —
+    // a gap row iff the adjacent pair's delta exceeds the threshold.
+    "e30_stream_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val GapNs = 900000000000L // 15 min
+      val ev = Tables.eventsStream(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val gaps = graft.streaming.Streaming.gapsStream(ev, GapNs)
+      val sink = "e30_stream_gaps_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = gaps.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("event_type"),
+          (col("gap_start_ns") - pmod(col("gap_start_ns"), lit(1000L)))
+            .as("gap_start_ns"),
+          (col("gap_end_ns") - pmod(col("gap_end_ns"), lit(1000L)))
+            .as("gap_end_ns"),
+          col("gap_ms"))
+        .orderBy("event_type", "gap_start_ns")
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1277,6 +1310,21 @@ object EventQueries {
     // floor(max event-time us / 1000) − 7 200 000; an event is in the
     // emitted slice iff its own ms is ≤ that; pairs lag over the slice
     // with the stateful op's (ts_ns, event_id) ordering
+    // the e19 finality contract + one lag window over the final slice
+    "e30_stream_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts) AS tsn FROM events),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |f AS (SELECT event_type, event_id, tsn
+        |      FROM e, wm WHERE (tsn // 1000) // 1000 <= wm_ms),
+        |l AS (
+        |  SELECT event_type, tsn AS e2,
+        |    lag(tsn) OVER (PARTITION BY event_type ORDER BY tsn, event_id) AS e1
+        |  FROM f)
+        |SELECT event_type, e1 AS gap_start_ns, e2 AS gap_end_ns,
+        |  (e2 - e1) // 1000000 AS gap_ms
+        |FROM l WHERE e1 IS NOT NULL AND e2 - e1 > 900000000000
+        |ORDER BY event_type, gap_start_ns""".stripMargin,
     // the e19 finality contract (event folds iff its ms ≤ final
     // watermark) + e14's closed form, kept where strictly increasing
     "e29_stream_funnel" ->

@@ -468,6 +468,48 @@ object SimilarityQueries {
     // DuckDB oracle replays all five greedy steps as unrolled CTEs —
     // double arithmetic is identical expression-for-expression, so the
     // gate checks the full selection path, not just the final set.
+    // MULTI-PROBE sign-LSH top-k (Lv et al., VLDB'07): s02 probes only
+    // the query's own bucket — multi-probe also searches the 8
+    // single-bit-flip neighbor buckets (the most-likely homes of
+    // near-misses: one hyperplane sign flipped). Recall rises at the
+    // cost of 9× probed buckets while the INDEX stays identical —
+    // the knob that trades query fan-out for recall without
+    // rebuilding anything (cheaper than more hash tables). Scale
+    // shape: probes explode map-side on the (tiny) query frame, the
+    // candidate join stays EQUI on bucket (each corpus vector lives
+    // in exactly one bucket, so probe buckets are distinct and no
+    // candidate dedup is needed), rerank ranks as usual. s17 measures
+    // the recall this buys over s02.
+    "s16_mplsh_topk" -> { (s, dir) =>
+      val v = vecsNorm(s, dir).withColumn("bucket", lshBucket(col("e")))
+      val probes = array(col("bucket") +:
+        (0 until LshPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("e"), explode(probes).as("bucket"))
+        .as("q")
+      val c = v.as("c")
+      topk(q, c,
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+    },
+
+    // Recall@3 of the multi-probe tier vs exact — beside s06 (single-
+    // probe), the measured answer to "what did the 9× probe fan-out
+    // buy": the s06/s07/s08 evaluation pattern.
+    "s17_mplsh_recall" -> { (s, dir) =>
+      val exact = queries("s01_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("s16_mplsh_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.intersect(approx)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round6(col("hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the production RAG shape — one lexical ranking (the
     // pinned t08 BM25 scorer over the fixed query-term set) and one
@@ -610,6 +652,29 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }
+    // s02's shape with the query side exploded to 9 probe buckets
+    // (own + every single-bit flip); candidates stay equi-joined
+    val s16Sql = {
+      val flips = "bucket" +:
+        (0 until LshPlanes).map(j => s"xor(bucket, ${1L << j})")
+      s"""WITH v AS (
+         |  SELECT vec_id, e, $bucketExpr AS bucket
+         |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+         |qp AS (
+         |  SELECT vec_id, e,
+         |    unnest([${flips.mkString(", ")}]) AS bucket2
+         |  FROM v WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+         |  FROM qp q JOIN v c
+         |    ON q.bucket2 = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
     val s02Sql =
       s"""WITH v AS (
          |  SELECT vec_id, e, $bucketExpr AS bucket
@@ -749,6 +814,20 @@ object SimilarityQueries {
            |  floor((CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_3
            |FROM m CROSS JOIN exn ORDER BY quantizer""".stripMargin,
       "s02_lsh_topk" -> s02Sql,
+      "s16_mplsh_topk" -> s16Sql,
+      // composes the pinned s01/s16 SQL (the s08 anti-drift pattern)
+      "s17_mplsh_recall" ->
+        s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+           |ap_top AS (SELECT query_id, neighbor_id FROM ($s16Sql)),
+           |hit AS (
+           |  SELECT query_id, count(*) AS hits FROM (
+           |    SELECT * FROM ex_top INTERSECT SELECT * FROM ap_top)
+           |  GROUP BY query_id),
+           |ex_n AS (SELECT query_id, count(*) AS n_exact FROM ex_top GROUP BY query_id)
+           |SELECT query_id, n_exact, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM ex_n LEFT JOIN hit USING (query_id)
+           |ORDER BY query_id""".stripMargin,
       "s10_ivf_nprobe" -> s10Sql,
       "s09_ann_mrr" ->
         s"""WITH nn1 AS (SELECT query_id, neighbor_id FROM ($s01Sql) WHERE rank = 1),

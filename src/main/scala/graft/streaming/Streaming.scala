@@ -491,6 +491,62 @@ object Streaming {
       }
   }
 
+  case class GapRow(event_type: String, gap_start_ns: Long, gap_end_ns: Long,
+      gap_ms: Long)
+
+  /** LIVE silence/heartbeat monitor — the dead-man switch every
+    * ingestion pipeline wants on its feeds: per event_type, emit one
+    * row for every inter-event gap longer than `gapNs`, the moment the
+    * gap's CLOSING event is finalized by the watermark. Uses the
+    * transitionsStream buffered-fold recipe (events buffer per key
+    * until the watermark passes them, ripe slices fold in (ts,
+    * event_id) order onto the retained tail), so a gap is measured
+    * between genuinely consecutive events whatever the arrival order,
+    * and each gap is emitted exactly once. State per key: O(rate ×
+    * horizon) buffered events + one tail; EventTimeTimeout flushes on
+    * watermark-only batches.
+    *
+    * The still-open tail gap (silence since the last event, no closing
+    * event yet) is deliberately NOT emitted — it has no final length;
+    * a production monitor pairs this with a wall-clock alert, which is
+    * nondeterministic by nature and so stays out of the oracle row.
+    *
+    * Finality contract (what the oracle replays): a gap row exists iff
+    * its closing event's ms ≤ final watermark and the pair is adjacent
+    * in the (ts, event_id) order of that finalized slice.
+    */
+  def gapsStream(events: Dataset[TEvent], gapNs: Long): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TransState, GapRow](OutputMode.Append, timeoutConf) {
+        (etype: String, it: Iterator[TEvent], state: GroupState[TransState]) =>
+          val prior = state.getOption.getOrElse(TransState(None, Nil))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.buffer ++ it
+          val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+          val ordered = ripe.sortBy(e => (e.ts_ns, e.event_id))
+          val chain = prior.tail.toList ++ ordered
+          val gaps = chain.sliding(2).collect {
+            case List(a, b) if b.ts_ns - a.ts_ns > gapNs =>
+              GapRow(etype, a.ts_ns, b.ts_ns, (b.ts_ns - a.ts_ns) / 1000000L)
+          }.toList
+          val tail = ordered.lastOption.orElse(prior.tail)
+          if (isStreaming) {
+            if (rest.isEmpty && tail.isEmpty) state.remove()
+            else {
+              state.update(TransState(tail, rest))
+              state.setTimeoutTimestamp(wm + 1)
+            }
+          }
+          gaps.iterator
+      }
+  }
+
   case class FunnelState(pending: List[TEvent], sNs: Long, cNs: Long,
       pNs: Long, settled: Boolean)
   case class FunnelDone(user_id: Long, s_ns: Long, c_ns: Long, p_ns: Long)

@@ -33,7 +33,8 @@ class PlanBudgetSpec extends SparkSpec {
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
-      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel")
+      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
+      "e30_stream_gaps")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
@@ -214,7 +215,12 @@ class PlanBudgetSpec extends SparkSpec {
     "g07_ppr" -> 0,
     // x32: the x29 grid materializes once (localCheckpoint); static
     // tail = replicate-aggregate + join-back + presentation sort
-    "x32_ewma" -> 2)
+    "x32_ewma" -> 2,
+    // s16: s02's bucket-equi shape (probes explode map-side on the
+    // query frame) — candidate join + rank window + presentation sort
+    "s16_mplsh_topk" -> 2,
+    // s17: composes s01 (exact side) + s16 — the s06 evaluation shape
+    "s17_mplsh_recall" -> 8)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

@@ -98,7 +98,11 @@ class PlanHygieneSpec extends SparkSpec {
       // s15 - the semantic leg cross-joins the broadcast 1-ROW query
       //       vector (the p14/d12 single-build-row shape); the lexical
       //       leg and the fusion join are equi/TakeOrdered
-      "s15_rrf_hybrid")
+      "s15_rrf_hybrid",
+      // s17 - recall evaluation composes s01 (the documented brute
+      //       baseline) as its exact side, the s06 shape; s16 itself
+      //       is bucket-equi and stays OUT of this set
+      "s17_mplsh_recall")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
@@ -108,7 +112,8 @@ class PlanHygieneSpec extends SparkSpec {
       "p22_stream_cdc_dedup", "p23_stream_decontam",
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
-      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel")
+      "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
+      "e30_stream_gaps")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

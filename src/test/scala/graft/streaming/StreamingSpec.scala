@@ -780,6 +780,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapsStream: gaps emit once when the closing event finalizes; open tail gap stays silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{GapRow, TEvent}
+    val M = 1000000L // 1 ms in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "1 second")
+      .as[TEvent]
+    val out = Streaming.gapsStream(events, 50 * M) // 50 ms threshold
+    val ckpt = Files.createTempDirectory("graft-gaps-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("gaps").as[GapRow].collect().toSeq
+      .sortBy(g => (g.event_type, g.gap_start_ns))
+    try {
+      // feed "a": 10, 20, then silence to 100 (gap 80 > 50), then 110.
+      // Delivered out of order; the gap must be measured between the
+      // truly adjacent pair (20 → 100), not arrival neighbors.
+      mem.addData((1L, 100 * M, 13L, "a"), (1L, 10 * M, 11L, "a"),
+        (1L, 110 * M, 14L, "a"), (1L, 20 * M, 12L, "a"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing final before the watermark moves")
+      // sentinel on a different key advances the watermark past 110 ms;
+      // the ripe fold emits exactly the one 20→100 gap. The silence
+      // since 110 (open tail) must NOT emit — no closing event yet.
+      mem.addData((9L, 5000 * M, 91L, "b"))
+      q.processAllAvailable()
+      assert(rows() == Seq(GapRow("a", 20 * M, 100 * M, 80L)),
+        s"one finalized gap expected: ${rows()}")
+      // the closing event for the tail silence arrives much later
+      // (4500 ms: strictly ABOVE the 4000 ms watermark — an event AT
+      // the watermark is dropped by the late filter); the 110→4500 gap
+      // emits once the watermark passes 4500
+      mem.addData((1L, 4500 * M, 15L, "a"))
+      q.processAllAvailable()
+      mem.addData((9L, 20000 * M, 92L, "b"))
+      q.processAllAvailable()
+      assert(rows() == Seq(GapRow("a", 20 * M, 100 * M, 80L),
+        GapRow("a", 110 * M, 4500 * M, 4390L)),
+        s"tail gap closes across batches: ${rows()}")
+      // b's own 5000→20000 gap needs the watermark past 20000 before
+      // its closing event ripens
+      mem.addData((9L, 30000 * M, 93L, "b"))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got == Seq(GapRow("a", 20 * M, 100 * M, 80L),
+        GapRow("a", 110 * M, 4500 * M, 4390L),
+        GapRow("b", 5000 * M, 20000 * M, 15000L)),
+        s"every closed gap emitted exactly once: $got")
+    } finally q.stop()
+  }
+
+  test("gapsStream (batch): equals the lag closed form on 500 random events (seeded)") {
+    import graft.streaming.Streaming.{GapRow, TEvent}
+    val rnd = new scala.util.Random(47)
+    val types = Vector("a", "b", "c")
+    val evs = (1 to 500).map { i =>
+      TEvent(i.toLong, (rnd.nextInt(3000) + 1).toLong * 1000000L, i.toLong,
+        types(rnd.nextInt(3)))
+    }
+    val G = 20 * 1000000L
+    val got = Streaming.gapsStream(spark.createDataset(evs), G)
+      .collect().toSeq.sortBy(g => (g.event_type, g.gap_start_ns))
+    val want = evs.groupBy(_.event_type).toSeq.flatMap { case (t, es) =>
+      es.sortBy(e => (e.ts_ns, e.event_id)).sliding(2).collect {
+        case Seq(a, b) if b.ts_ns - a.ts_ns > G =>
+          GapRow(t, a.ts_ns, b.ts_ns, (b.ts_ns - a.ts_ns) / 1000000L)
+      }
+    }.sortBy(g => (g.event_type, g.gap_start_ns))
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("funnelStream (batch): equals the e14 closed form on 600 random events (seeded)") {
     import graft.streaming.Streaming.{FunnelDone, TEvent}
     val rnd = new scala.util.Random(43)
