@@ -66,4 +66,32 @@ object PrefixSum {
   /** Column form of the shard id for callers composing manually. */
   def shardOf(off: Column, budget: Long): Column =
     floor(off / budget).cast(LongType)
+
+  /** Per-GROUP exclusive prefix sum in (priCol, tieCol) order — the
+    * grouped generalization of [[exclusiveOffsets]] (p25's shape). A
+    * plain `PARTITION BY group ORDER BY pri` window folds each group in
+    * ONE task however large the group; here ranges bucket the priority
+    * axis, so per-(group, range) partial sums aggregate map-side, the
+    * running offset runs over the tiny |groups|·|ranges| frame, and the
+    * in-range window partitions are bounded by rangeWidth whatever the
+    * group skew. Ties on priCol within a range fold by tieCol (callers
+    * pass a unique key); equal priorities always share a range (ranges
+    * are priority-value buckets), so cross-range order is well-defined.
+    */
+  def groupedOffsets(df: DataFrame, groupCol: String, priCol: String,
+      tieCol: String, weightCol: String, rangeWidth: Long,
+      offsetCol: String = "off"): DataFrame = {
+    val withRange = df.withColumn("__rng", floor(col(priCol) / rangeWidth).cast(LongType))
+    val wr = Window.partitionBy(groupCol).orderBy("__rng")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRange.groupBy(groupCol, "__rng").agg(sum(weightCol).as("__rt"))
+      .withColumn("__roff", coalesce(sum(col("__rt")).over(wr), lit(0L)))
+      .select(col(groupCol), col("__rng"), col("__roff"))
+    val ww = Window.partitionBy(groupCol, "__rng").orderBy(priCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withRange.join(broadcast(offsets), Seq(groupCol, "__rng"))
+      .withColumn(offsetCol,
+        col("__roff") + coalesce(sum(col(weightCol)).over(ww), lit(0L)))
+      .drop("__rng", "__roff")
+  }
 }

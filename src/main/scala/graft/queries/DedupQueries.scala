@@ -115,6 +115,12 @@ object DedupQueries {
     */
   val MaxExactVectors: Long = 32768L
 
+  /** md5("") — the clean-signature of a doc whose every chunk was
+    * removed (d24); a literal so the all-removed row needs no extra
+    * expression branch.
+    */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** The sample rule, factored for the spec: full frame at n ≤ bound,
     * vec_id % ⌈n/bound⌉ == 0 above it.
     */
@@ -969,6 +975,51 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // BOILERPLATE-CHUNK removal — the C4/RefinedWeb line-dedup pass,
+    // the granularity BETWEEN d01 (whole doc) and d22 (every K-token
+    // window): cut each doc into NON-overlapping 10-token chunks, drop
+    // every chunk whose exact text occurs more than once corpus-wide
+    // (nav bars, license footers, templated headers), and REASSEMBLE
+    // the surviving chunks in position order — this row is a corpus
+    // TRANSFORM (the cleaned text, signed by md5), not just a report.
+    // Scale shape: tokens explode once and chunk-build is ONE
+    // (doc, chunk-id) aggregate (each token row carries one token —
+    // building chunks by slicing the token array per chunk row would
+    // carry the whole array into every exploded row, t14's bandwidth
+    // lesson); the duplicated-chunk set is small precisely when the
+    // corpus is mostly clean (d22's argument), so it rides back as a
+    // BROADCAST anti/semi join; reassembly is one doc-keyed aggregate
+    // with an in-row sort_array — never a corpus-sized window.
+    "d24_chunk_clean" -> { (s, dir) =>
+      val W = 10
+      val ch = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), expr(s"CAST(pos AS BIGINT) DIV $W").as("cid"),
+          col("pos").cast(LongType).as("tpos"), col("col").as("tok"))
+        .groupBy("doc_id", "cid")
+        .agg(array_join(transform(sort_array(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"))
+        // three consumers (dup counts, doc totals, reassembly) — without
+        // materialization each re-plans the token explode + chunk
+        // aggregate (the Generate appeared twice in the plan): one
+        // corpus pass instead of three
+        .localCheckpoint()
+      val dup = ch.groupBy("chunk").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("chunk")
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val clean = ch.join(broadcast(dup), Seq("chunk"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept"),
+          md5(array_join(transform(sort_array(collect_list(struct(col("cid"), col("chunk")))),
+            x => x.getField("chunk")), " ")).as("clean_sig"))
+      tot.join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          (col("n_chunks") - coalesce(col("kept"), lit(0L))).as("removed"),
+          coalesce(col("clean_sig"), lit(md5Empty)).as("clean_sig"))
+        .orderBy("doc_id")
+    },
+
     // LIVE streaming minhash near-dup dedup — Streaming.dedupNearStream
     // (previously spec-only) as a real file-stream query: the d08
     // signature (all K minhash slots, exact-content fallback for
@@ -1575,6 +1626,27 @@ object DedupQueries {
          |FROM scored JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
          |WHERE j >= 0.5 AND sa.split <> sb.split
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // non-overlapping 10-token chunks by list slicing; duplicated
+    // chunks excluded by NOT IN; reassembly = ordered string_agg
+    "d24_chunk_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos*10+1 : pos*10+10], ' ') AS chunk
+        |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+9)//10)) AS pos FROM toks)),
+        |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+        |cl AS (
+        |  SELECT doc_id, count(*) AS kept,
+        |    md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_sig
+        |  FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks,
+        |  CAST(coalesce(cl.kept, 0) AS BIGINT) AS kept,
+        |  CAST(t.n_chunks - coalesce(cl.kept, 0) AS BIGINT) AS removed,
+        |  coalesce(cl.clean_sig, md5('')) AS clean_sig
+        |FROM tot t LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the streaming run's closed form: one batch inside the watermark
     // horizon keeps exactly one row per distinct d08 signature, and the

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.NumFns.round6
+import graft.functions.TextFns.h60
 
 /** Event-stream operators over `events` (ts read as bigint nanos — see
   * Tables). Sessionization and running windows are the batch forms of the
@@ -851,6 +852,49 @@ object EventQueries {
         .orderBy("event_type", "gap_start_ns")
     },
 
+    // LIVE bounded-state distinct counting — x21's mergeable HLL
+    // sketch (graft_hll, a custom TypedImperativeAggregate) running
+    // inside an APPEND-mode watermarked window aggregation: per
+    // (event_type, day) the state store round-trips the 256-byte
+    // register set between micro-batches instead of a per-user set
+    // that grows with cardinality — the ONLY shape a daily-uniques
+    // dashboard survives at 100 TB rates. Each window row emits
+    // exactly once, when the watermark passes the window end; the
+    // published columns (zeros, ssum, estimate) are pure functions of
+    // the finalized window's user-hash SET, so the row is
+    // deterministic whatever the batch carve. Oracle = x21's register
+    // replay per (event_type, day), kept to windows the final
+    // watermark passed (the e10 finality contract).
+    "e31_stream_hll" -> { (s, dir) =>
+      val P = 8
+      val m = 1 << P
+      val two53 = 9.007199254740992e15
+      val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit(m.toDouble * m) / (col("sk.ssum").cast(DoubleType) / lit(two53))
+      val src = Tables.eventsStream(s, dir)
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts")))
+        .withWatermark("ts2", "2 hours")
+      val agg = src.groupBy(window(col("ts2"), "1 day"), col("event_type"))
+        .agg(call_function("graft_hll",
+          h60(col("user_id").cast(StringType)), lit(P)).as("sk"))
+      val sink = "e31_stream_hll_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select((unix_micros(col("window.start")) * 1000L).as("w_start_ns"),
+          col("event_type"),
+          col("sk.zeros").as("zeros"),
+          col("sk.ssum").as("ssum"),
+          round6(when(col("sk.zeros") > 0 && estRaw <= lit(2.5 * m),
+              lit(m.toDouble) * log(lit(m.toDouble) / col("sk.zeros").cast(DoubleType)))
+            .otherwise(estRaw)).as("est_users"))
+        .orderBy("w_start_ns", "event_type")
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1325,6 +1369,39 @@ object EventQueries {
         |  (e2 - e1) // 1000000 AS gap_ms
         |FROM l WHERE e1 IS NOT NULL AND e2 - e1 > 900000000000
         |ORDER BY event_type, gap_start_ns""".stripMargin,
+    // x21's register replay per (event_type, day), restricted to day
+    // windows whose END the final watermark passed (e10's contract)
+    "e31_stream_hll" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_ns(ts) AS tsn FROM events),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |f AS (SELECT event_type, user_id, tsn // 86400000000000 AS day FROM e),
+        |fin AS (SELECT f.* FROM f, wm WHERE (day + 1) * 86400000 <= wm_ms),
+        |h AS (
+        |  SELECT DISTINCT event_type, day,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM fin),
+        |r AS (
+        |  SELECT event_type, day, h // 4503599627370496 AS bucket,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |             ELSE 52 - length(bin(h % 4503599627370496)) + 1 END) AS reg
+        |  FROM h GROUP BY event_type, day, bucket),
+        |a AS (
+        |  SELECT event_type, day,
+        |    CAST(256 - count(*) AS INT) AS zeros,
+        |    CAST(sum(1::BIGINT << (53 - reg))
+        |         + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS ssum
+        |  FROM r GROUP BY event_type, day),
+        |e2 AS (
+        |  SELECT event_type, day, zeros, ssum,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      / (CAST(ssum AS DOUBLE) / 9007199254740992.0) AS est_raw
+        |  FROM a)
+        |SELECT day * 86400000000000 AS w_start_ns, event_type, zeros, ssum,
+        |  floor((CASE WHEN zeros > 0 AND est_raw <= 640.0
+        |              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS est_users
+        |FROM e2 ORDER BY w_start_ns, event_type""".stripMargin,
     // the e19 finality contract (event folds iff its ms ≤ final
     // watermark) + e14's closed form, kept where strictly increasing
     "e29_stream_funnel" ->

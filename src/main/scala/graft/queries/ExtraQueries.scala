@@ -714,6 +714,38 @@ object ExtraQueries {
         .orderBy("event_type", "day")
     },
 
+    // SLIDING-CONTRAST CHANGEPOINT (level-shift detection) over the
+    // x29 gap-filled day grid — where e20 flags outlier DAYS against
+    // a whole history and x32 smooths, this finds the day the LEVEL
+    // moved: shift(d) = Σ cnt(d+1..d+7) − Σ cnt(d−7..d−1), the
+    // two-sided sliding contrast (a discrete Haar step / CUSUM-lite
+    // detector — the feed-health alarm behind "did volume step down
+    // after the deploy"). All-integer window sums over the REGULAR
+    // grid (gap days count as their LOCF fill, so a silent week reads
+    // as level, not as missing rows); only days with BOTH windows
+    // complete are scored (frame count == 7 each side — edges can't
+    // fake a shift); ranked top-10 by |shift| — a report, not a tuned
+    // threshold that drifts. Scale: the grid is dimension-sized
+    // (|types| × |days|), so both windows are bounded partitions; the
+    // corpus crosses only x29's one exchange.
+    "x33_level_shift" -> { (s, dir) =>
+      val filled = queries("x29_gap_fill")(s, dir)
+        .select(col("event_type"), col("day"), col("cnt_filled"))
+      val before = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      val after = Window.partitionBy("event_type").orderBy("day").rowsBetween(1, 7)
+      filled
+        .select(col("event_type"), col("day"),
+          sum("cnt_filled").over(before).as("before7"),
+          count(lit(1)).over(before).as("nb"),
+          sum("cnt_filled").over(after).as("after7"),
+          count(lit(1)).over(after).as("na"))
+        .filter(col("nb") === 7 && col("na") === 7)
+        .select(col("event_type"), col("day"), col("before7"), col("after7"),
+          (col("after7") - col("before7")).as("shift"))
+        .orderBy(abs(col("shift")).desc, col("event_type"), col("day"))
+        .limit(10)
+    },
+
     // SINGLE-PASS COLUMN PROFILE (the Deequ/constraint-check shape):
     // per column of the events table — completeness (null rate),
     // exact distinct cardinality, and type-appropriate min/max
@@ -1109,6 +1141,26 @@ object ExtraQueries {
          |    / 1000000.0 AS ewma
          |FROM x29 g JOIN f ON g.event_type = f.event_type AND g.day = f.day2
          |ORDER BY g.event_type, g.day""".stripMargin,
+    // composes the pinned x29 grid; two complete 7-day frames per
+    // scored day, ranked by |shift| (integer sums cast from HUGEINT)
+    "x33_level_shift" ->
+      s"""WITH x29 AS ($X29Sql),
+         |w AS (
+         |  SELECT event_type, day,
+         |    CAST(sum(cnt_filled) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS before7,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nb,
+         |    CAST(sum(cnt_filled) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS BIGINT) AS after7,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS na
+         |  FROM x29)
+         |SELECT event_type, day, before7, after7,
+         |  after7 - before7 AS shift
+         |FROM w WHERE nb = 7 AND na = 7
+         |ORDER BY abs(after7 - before7) DESC, event_type, day
+         |LIMIT 10""".stripMargin,
     // one UNION leg per column (each leg re-aggregates the table —
     // the oracle restates the semantics; Spark does it in ONE pass)
     "x31_profile" -> {

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.NumFns.round6
 import graft.ops.{Bfs, KCore, LabelPropagation, PageRank, Sssp}
@@ -51,6 +52,7 @@ object GraphQueries {
   private val BfsHops = 6
   private val SsspRounds = 10
   private val MinSupport = 2
+  private val AaCapDeg = 64
   private val KCoreK = 2
   private val KCoreRounds = 12
 
@@ -267,6 +269,54 @@ object GraphQueries {
           round6(col("rank").cast("double") / lit(Scale.toDouble)).as("rank_f"))
         .orderBy(desc("rank"), col("node_type"), col("node_id"))
         .limit(25)
+    },
+
+    // ADAMIC-ADAR link prediction over the support-thresholded part
+    // co-purchase graph (g03's sparsifier) — the classic
+    // common-neighbor feature a recommender / graph-ML pipeline
+    // computes for every non-edge candidate pair: AA(a,b) =
+    // Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) (rare shared neighbors count
+    // more). Wedge enumeration is quadratic in CENTER degree, so
+    // super-hub centers (deg > 64) are excluded by contract — their
+    // per-term weight 1/ln(d) is the smallest anyway, and the cap
+    // bounds wedge work at Σ min(d, 64)² under ANY skew (the g03
+    // orientation trick doesn't apply here: AA needs every common
+    // neighbor, not one canonical corner). Each center's weight folds
+    // to integer MICRO-units once (deg table, tiny), so per-pair
+    // scores are exact long sums — no IEEE aggregation-order drift
+    // (the t21 rule). Existing edges anti-join out: the output is
+    // PREDICTED links, ranked.
+    "g08_adamic_adar" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= MinSupport)
+        .select("u", "v")
+        .localCheckpoint()
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      // d >= 2: a degree-1 center can't close a wedge, and ln(1) = 0
+      // would divide the weight by zero
+      val ctr = adj.join(deg.filter(col("d") >= 2 && col("d") <= AaCapDeg), "node")
+        .withColumn("w_micro",
+          floor(lit(1000000.0) / log(col("d").cast(DoubleType)) + lit(0.5))
+            .cast(LongType))
+      val wedges = ctr.as("x").join(ctr.as("y"),
+          col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("a"), col("y.nbr").as("b"),
+          col("x.w_micro").as("w_micro"))
+      wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa_micro"))
+        .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("common"),
+          col("aa_micro"),
+          round6(col("aa_micro").cast(DoubleType) / lit(1000000.0)).as("aa"))
+        .orderBy(desc("aa_micro"), col("part_a"), col("part_b"))
+        .limit(25)
     })
 
   private val tradeEdgesSql =
@@ -414,5 +464,33 @@ object GraphQueries {
          |  floor((CAST(rank AS DOUBLE) / ${Scale.toDouble}) * 1000000.0 + 0.5) / 1000000.0 AS rank_f
          |FROM ppr
          |ORDER BY rank DESC, node_type, node_id
-         |LIMIT 25""".stripMargin)
+         |LIMIT 25""".stripMargin,
+
+    // same g03 edge build; per-center micro-weights from the deg
+    // table, exact long sums per pair, existing edges excluded
+    "g08_adamic_adar" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT u, v FROM (
+        |        SELECT a.p AS u, b.p AS v, count(*) AS supp
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |        GROUP BY a.p, b.p)
+        |      WHERE supp >= $MinSupport),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v AS node, u AS nbr FROM e),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        |ctr AS (
+        |  SELECT adj.node, adj.nbr,
+        |    CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT) AS w_micro
+        |  FROM adj JOIN deg ON adj.node = deg.node WHERE d BETWEEN 2 AND $AaCapDeg),
+        |wdg AS (SELECT x.nbr AS a, y.nbr AS b, x.w_micro
+        |        FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr),
+        |sc AS (SELECT a, b, count(*) AS common, CAST(sum(w_micro) AS BIGINT) AS aa_micro
+        |       FROM wdg GROUP BY a, b)
+        |SELECT a AS part_a, b AS part_b, common, aa_micro,
+        |  floor((CAST(aa_micro AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS aa
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.a AND e.v = sc.b)
+        |ORDER BY aa_micro DESC, part_a, part_b
+        |LIMIT 25""".stripMargin)
 }

@@ -202,6 +202,68 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // MIXTURE MATERIALIZATION — p12 computes source weights, p24 draws
+    // ∝ size; this op actually FILLS a training-mix budget: a global
+    // char budget B = W DIV 4 is allocated across sources ∝ their total
+    // weight (pure integer arithmetic), then each source contributes
+    // docs in 60-bit-hash priority order until its allocation is met
+    // (the boundary-crossing doc is included: allocations are met, not
+    // undershot). No RNG — membership is a pure function of the corpus,
+    // stable under reruns/retries/resizes (p09's hash-priority rule
+    // applied budget-wise). Scale shape: the per-source cumulative sum
+    // runs through the GROUPED two-level PrefixSum
+    // (ops.PrefixSum.groupedOffsets) — per-(source, range) partials
+    // combine map-side and in-range windows are bounded by rangeWidth,
+    // so no single task ever folds a whole source (the plain
+    // window-per-source plan serializes on the biggest source at
+    // 100 TB); totals and allocations are sources-sized broadcasts.
+    "p25_mix_fill" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").cast(LongType).as("w"),
+          h60(col("doc_id").cast(StringType)).as("pri"))
+      val tot = docs.groupBy("source").agg(sum("w").as("ws"))
+      val alloc = tot.crossJoin(broadcast(tot.agg(sum(col("ws")).as("wt"))))
+        .select(col("source"), expr("(wt DIV 4) * ws DIV wt").as("budget"))
+      val cum = graft.ops.PrefixSum.groupedOffsets(
+        docs, "source", "pri", "doc_id", "w", rangeWidth = 1L << 52)
+      cum.join(broadcast(alloc), "source")
+        .filter(col("off") < col("budget"))
+        .select(col("doc_id"), col("source"), col("w"), col("off"), col("budget"))
+        .orderBy("doc_id")
+    },
+
+    // SEQUENCE PACKING — the canonical pretraining batch op: concat
+    // the corpus (doc_id order, one EOS token between docs) into a
+    // single token stream, cut it into fixed L=256-token training
+    // sequences, and emit each (sequence, doc) overlap span — the
+    // attention-mask metadata a trainer needs when sequences cross
+    // document boundaries. p08 assigns WHOLE docs to budget shards;
+    // this op splits ACROSS docs: every content-token position lands
+    // in exactly one sequence, bigger docs span several. Scale shape:
+    // stream offsets come from the two-level PrefixSum (no
+    // single-task global window); each doc then explodes to only the
+    // ⌈toks/L⌉+1 sequences it overlaps — output is corpus-sized, the
+    // exploded frame never more than (1 + toks/L) rows per doc. All
+    // integer arithmetic; no RNG, no floats.
+    "p26_seq_pack" -> { (s, dir) =>
+      val L = 256L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(tokens(col("text"))) + lit(1)).cast(LongType).as("w"))
+      val off = graft.ops.PrefixSum.exclusiveOffsets(docs, "doc_id", "w",
+        rangeWidth = 500L)
+      off.select(col("doc_id"), col("off"), (col("w") - 1L).as("toks"))
+        .select(col("doc_id"), col("off"), col("toks"),
+          explode(expr(s"sequence(off DIV $L, (off + toks - 1) DIV $L)")).as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          greatest(col("off"), col("seq_id") * L).as("s"),
+          least(col("off") + col("toks"), (col("seq_id") + 1L) * L).as("e"))
+        .select(col("seq_id"), col("doc_id"),
+          (col("s") - col("seq_id") * L).as("seq_off"),
+          (col("e") - col("s")).as("len"))
+        .orderBy("seq_id", "doc_id")
+    },
+
     // Deterministic k-PER-STRATUM sampling ("hash reservoir"): each
     // source keeps its k=10 docs with the smallest 52-bit hash priority —
     // a uniform, reproducible sample whose membership is stable under
@@ -810,6 +872,45 @@ object PipelineQueries {
         |FROM o, t
         |WHERE (off + w) // step > off // step
         |ORDER BY doc_id""".stripMargin,
+    // per-source exclusive cumsum in (hash-priority, doc_id) order;
+    // integer budget allocation ∝ source weight
+    "p25_mix_fill" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(w) AS BIGINT) AS ws FROM d GROUP BY source),
+        |g AS (SELECT CAST(sum(ws) AS BIGINT) AS wt FROM t),
+        |a AS (SELECT source, CAST((wt // 4) * ws // wt AS BIGINT) AS budget
+        |      FROM t CROSS JOIN g),
+        |c AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(coalesce(sum(w) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.w, c.off, a.budget
+        |FROM c JOIN a USING (source)
+        |WHERE c.off < a.budget
+        |ORDER BY doc_id""".stripMargin,
+    // stream offsets by exclusive cumsum over (toks + 1 EOS); each doc
+    // unnests to the sequences its content tokens overlap
+    "p26_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, toks,
+        |    CAST(coalesce(sum(toks + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, toks, off,
+        |    unnest(range(off // 256, (off + toks - 1) // 256 + 1)) AS seq_id
+        |  FROM o)
+        |SELECT seq_id, doc_id,
+        |  greatest(off, seq_id * 256) - seq_id * 256 AS seq_off,
+        |  least(off + toks, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS len
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin,
     "p09_sample_topk" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -510,6 +510,83 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // IVF+PQ — the composed PRODUCTION index (FAISS IndexIVFPQ's
+    // shape): the coarse quantizer (s03's label-IVF, nprobe=1)
+    // restricts the search to one cluster, and WITHIN the probed
+    // cluster candidates are scored by s05's PQ asymmetric-distance
+    // (4 subspace codes, broadcast LUT), exact-cosine rerank of the
+    // top-C survivors only. Memory story at 100 TB: resident state is
+    // cluster id + 4 code bytes per vector; compute story: the ADC
+    // scan touches ONE cluster's codes (× nprobe), not the corpus —
+    // IVF bounds candidates, PQ bounds bytes, the two knobs compose
+    // multiplicatively. Codebook trained corpus-wide on raw
+    // subvectors (s05's one-pass LSH codebook; residual-trained
+    // codebooks are the next refinement, same plumbing). Everything
+    // below the coarse probe is equi-joins on (label) and
+    // (query_id, m, b) against broadcast frames.
+    "s18_ivfpq_topk" -> { (s, dir) =>
+      val M = 4
+      val SubDim = 16
+      val C = 10
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      // coarse probe: best centroid per query (s03's decimal-exact
+      // label centroids, broadcast both ways)
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val best = q.crossJoin(broadcast(ivfCentroids(v)))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("c_label").as("label"))
+      // PQ codes + codebook (s05's subspace split, kept label-tagged)
+      val sub = v.select(col("vec_id"), col("label"),
+          posexplode(array((0 until M).map(m =>
+            slice(col("e"), m * SubDim + 1, SubDim)): _*)))
+        .toDF("vec_id", "label", "m", "sub")
+        .withColumn("b", lshBucketN(col("sub"), SubDim))
+        .localCheckpoint()
+      val sums = (0 until SubDim).map(d =>
+        sum(element_at(col("sub"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
+      val cb = sub.groupBy("m", "b")
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("m"), col("b"),
+          array((0 until SubDim).map(d =>
+            col(s"s$d").cast(DoubleType) / col("n")): _*).as("cb"))
+      val lut = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("query_id"), col("m"), col("b"),
+          dotSeq(col("sub"), col("cb")).as("part"))
+      // ADC over the PROBED cluster only: codes equi-join the (tiny)
+      // best-label frame, then the per-query LUT
+      val cl = sub.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("m"), col("b"))
+        .join(broadcast(best), "label")
+      val parts = (0 until M).map(m =>
+        max(when(col("m") === m, col("part"))).as(s"p$m"))
+      val adc = cl.join(broadcast(lut), Seq("query_id", "m", "b"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(parts.head, parts.tail: _*)
+        .select(col("query_id"), col("neighbor_id"),
+          (0 until M).map(m => col(s"p$m")).reduce(_ + _).as("adc"))
+      val wCand = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      adc.withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= C)
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the production RAG shape — one lexical ranking (the
     // pinned t08 BM25 scorer over the fixed query-term set) and one
@@ -675,6 +752,76 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }
+    // s03's coarse probe (label centroids, nprobe=1) + s05's PQ ADC,
+    // with the candidate scan restricted to the probed cluster
+    val s18Sql = {
+      val subBucket = (0 until LshPlanes).map { j =>
+        s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "sub", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val lutDot = sqlDotSeqN("q.sub", "cb.cb", 16)
+      val rrDot = sqlDotSeq("qv.e", "cv.e")
+      s"""WITH v AS (SELECT vec_id, label, $norm AS e FROM embeddings),
+         |pos AS (
+         |  SELECT label, i AS pos, e[i] AS x
+         |  FROM v, (SELECT unnest(range(1, $LshDim + 1)) AS i) idx),
+         |cd AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+         |  FROM pos GROUP BY label, pos),
+         |cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label),
+         |probe AS (
+         |  SELECT q.vec_id AS query_id, cent.label,
+         |         ${sqlDotSeq("q.e", "cent.c")} AS d
+         |  FROM v q, cent WHERE q.vec_id < 10),
+         |best AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, label) AS rn
+         |    FROM probe) WHERE rn = 1),
+         |sub0 AS (
+         |  SELECT vec_id, label, m, list_slice(e, m * 16 + 1, m * 16 + 16) AS sub
+         |  FROM v, (SELECT unnest(range(0, 4)) AS m) ms),
+         |sb AS (SELECT vec_id, label, m, sub, $subBucket AS b FROM sub0),
+         |pos2 AS (
+         |  SELECT m, b, i, sub[i] AS x
+         |  FROM sb, (SELECT unnest(range(1, 17)) AS i) idx),
+         |cbd AS (
+         |  SELECT m, b, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS cx
+         |  FROM pos2 GROUP BY m, b, i),
+         |cb AS (SELECT m, b, list(cx ORDER BY i) AS cb FROM cbd GROUP BY m, b),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.b, $lutDot AS part
+         |  FROM sb q JOIN cb ON q.m = cb.m WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT l.query_id, s.vec_id AS neighbor_id,
+         |    max(CASE WHEN s.m = 0 THEN part END) AS p0,
+         |    max(CASE WHEN s.m = 1 THEN part END) AS p1,
+         |    max(CASE WHEN s.m = 2 THEN part END) AS p2,
+         |    max(CASE WHEN s.m = 3 THEN part END) AS p3
+         |  FROM sb s
+         |  JOIN best bt ON s.label = bt.label
+         |  JOIN lut l ON l.query_id = bt.query_id AND s.m = l.m AND s.b = l.b
+         |    AND s.vec_id <> l.query_id
+         |  GROUP BY l.query_id, s.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (p0 + p1 + p2 + p3) DESC, neighbor_id) AS crank
+         |  FROM adc),
+         |rr AS (
+         |  SELECT ca.query_id, ca.neighbor_id, $rrDot AS c
+         |  FROM cand ca
+         |  JOIN v qv ON qv.vec_id = ca.query_id
+         |  JOIN v cv ON cv.vec_id = ca.neighbor_id
+         |  WHERE ca.crank <= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT query_id, rank, neighbor_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
     val s02Sql =
       s"""WITH v AS (
          |  SELECT vec_id, e, $bucketExpr AS bucket
@@ -815,6 +962,7 @@ object SimilarityQueries {
            |FROM m CROSS JOIN exn ORDER BY quantizer""".stripMargin,
       "s02_lsh_topk" -> s02Sql,
       "s16_mplsh_topk" -> s16Sql,
+      "s18_ivfpq_topk" -> s18Sql,
       // composes the pinned s01/s16 SQL (the s08 anti-drift pattern)
       "s17_mplsh_recall" ->
         s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),

@@ -455,6 +455,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Char-bigram LANGUAGE-MODEL log-probability — the "real LM gate"
+    // t14's integer typicality stands in for (the CCNet/Gopher-style
+    // perplexity filter): train a Laplace-smoothed bigram model on the
+    // corpus itself (P(y|x) = (c_xy+1)/(c_x+27) over the cleaned
+    // 27-char alphabet), score each doc by its average log-probability
+    // per transition. Well-modeled prose scores high (close to 0);
+    // mojibake/base64 score far negative. Determinism: the model has
+    // ≤ 27² rows, so each bigram's log-prob is computed ONCE, rounded
+    // to integer MICRO-NATS (floor(ln·1e6 + 0.5) as a long), and the
+    // per-doc score is an exact integer sum Σ n·lp_micro — aggregation
+    // order can't flip IEEE low bits because no doubles are ever summed
+    // (t14's lesson applied to the log domain; ln itself is the t20/t08
+    // cross-engine precedent). Scale shape: identical to t14 — one
+    // corpus bigram aggregate that partial-combines to ≤ 27² rows per
+    // partition, the model rides back as a BROADCAST join onto the
+    // per-doc bigram counts, one doc-keyed shuffle, no corpus-sized
+    // join.
+    "t21_bigram_lm" -> { (s, dir) =>
+      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
+      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
+      val gcounts = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
+          (a, b) => concat(a, b))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      val model = gcounts.groupBy("g").agg(sum(col("n")).as("cnt"))
+      val cx = model.groupBy(substring(col("g"), 1, 1).as("x"))
+        .agg(sum(col("cnt")).as("cx"))
+      val lp = model.withColumn("x", substring(col("g"), 1, 1))
+        .join(broadcast(cx), "x")
+        .select(col("g"),
+          floor(log((col("cnt") + lit(1L)).cast(DoubleType) /
+            (col("cx") + lit(27L)).cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+            .cast(LongType).as("lp_micro"))
+      gcounts.join(broadcast(lp), "g")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("lp_micro")).as("ll_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("ll_micro"),
+          round6((col("ll_micro").cast(DoubleType) / lit(1000000.0)) /
+            col("n_bigrams").cast(DoubleType)).as("avg_ll"))
+        .orderBy("doc_id")
+    },
+
     // BM25 relevance scoring for a fixed query-term set — the retrieval
     // twin of t05's TF-IDF (k1 = 1.2, b = 0.75, idf = ln((N-df+.5)/(df+.5)+1)).
     // Scale shape: only rows matching the (tiny) query-term set survive
@@ -841,6 +885,32 @@ object TextQueries {
          |    / 1000000.0 AS entropy_bits
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // t14's bigram frame + the smoothed model folded to integer
+    // micro-nats before any per-doc aggregation (exact long sums)
+    "t21_bigram_lm" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS txt
+        |  FROM documents),
+        |d AS (SELECT doc_id, txt FROM nrm WHERE length(txt) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(txt)),
+        |    i -> substr(txt, CAST(i AS INT), 2))) AS g
+        |  FROM d),
+        |gc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+        |m AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+        |cx AS (SELECT substr(g, 1, 1) AS x, CAST(sum(cnt) AS BIGINT) AS cx
+        |       FROM m GROUP BY 1),
+        |lp AS (
+        |  SELECT g, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(cx + 27 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM m JOIN cx ON substr(m.g, 1, 1) = cx.x)
+        |SELECT gc.doc_id,
+        |  CAST(sum(gc.n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(gc.n * lp.lp_micro) AS BIGINT) AS ll_micro,
+        |  floor(((CAST(sum(gc.n * lp.lp_micro) AS DOUBLE) / 1000000.0)
+        |    / CAST(sum(gc.n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_ll
+        |FROM gc JOIN lp USING (g)
+        |GROUP BY gc.doc_id ORDER BY doc_id""".stripMargin,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -30,6 +30,30 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("groupedOffsets == per-group single-window offsets (seeded fuzz)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(2027)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(300)
+      // priorities collide across and within groups; ties break on id
+      val rows = (1 to n).map { i =>
+        (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(40).toLong,
+          i.toLong, rnd.nextInt(50).toLong)
+      }
+      val df = rows.toDF("g", "pri", "id", "w").repartition(7)
+      val width = Seq(1L, 3L, 8L, 100L)(trial % 4)
+      val fast = PrefixSum.groupedOffsets(df, "g", "pri", "id", "w", width)
+        .select("g", "id", "off").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      val ww = Window.partitionBy("g").orderBy("pri", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val slow = df.withColumn("off", coalesce(sum(col("w")).over(ww), lit(0L)))
+        .select("g", "id", "off").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(fast == slow, s"trial $trial (width $width): grouped offsets diverged")
+    }
+  }
+
   test("packedShards: shard boundaries at exact budget multiples") {
     val df = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).toDF("id", "w")
     val got = PrefixSum.packedShards(df, "id", "w", budget = 20L, rangeWidth = 2L)

@@ -34,7 +34,7 @@ class PlanBudgetSpec extends SparkSpec {
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
-      "e30_stream_gaps")
+      "e30_stream_gaps", "e31_stream_hll")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
@@ -220,7 +220,31 @@ class PlanBudgetSpec extends SparkSpec {
     // query frame) — candidate join + rank window + presentation sort
     "s16_mplsh_topk" -> 2,
     // s17: composes s01 (exact side) + s16 — the s06 evaluation shape
-    "s17_mplsh_recall" -> 8)
+    "s17_mplsh_recall" -> 8,
+    // t21: t14's bigram chain (5) + the model/cx folds the smoothing
+    // needs — every extra exchange is over the ≤27²-row model frame
+    "t21_bigram_lm" -> 8,
+    // p25: grouped two-level prefix sum (per-(source,range) partials,
+    // tiny offsets frame, in-range window) + source totals +
+    // presentation sort
+    "p25_mix_fill" -> 7,
+    // d24: the chunk frame materializes once (localCheckpoint — its
+    // three consumers re-planned the token explode otherwise, 7 → 4);
+    // static tail = dup agg (broadcast anti back), totals + reassembly
+    // aggs, presentation sort
+    "d24_chunk_clean" -> 4,
+    // g08: g03's edge build (checkpointed) + deg/ctr, wedge equi-join,
+    // pair agg, anti join, TakeOrdered — same 6 as g03
+    "g08_adamic_adar" -> 6,
+    // s18: s03's coarse probe + s05's codebook/ADC over the
+    // checkpointed sub frame + rerank (broadcasts excluded as always)
+    "s18_ivfpq_topk" -> 6,
+    // p26: the two-level PrefixSum (p08's 4) — the sequence explode
+    // and span arithmetic are map-side; presentation sort included
+    "p26_seq_pack" -> 4,
+    // x33: x29's grid exchange chain + the two bounded window frames
+    // (one partition exchange) + TakeOrdered
+    "x33_level_shift" -> 5)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

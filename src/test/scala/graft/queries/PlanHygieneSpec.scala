@@ -68,6 +68,8 @@ class PlanHygieneSpec extends SparkSpec {
       "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
       "p24_pps_sample", // corpus total weight: one 1-ROW broadcast frame
       "x29_gap_fill", // day-grid bounds: one 1-ROW broadcast frame
+      "x33_level_shift", // composes x29 live (single consumer, no
+                         // checkpoint) — inherits its 1-row bounds frame
       // s11 - learned-IVF probe: queries crossJoin(broadcast(trained
       //       centroids)) + the 1-row centroid-fold inside the k-means
       //       assignment (the s03 probe shape over ops.KMeans output)
@@ -102,7 +104,13 @@ class PlanHygieneSpec extends SparkSpec {
       // s17 - recall evaluation composes s01 (the documented brute
       //       baseline) as its exact side, the s06 shape; s16 itself
       //       is bucket-equi and stays OUT of this set
-      "s17_mplsh_recall")
+      "s17_mplsh_recall",
+      // s18 - the s03 coarse-probe shape: queries crossJoin(broadcast(
+      //       tiny centroid table)); ADC + rerank stay equi
+      "s18_ivfpq_topk",
+      // p25 - corpus grand total: one 1-ROW broadcast frame (the p24
+      //       shape)
+      "p25_mix_fill")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
@@ -113,7 +121,7 @@ class PlanHygieneSpec extends SparkSpec {
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
-      "e30_stream_gaps")
+      "e30_stream_gaps", "e31_stream_hll")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

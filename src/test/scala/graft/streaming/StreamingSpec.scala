@@ -853,6 +853,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} rows, want ${want.size}")
   }
 
+  test("windowed graft_hll in append streaming: registers merge across batches, emit is watermark-final") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.expressions.GraftFunctions.register(spark)
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    val skExpr = "graft_hll(graft_md5p60(CAST(user_id AS STRING)), 8)"
+    val agg = mem.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(expr(skExpr).as("sk"))
+      .select(col("window.start").cast("long").as("w_s"),
+        col("sk.zeros").as("zeros"), col("sk.ssum").as("ssum"))
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("hllwin")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("hllwin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    try {
+      // two batches hit the SAME [60s, 120s) window with overlapping
+      // user sets: the state store must round-trip the 256-byte
+      // register buffer between micro-batches, and the merged sketch
+      // must equal the batch sketch over the union
+      mem.addData((1L to 40L).map(u => (u, 60000L + u * 100)): _*)
+      q.processAllAvailable()
+      mem.addData((30L to 80L).map(u => (u, 60000L + 50000 + u * 100)): _*)
+      q.processAllAvailable()
+      assert(rows().isEmpty, "window must not emit before the watermark passes its end")
+      mem.addData((999L, 300000L)) // sentinel pushes the watermark past 120s
+      q.processAllAvailable()
+      val got = rows()
+      val want = spark.createDataFrame((1L to 80L).map(u => Tuple1(u))).toDF("user_id")
+        .agg(expr(skExpr).as("sk"))
+        .select(col("sk.zeros"), col("sk.ssum")).collect()
+        .map(r => (60L, r.getInt(0), r.getLong(1))).toSeq
+      assert(got == want,
+        s"merged streaming sketch must equal the batch sketch: $got vs $want")
+    } finally q.stop()
+  }
+
   test("funnelStream (batch): equals the e14 closed form on 600 random events (seeded)") {
     import graft.streaming.Streaming.{FunnelDone, TEvent}
     val rnd = new scala.util.Random(43)
