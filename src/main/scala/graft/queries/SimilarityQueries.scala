@@ -510,6 +510,25 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // LSH INDEX BALANCE report — the ops question every bucketed index
+    // answers before it ships: how evenly did the hash family spread
+    // the corpus? One row per bucket SIZE: how many s02 buckets hold
+    // exactly that many vectors, and that size-class's share of the
+    // corpus. A fat tail (one mega-bucket) predicts hot-task
+    // stragglers in every downstream candidate join — the measured
+    // diagnostic behind d03's MaxBucket cap and s02/s06's recall
+    // numbers. All-integer; the histogram aggregates are over the
+    // bucket table (≤ 2^planes rows), so only the bucket assignment
+    // pass touches the corpus.
+    "s19_lsh_histogram" -> { (s, dir) =>
+      val v = vecsNorm(s, dir).withColumn("bucket", lshBucket(col("e")))
+      val per = v.groupBy("bucket").agg(count(lit(1)).as("sz"))
+      per.groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+        .select(col("sz"), col("n_buckets"),
+          (col("sz") * col("n_buckets")).as("vectors"))
+        .orderBy("sz")
+    },
+
     // IVF+PQ — the composed PRODUCTION index (FAISS IndexIVFPQ's
     // shape): the coarse quantizer (s03's label-IVF, nprobe=1)
     // restricts the search to one cluster, and WITHIN the probed
@@ -963,6 +982,14 @@ object SimilarityQueries {
       "s02_lsh_topk" -> s02Sql,
       "s16_mplsh_topk" -> s16Sql,
       "s18_ivfpq_topk" -> s18Sql,
+      // same bucket assignment as s02; two integer aggregates
+      "s19_lsh_histogram" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, $bucketExpr AS bucket
+           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+           |per AS (SELECT bucket, count(*) AS sz FROM v GROUP BY bucket)
+           |SELECT sz, count(*) AS n_buckets, CAST(sz * count(*) AS BIGINT) AS vectors
+           |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
       // composes the pinned s01/s16 SQL (the s08 anti-drift pattern)
       "s17_mplsh_recall" ->
         s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),

@@ -499,6 +499,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source DISTRIBUTION DRIFT — KL(source ‖ corpus) over word
+    // unigrams: the curation diagnostic that ranks sources by how far
+    // their token distribution sits from the corpus mix (a source
+    // whose distribution diverges is the one to re-weight, re-clean,
+    // or quarantine; the distribution-level sibling of x30's row-level
+    // fingerprint). KL = (1/T_s)·Σ_w c_s(w)·ln(c_s(w)·T / (T_s·c(w))).
+    // Determinism: each word's log-ratio folds to integer MICRO-NATS
+    // once (the t21 rule — the argument is a ratio of exact-long
+    // products, identically associated in both engines), the per-source
+    // sum Σ c_s·t_micro is an exact long, and the single division by
+    // T_s happens once at the end. Scale shape: one (source, word)
+    // aggregate; corpus word totals join back on the word key (equi
+    // shuffle — vocabulary-sized, NOT broadcast: at web scale the
+    // vocab doesn't fit a broadcast); source totals are a tiny
+    // broadcast.
+    "t22_source_kl" -> { (s, dir) =>
+      val sw = Tables(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+        // |sources|×|vocab| rows, four consumers (cw/ts/tot/terms):
+        // materialize once or each re-plans the corpus token explode
+        // (measured 10 → 6 exchanges, one corpus pass instead of four)
+        .localCheckpoint()
+      val cw = sw.groupBy("w").agg(sum(col("cs")).as("c"))
+      val ts = sw.groupBy("source").agg(sum(col("cs")).as("t_s"))
+      val tot = ts.agg(sum(col("t_s")).as("t"))
+      val terms = sw.join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .join(broadcast(ts), "source")
+        .select(col("source"), col("t_s"), (col("cs") *
+          floor(log((col("cs").cast(DoubleType) * col("t").cast(DoubleType)) /
+            (col("t_s").cast(DoubleType) * col("c").cast(DoubleType)))
+            * lit(1000000.0) + lit(0.5)).cast(LongType)).as("cst"))
+      terms.groupBy("source")
+        .agg(max(col("t_s")).as("toks"), sum(col("cst")).as("kl_micro"))
+        .select(col("source"), col("toks"), col("kl_micro"),
+          round6((col("kl_micro").cast(DoubleType) / lit(1000000.0)) /
+            col("toks").cast(DoubleType)).as("kl"))
+        .orderBy("source")
+    },
+
     // BM25 relevance scoring for a fixed query-term set — the retrieval
     // twin of t05's TF-IDF (k1 = 1.2, b = 0.75, idf = ln((N-df+.5)/(df+.5)+1)).
     // Scale shape: only rows matching the (tiny) query-term set survive
@@ -911,6 +952,25 @@ object TextQueries {
         |    / CAST(sum(gc.n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_ll
         |FROM gc JOIN lp USING (g)
         |GROUP BY gc.doc_id ORDER BY doc_id""".stripMargin,
+    // per-word log-ratios fold to micro-nats (same product association
+    // as the Spark expression), per-source sums are exact longs
+    "t22_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c1 AS (SELECT source, w, count(*) AS cs FROM sw GROUP BY source, w),
+        |cw AS (SELECT w, CAST(sum(cs) AS BIGINT) AS c FROM c1 GROUP BY w),
+        |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS t_s FROM c1 GROUP BY source),
+        |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM ts),
+        |terms AS (
+        |  SELECT c1.source, t_s,
+        |    cs * CAST(floor(ln((CAST(cs AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |      (CAST(t_s AS DOUBLE) * CAST(c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS cst
+        |  FROM c1 JOIN cw USING (w) JOIN ts USING (source) CROSS JOIN tt)
+        |SELECT source, CAST(max(t_s) AS BIGINT) AS toks,
+        |  CAST(sum(cst) AS BIGINT) AS kl_micro,
+        |  floor(((CAST(sum(cst) AS DOUBLE) / 1000000.0) / CAST(max(t_s) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -244,7 +244,15 @@ class PlanBudgetSpec extends SparkSpec {
     "p26_seq_pack" -> 4,
     // x33: x29's grid exchange chain + the two bounded window frames
     // (one partition exchange) + TakeOrdered
-    "x33_level_shift" -> 5)
+    "x33_level_shift" -> 5,
+    // t22: the (source, word) aggregate materializes once
+    // (localCheckpoint; its four consumers re-planned the token
+    // explode otherwise, 10 → 6); static tail = cw/ts/tot folds +
+    // terms join + per-source agg + presentation sort
+    "t22_source_kl" -> 6,
+    // s19: bucket assignment agg + size histogram agg + presentation
+    // sort — corpus crosses one exchange
+    "s19_lsh_histogram" -> 3)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

@@ -110,7 +110,10 @@ class PlanHygieneSpec extends SparkSpec {
       "s18_ivfpq_topk",
       // p25 - corpus grand total: one 1-ROW broadcast frame (the p24
       //       shape)
-      "p25_mix_fill")
+      "p25_mix_fill",
+      // t22 - corpus token total: one 1-ROW broadcast frame (the
+      //       t18/p24 shape)
+      "t22_source_kl")
 
   // run a real streaming query inside the builder — not a static plan
   private val excluded =
