@@ -895,6 +895,32 @@ object EventQueries {
         .orderBy("w_start_ns", "event_type")
     },
 
+    // LIVE changepoint alerting — x33's level-shift contrast as a
+    // stream (Streaming.levelShiftStream): per event_type, shift(d)
+    // emits the moment day d+7 finalizes under the watermark, each
+    // day exactly once. The oracle replays the finality contract:
+    // per-key grid from the key's first FINAL day to the last final
+    // day (maxd = wm_ms DIV 86400000 − 1), LOCF fill, both 7-day
+    // frames complete — x29/x33's machinery under e10's watermark
+    // rule. 18th live streaming oracle row.
+    "e32_stream_shift" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val shifts = graft.streaming.Streaming.levelShiftStream(ev)
+      val sink = "e32_stream_shift_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = shifts.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink).orderBy("event_type", "day")
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1402,6 +1428,43 @@ object EventQueries {
         |              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
         |        * 1000000.0 + 0.5) / 1000000.0 AS est_users
         |FROM e2 ORDER BY w_start_ns, event_type""".stripMargin,
+    // x29/x33 machinery under the streaming finality contract: grid
+    // per key from its first FINAL day to maxd, LOCF fill, both 7-day
+    // frames complete
+    "e32_stream_shift" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn FROM events),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |md AS (SELECT wm_ms // 86400000 - 1 AS maxd FROM wm),
+        |f AS (SELECT event_type, tsn // 86400000000000 AS day FROM e),
+        |fin AS (
+        |  SELECT event_type, day, count(*) AS cnt
+        |  FROM f, wm WHERE (day + 1) * 86400000 <= wm_ms
+        |  GROUP BY event_type, day),
+        |lo AS (SELECT event_type, min(day) AS lo FROM fin GROUP BY event_type),
+        |grid AS (
+        |  SELECT lo.event_type, unnest(generate_series(lo.lo, md.maxd)) AS day
+        |  FROM lo, md),
+        |filled AS (
+        |  SELECT g.event_type, g.day,
+        |    CAST(coalesce(last_value(o.cnt IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cf
+        |  FROM grid g LEFT JOIN fin o
+        |    ON g.event_type = o.event_type AND g.day = o.day),
+        |w AS (
+        |  SELECT event_type, day,
+        |    CAST(sum(cf) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS before7,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nb,
+        |    CAST(sum(cf) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS BIGINT) AS after7,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS na
+        |  FROM filled)
+        |SELECT event_type, day, before7, after7, after7 - before7 AS shift
+        |FROM w WHERE nb = 7 AND na = 7
+        |ORDER BY event_type, day""".stripMargin,
     // the e19 finality contract (event folds iff its ms ≤ final
     // watermark) + e14's closed form, kept where strictly increasing
     "e29_stream_funnel" ->

@@ -746,6 +746,48 @@ object ExtraQueries {
         .limit(10)
     },
 
+    // SNAPSHOT DIFF — the reconciliation report a warehouse runs
+    // between two loads of the same table (x30 fingerprints answer
+    // "are the replicas equal"; this answers WHAT changed): full-outer
+    // join on the key comparing scan-fused row-content hashes,
+    // classified added / removed / changed / unchanged with per-class
+    // counts and key bounds. The two "snapshots" are deterministic
+    // simulations both engines replay from orders (v1 drops key%103
+    // rows, v2 drops key%101 and bumps price on key%97 — deletions,
+    // late arrivals, and corrections in one diff). Content hashing
+    // folds the DOUBLE price to exact cents and the date to an epoch
+    // day BEFORE hashing, so the hash never sees float/timestamp
+    // formatting. Scale shape: two scans of the same table with
+    // pushed filters, ONE key shuffle for the full-outer sort-merge
+    // join, aggregate to 4 rows — the 100 TB reconciliation plan.
+    "x34_snapshot_diff" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      def rowh(bump: org.apache.spark.sql.Column) =
+        h60(concat_ws("\u0001",
+          col("o_custkey").cast(StringType), col("o_orderstatus"),
+          col("o_orderpriority"),
+          (floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType) + bump)
+            .cast(StringType),
+          // NTZ → TIMESTAMP is wall-clock preserving (session tz UTC)
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            .cast(StringType)))
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(103L)) =!= 0)
+        .select(col("o_orderkey").as("k"), rowh(lit(0L)).as("h1"))
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(101L)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          rowh(when(pmod(col("o_orderkey"), lit(97L)) === 0, lit(100L))
+            .otherwise(lit(0L))).as("h2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("change")
+    },
+
     // SINGLE-PASS COLUMN PROFILE (the Deequ/constraint-check shape):
     // per column of the events table — completeness (null rate),
     // exact distinct cardinality, and type-appropriate min/max
@@ -1161,6 +1203,34 @@ object ExtraQueries {
          |FROM w WHERE nb = 7 AND na = 7
          |ORDER BY abs(after7 - before7) DESC, event_type, day
          |LIMIT 10""".stripMargin,
+    // same simulated snapshots; cents/day folded before hashing, the
+    // p09 md5-prefix mirror of graft_md5p60
+    "x34_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |h1 AS (
+        |  SELECT k, CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |    CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+        |    CAST(cents AS VARCHAR), CAST(day AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM base WHERE k % 103 <> 0),
+        |h2 AS (
+        |  SELECT k, CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |    CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+        |    CAST(cents + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END AS VARCHAR),
+        |    CAST(day AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM base WHERE k % 101 <> 0),
+        |j AS (
+        |  SELECT coalesce(h1.k, h2.k) AS k,
+        |    CASE WHEN h1.h IS NULL THEN 'added'
+        |         WHEN h2.h IS NULL THEN 'removed'
+        |         WHEN h1.h <> h2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k)
+        |SELECT change, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY change ORDER BY change""".stripMargin,
     // one UNION leg per column (each leg re-aggregates the table —
     // the oracle restates the semantics; Spark does it in ONE pass)
     "x31_profile" -> {

@@ -547,6 +547,101 @@ object Streaming {
       }
   }
 
+  case class ShiftRow(event_type: String, day: Long, before7: Long,
+      after7: Long, shift: Long)
+  case class ShiftState(buffer: List[TEvent], counts: Map[Long, Long],
+      lo: Long, nextScore: Long, carry: Long)
+
+  /** LIVE level-shift changepoint — x33's two-sided 7-day sliding
+    * contrast as a stream: per event_type, the moment day d+7's last
+    * millisecond passes the watermark (so both windows around d are
+    * FINAL), emit shift(d) = Σ cnt(d+1..d+7) − Σ cnt(d−7..d−1) over
+    * LOCF-filled day counts. The volume-step alarm (x33's batch
+    * report) firing 7 days after the step, as early as finality
+    * allows — each day scored exactly once, append-only.
+    *
+    * State per key: the unripe event buffer (events whose DAY hasn't
+    * finalized), a ~15-day window of finalized day counts (days the
+    * next score can still reach), one LOCF carry for everything
+    * evicted, the key's first finalized day, and the scoring cursor —
+    * O(rate × horizon + 15) whatever the stream length.
+    * EventTimeTimeout flushes scoring on watermark-only batches.
+    *
+    * Finality contract (what the oracle replays): day d is final iff
+    * (d+1)·86400000 ≤ final watermark ms; d is scored iff d−7 ≥ the
+    * key's first finalized day and d+7 is final. The grid is per-key
+    * from its own first day (x33's batch grid spans the GLOBAL day
+    * range — the one documented divergence; a key silent at corpus
+    * start has no finalized evidence of level 0 in a stream).
+    */
+  def levelShiftStream(events: Dataset[TEvent]): Dataset[ShiftRow] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    val DayNs = 86400000000000L
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ShiftState, ShiftRow](OutputMode.Append, timeoutConf) {
+        (etype: String, it: Iterator[TEvent], state: GroupState[ShiftState]) =>
+          val prior = state.getOption
+            .getOrElse(ShiftState(Nil, Map.empty, Long.MinValue, 0L, 0L))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.buffer ++ it
+          val (ripe, rest) =
+            if (isStreaming) buf.partition(e => (e.ts_ns / DayNs + 1) * DayMs <= wm)
+            else (buf, Nil)
+          var counts = prior.counts
+          ripe.groupBy(_.ts_ns / DayNs).foreach { case (d, es) =>
+            counts = counts.updated(d, counts.getOrElse(d, 0L) + es.size)
+          }
+          val lo =
+            if (prior.lo != Long.MinValue) prior.lo
+            else if (counts.nonEmpty) counts.keys.min
+            else Long.MinValue
+          val maxd =
+            if (isStreaming) wm / DayMs - 1
+            else if (counts.nonEmpty) counts.keys.max
+            else Long.MinValue
+          def locf(x: Long): Long = {
+            val below = counts.keys.filter(_ <= x)
+            if (below.nonEmpty) counts(below.max) else prior.carry
+          }
+          val out = scala.collection.mutable.ListBuffer.empty[ShiftRow]
+          var d =
+            if (prior.lo != Long.MinValue) prior.nextScore
+            else if (lo != Long.MinValue) lo + 7
+            else Long.MaxValue
+          if (d != Long.MaxValue) {
+            while (d + 7 <= maxd) {
+              val before = (1 to 7).map(k => locf(d - k)).sum
+              val after = (1 to 7).map(k => locf(d + k)).sum
+              out += ShiftRow(etype, d, before, after, after - before)
+              d += 1
+            }
+          }
+          // evict day counts the scoring cursor can no longer reach;
+          // the LATEST evicted day's count becomes the LOCF carry
+          var carry = prior.carry
+          if (d != Long.MaxValue) {
+            val (evict, keep) = counts.partition(_._1 < d - 7)
+            if (evict.nonEmpty) carry = evict(evict.keys.max)
+            counts = keep
+          }
+          if (isStreaming) {
+            if (rest.isEmpty && counts.isEmpty && lo == Long.MinValue) state.remove()
+            else {
+              state.update(ShiftState(rest, counts, lo,
+                if (d == Long.MaxValue) 0L else d, carry))
+              state.setTimeoutTimestamp(wm + 1)
+            }
+          }
+          out.iterator
+      }
+  }
+
   case class FunnelState(pending: List[TEvent], sNs: Long, cNs: Long,
       pNs: Long, settled: Boolean)
   case class FunnelDone(user_id: Long, s_ns: Long, c_ns: Long, p_ns: Long)

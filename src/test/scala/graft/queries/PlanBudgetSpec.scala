@@ -34,7 +34,7 @@ class PlanBudgetSpec extends SparkSpec {
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
-      "e30_stream_gaps", "e31_stream_hll")
+      "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
@@ -252,7 +252,10 @@ class PlanBudgetSpec extends SparkSpec {
     "t22_source_kl" -> 6,
     // s19: bucket assignment agg + size histogram agg + presentation
     // sort — corpus crosses one exchange
-    "s19_lsh_histogram" -> 3)
+    "s19_lsh_histogram" -> 3,
+    // x34: two pushed-filter scans, ONE key shuffle pair for the
+    // full-outer SMJ, 4-row aggregate + presentation sort
+    "x34_snapshot_diff" -> 4)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)

@@ -853,6 +853,74 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} rows, want ${want.size}")
   }
 
+  test("levelShiftStream: scores a day only when d+7 finalizes; LOCF over gap days; per-key grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{ShiftRow, TEvent}
+    val D = 86400000000000L // 1 day in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "1 second")
+      .as[TEvent]
+    val out = Streaming.levelShiftStream(events)
+    val ckpt = Files.createTempDirectory("graft-shift-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("shifts")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("shifts").as[ShiftRow].collect().toSeq
+      .sortBy(r => (r.event_type, r.day))
+    try {
+      // key "a": days 10 (×2), 12, 15 (×3), delivered out of order —
+      // LOCF must fill 11, 13, 14 and everything after 15
+      mem.addData((1L, 15 * D, 3L, "a"), (1L, 10 * D, 1L, "a"),
+        (1L, 12 * D, 2L, "a"), (1L, 10 * D + 1000000L, 4L, "a"),
+        (1L, 15 * D + 1000000L, 5L, "a"), (1L, 15 * D + 2000000L, 6L, "a"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing scoreable while maxd < lo + 14")
+      // sentinel pushes the watermark so maxd = 24: exactly day 17 is
+      // scoreable (d−7 ≥ 10 and d+7 ≤ 24). before = c(10..16) =
+      // 2+2+1+1+1+3+3 = 13, after = c(18..24) = 7×3 = 21
+      mem.addData((9L, 25 * D + 2000000000L, 91L, "b"))
+      q.processAllAvailable()
+      assert(rows() == Seq(ShiftRow("a", 17, 13, 21, 8)),
+        s"exactly day 17: ${rows()}")
+      // maxd = 26 → days 18, 19 score; key b's own day 25 is not yet
+      // final and its grid starts at its OWN first final day
+      mem.addData((9L, 27 * D + 2000000000L, 92L, "b"))
+      q.processAllAvailable()
+      assert(rows() == Seq(ShiftRow("a", 17, 13, 21, 8),
+        ShiftRow("a", 18, 14, 21, 7), ShiftRow("a", 19, 15, 21, 6)),
+        s"each day exactly once, in finality order: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("levelShiftStream (batch): equals the grid closed form on 400 random events (seeded)") {
+    import graft.streaming.Streaming.{ShiftRow, TEvent}
+    val rnd = new scala.util.Random(53)
+    val types = Vector("a", "b", "c")
+    val evs = (1 to 400).map { i =>
+      TEvent(i.toLong, rnd.nextInt(40).toLong * 86400000000000L +
+        rnd.nextInt(1000000).toLong, i.toLong, types(rnd.nextInt(3)))
+    }
+    val got = Streaming.levelShiftStream(spark.createDataset(evs))
+      .collect().toSeq.sortBy(r => (r.event_type, r.day))
+    val want = evs.groupBy(_.event_type).toSeq.flatMap { case (t, es) =>
+      val counts = es.groupBy(_.ts_ns / 86400000000000L)
+        .map { case (d, g) => d -> g.size.toLong }
+      val lo = counts.keys.min
+      val maxd = counts.keys.max
+      def locf(x: Long): Long =
+        counts.keys.filter(_ <= x) match {
+          case ks if ks.nonEmpty => counts(ks.max); case _ => 0L
+        }
+      ((lo + 7) to (maxd - 7)).map { d =>
+        val b = (1 to 7).map(k => locf(d - k)).sum
+        val a = (1 to 7).map(k => locf(d + k)).sum
+        ShiftRow(t, d, b, a, a - b)
+      }
+    }.sortBy(r => (r.event_type, r.day))
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("windowed graft_hll in append streaming: registers merge across batches, emit is watermark-final") {
     implicit val sqlCtx = spark.sqlContext
     graft.expressions.GraftFunctions.register(spark)
