@@ -361,6 +361,24 @@ object EventQueries {
         .orderBy("media_a", "media_b")
     },
 
+    // The media-dedup pipeline CLOSED end to end: m03's near-dup pairs
+    // → d07's DataFrame-native min-label connected components →
+    // per-cluster census with the min-id keeper — the row a multimodal
+    // ingest job actually acts on (keep `keeper`, drop the rest of the
+    // cluster). Both iterative halves are integer-exact and the oracle
+    // replays m03's pair CTEs through the same recursive fixpoint
+    // d07 pins. Scale: CC runs on the PAIR graph (near-dup-sized, not
+    // corpus-sized); the census is one cluster-keyed aggregate.
+    "m05_media_clusters" -> { (s, dir) =>
+      val pairs = queries("m03_media_neardup")(s, dir)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      graft.ops.ConnectedComponents.minLabel(pairs)._1
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("members"), min("doc_id").as("keeper"),
+          max("doc_id").as("max_member"))
+        .orderBy("cluster_id")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -973,6 +991,31 @@ object EventQueries {
     }
   )
 
+  /** m03's SQL body, factored so m05's cluster fixpoint can compose
+    * the identical pair pipeline (the s08 anti-drift pattern).
+    */
+  private val M03Sql: String = {
+    import graft.functions.VecFns.{sqlDotSeqN, sqlHyperplaneN, sqlL2NormalizeN, LshPlanes}
+    val bucketExpr = (0 until LshPlanes).map { j =>
+      s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "e", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH feats AS (
+       |  SELECT doc_id AS media_id, list_transform(range(0, 16), j ->
+       |    CAST(list_reduce(list_prepend(0.0, list_transform(
+       |      list_filter(range(1, len(text) + 1), i -> (i - 1) % 16 = j),
+       |      i -> ord(text[i]) / 255.0)), (a, x) -> a + x) AS REAL)) AS f
+       |  FROM documents),
+       |fd AS (SELECT media_id, list_transform(f, x -> CAST(x AS DOUBLE)) AS fd FROM feats),
+       |v AS (SELECT media_id, ${sqlL2NormalizeN("fd", 16)} AS e FROM fd),
+       |b AS (SELECT media_id, e, $bucketExpr AS bucket FROM v)
+       |SELECT media_a, media_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
+       |  SELECT a.media_id AS media_a, bb.media_id AS media_b,
+       |         ${sqlDotSeqN("a.e", "bb.e", 16)} AS c
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
+       |WHERE c >= 0.999
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "e01_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) AS tsn FROM events),
@@ -1152,27 +1195,23 @@ object EventQueries {
         |  FROM documents, (SELECT unnest(range(0, 4)) AS i) ks)
         |WHERE length(f) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
-    "m03_media_neardup" -> {
-      import graft.functions.VecFns.{sqlDotSeqN, sqlHyperplaneN, sqlL2NormalizeN, LshPlanes}
-      val bucketExpr = (0 until LshPlanes).map { j =>
-        s"(CASE WHEN ${sqlDotSeqN(sqlHyperplaneN(j, 16), "e", 16)} > 0.0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH feats AS (
-         |  SELECT doc_id AS media_id, list_transform(range(0, 16), j ->
-         |    CAST(list_reduce(list_prepend(0.0, list_transform(
-         |      list_filter(range(1, len(text) + 1), i -> (i - 1) % 16 = j),
-         |      i -> ord(text[i]) / 255.0)), (a, x) -> a + x) AS REAL)) AS f
-         |  FROM documents),
-         |fd AS (SELECT media_id, list_transform(f, x -> CAST(x AS DOUBLE)) AS fd FROM feats),
-         |v AS (SELECT media_id, ${sqlL2NormalizeN("fd", 16)} AS e FROM fd),
-         |b AS (SELECT media_id, e, $bucketExpr AS bucket FROM v)
-         |SELECT media_a, media_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos FROM (
-         |  SELECT a.media_id AS media_a, bb.media_id AS media_b,
-         |         ${sqlDotSeqN("a.e", "bb.e", 16)} AS c
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
-         |WHERE c >= 0.999
-         |ORDER BY media_a, media_b""".stripMargin
-    },
+    "m03_media_neardup" -> M03Sql,
+    // m03's pair CTEs + the d07 recursive min-label fixpoint + a
+    // cluster census
+    "m05_media_clusters" ->
+      s"""WITH RECURSIVE pr AS (SELECT media_a, media_b FROM ($M03Sql)),
+         |e AS (SELECT media_a AS s, media_b AS d FROM pr
+         |      UNION ALL SELECT media_b, media_a FROM pr),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v),
+         |lab AS (SELECT v AS media_id, min(l) AS cluster_id
+         |        FROM reach GROUP BY v)
+         |SELECT cluster_id, count(*) AS members, min(media_id) AS keeper,
+         |  max(media_id) AS max_member
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "e06_topk_agg" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -255,7 +255,10 @@ class PlanBudgetSpec extends SparkSpec {
     "s19_lsh_histogram" -> 3,
     // x34: two pushed-filter scans, ONE key shuffle pair for the
     // full-outer SMJ, 4-row aggregate + presentation sort
-    "x34_snapshot_diff" -> 4)
+    "x34_snapshot_diff" -> 4,
+    // m05: CC rounds ran eagerly inside checkpoints (d07's shape);
+    // static tail = census aggregate + presentation sort
+    "m05_media_clusters" -> 2)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)
