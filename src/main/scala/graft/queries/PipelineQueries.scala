@@ -264,6 +264,42 @@ object PipelineQueries {
         .orderBy("seq_id", "doc_id")
     },
 
+    // TRAIN/EVAL N-GRAM OVERLAP — the published contamination METRIC
+    // (the GPT-3/PaLM-appendix number): the fraction of each held-out
+    // split's DISTINCT 8-gram windows that occurs anywhere in train.
+    // p02/p14 quarantine per-doc, d23 finds boundary-crossing pairs —
+    // this is the corpus-level rate published beside eval results.
+    // Scale shape: windows fuse into the scan (graft_token_windows,
+    // one pass over p13's hash split), fold to 60-bit hashes so the
+    // overlap join moves 8-byte keys not strings, train grams dedupe
+    // in one gram-keyed shuffle, the eval probe is an equi join on
+    // the hash. At 100 TB p14's bloom replaces the exact train side
+    // by documented swap; this row IS the exact ground truth that
+    // bloom's false-positive rate is measured against.
+    "p27_split_overlap" -> { (s, dir) =>
+      val K = 8
+      val bucket = pmod(h60(col("doc_id").cast(StringType)), lit(100L))
+      val split = when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test")
+      val grams = Tables(s, dir, "documents")
+        .select(split.as("split"),
+          explode(call_function("graft_token_windows",
+            tokens(col("text")), lit(K))).as("g"))
+        .select(col("split"), h60(col("g")).as("h"))
+        // two consumers (train dedupe, eval probe) — one window pass
+        .localCheckpoint()
+      val train = grams.filter(col("split") === "train").select("h").distinct()
+      grams.filter(col("split") =!= "train").distinct()
+        .join(train.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("overlapping"))
+        .select(col("split"), col("n_grams"), col("overlapping"),
+          round6(col("overlapping").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("overlap_rate"))
+        .orderBy("split")
+    },
+
     // Deterministic k-PER-STRATUM sampling ("hash reservoir"): each
     // source keeps its k=10 docs with the smallest 52-bit hash priority —
     // a uniform, reproducible sample whose membership is stable under
@@ -911,6 +947,32 @@ object PipelineQueries {
         |  greatest(off, seq_id * 256) - seq_id * 256 AS seq_off,
         |  least(off + toks, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS len
         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+    // p13's split rule + d22's window mirror + the p09 md5-prefix
+    // hash; distinct eval grams probed against distinct train grams
+    "p27_split_overlap" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (SELECT split, string_split(text, ' ') AS t FROM sp),
+        |w AS (
+        |  SELECT split, list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')) AS gs
+        |  FROM toks),
+        |g AS (SELECT split, unnest(gs) AS gram FROM w WHERE len(gs) > 0),
+        |h AS (SELECT split,
+        |        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        |      FROM g),
+        |tr AS (SELECT DISTINCT h FROM h WHERE split = 'train'),
+        |ev AS (SELECT DISTINCT split, h FROM h WHERE split <> 'train')
+        |SELECT ev.split, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlapping,
+        |  floor((CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS overlap_rate
+        |FROM ev LEFT JOIN tr ON ev.h = tr.h
+        |GROUP BY ev.split ORDER BY ev.split""".stripMargin,
     "p09_sample_topk" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -258,7 +258,11 @@ class PlanBudgetSpec extends SparkSpec {
     "x34_snapshot_diff" -> 4,
     // m05: CC rounds ran eagerly inside checkpoints (d07's shape);
     // static tail = census aggregate + presentation sort
-    "m05_media_clusters" -> 2)
+    "m05_media_clusters" -> 2,
+    // p27: the gram-hash frame materializes once (localCheckpoint,
+    // two consumers); train dedupe + eval dedupe + probe join +
+    // presentation sort
+    "p27_split_overlap" -> 4)
 
   private def shuffles(planStr: String): Int =
     graft.tools.ShuffleCount.count(planStr)
