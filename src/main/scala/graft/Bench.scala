@@ -37,7 +37,12 @@ object Bench {
     val filter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => filter.forall(_.contains(n)) }
-    val runPrelude = filter.forall(_.exists(_.startsWith("d")))
+    // The prelude memoizes the dedup pair builds AND the Quantizer
+    // caches (vecs_norm, quantizer) that s-queries consume — run it
+    // whenever a d- or s-query is selected, so filtered timings stay
+    // comparable to the full-surface BENCH_local.json numbers.
+    val runPrelude =
+      filter.forall(_.exists(n => n.startsWith("d") || n.startsWith("s")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1159,8 +1159,8 @@ object ExtraQueries {
       """WITH h AS (
         |  SELECT source,
         |    CAST(concat('0x', substr(md5(
-        |      CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) ||
-        |      source || chr(1) || text), 1, 15)) AS BIGINT) AS h
+        |      concat_ws(chr(1), CAST(doc_id AS VARCHAR), lang, source, text)
+        |    ), 1, 15)) AS BIGINT) AS h
         |  FROM documents)
         |SELECT source, count(*) AS cnt, bit_xor(h) AS xor_sig,
         |  min(h) AS min_h, max(h) AS max_h

@@ -253,6 +253,11 @@ object PipelineQueries {
       val off = graft.ops.PrefixSum.exclusiveOffsets(docs, "doc_id", "w",
         rangeWidth = 500L)
       off.select(col("doc_id"), col("off"), (col("w") - 1L).as("toks"))
+        // tokens() yields >= 1 token per doc, but guard anyway: a
+        // zero-token doc at an L-aligned offset would make sequence()
+        // run DESCENDING (stop < start) and emit spurious rows where
+        // the oracle's range() is empty.
+        .filter(col("toks") >= 1L)
         .select(col("doc_id"), col("off"), col("toks"),
           explode(expr(s"sequence(off DIV $L, (off + toks - 1) DIV $L)")).as("seq_id"))
         .select(col("seq_id"), col("doc_id"),
