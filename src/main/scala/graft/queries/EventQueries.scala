@@ -939,6 +939,42 @@ object EventQueries {
       s.table(sink).orderBy("event_type", "day")
     },
 
+    // LIVE stream-stream AS-OF join — the enrichment shape the e17/e24
+    // interval-join family cannot express: each click joined to the
+    // single LATEST view ≤ its timestamp within a 2 h lookback, per
+    // user, left-outer (trade/quote semantics). "Latest" is an
+    // order-sensitive reduction over an unordered stream, so it runs
+    // on the buffered-fold recipe (Streaming.asofJoinStream), not on
+    // Spark's interval join: builds finalize into the candidate list
+    // before probes match, each final probe picks argmax (ts,
+    // event_id) in its lookback, emitted exactly once append-only.
+    // The oracle replays the finality contract: a click emits iff its
+    // ms ≤ final watermark (max event-time ms over both types − 2 h);
+    // its view is the (ts, id)-max view in [click − 2 h, click] —
+    // such views are always themselves final. 19th live streaming row.
+    "e33_stream_asof" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val joined = graft.streaming.Streaming.asofJoinStream(
+        ev, "click", "view", 7200000000000L)
+      val sink = "e33_stream_asof_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = joined.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("probe_id").as("click_id"),
+          col("build_id").as("view_id"), col("gap_us"))
+        .orderBy("user_id", "click_id")
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1470,6 +1506,26 @@ object EventQueries {
     // x29/x33 machinery under the streaming finality contract: grid
     // per key from its first FINAL day to maxd, LOCF fill, both 7-day
     // frames complete
+    // the as-of finality contract: click emits iff its ms ≤ wm (max
+    // event-time ms over clicks+views − 2 h); matched view = argmax
+    // (vns, view_id) in [cns − 2 h, cns]; qualifying views are always
+    // final, so no view-side wm condition exists
+    "e33_stream_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |c AS (SELECT user_id, event_id AS click_id, tsn AS cns FROM e, wm
+        |  WHERE event_type = 'click' AND (tsn // 1000) // 1000 <= wm_ms),
+        |v AS (SELECT user_id, event_id AS view_id, tsn AS vns FROM e
+        |  WHERE event_type = 'view'),
+        |j AS (SELECT c.user_id, c.click_id, c.cns, v.view_id, v.vns,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY v.vns DESC, v.view_id DESC) AS rn
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND v.vns <= c.cns AND v.vns >= c.cns - 7200000000000)
+        |SELECT user_id, click_id, view_id, (cns - vns) // 1000 AS gap_us
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, click_id""".stripMargin,
     "e32_stream_shift" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn FROM events),
         |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),

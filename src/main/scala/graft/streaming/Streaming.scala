@@ -797,4 +797,84 @@ object Streaming {
           out.result().iterator
       }
   }
+
+  case class AsofRow(user_id: Long, probe_id: Long, build_id: Option[Long],
+      gap_us: Option[Long])
+  case class AsofState(pending: List[TEvent], builds: List[TEvent])
+
+  /** LIVE stream-stream AS-OF join — the trade/quote enrichment shape
+    * Structured Streaming's interval join cannot express: each probe
+    * event (e.g. a click) is joined to the single LATEST build event
+    * (e.g. a view) with build.ts ≤ probe.ts within a bounded lookback,
+    * per key, left-outer. Spark's stream-stream join returns ALL views
+    * in the interval; "the most recent one" is an order-sensitive
+    * reduction over an unordered stream, so it runs on the
+    * transitionsStream buffered-fold recipe: events buffer per key
+    * until the watermark passes them; every newly-final build joins
+    * the candidate list BEFORE any probe matches (an equal-timestamp
+    * build/probe pair finalizes together, whatever the arrival order);
+    * each final probe then picks argmax by (ts, event_id) over
+    * candidates in [probe.ts − lookback, probe.ts] and is emitted
+    * exactly once, append-only — a probe's answer can never change
+    * after emission because any still-unripe build is strictly newer
+    * than every finalized probe.
+    *
+    * State per key is bounded by the two horizons: the unripe buffer
+    * spans at most the watermark delay, and retained builds span at
+    * most the lookback behind the watermark (older builds can't match
+    * any still-pending probe, which is by definition newer than the
+    * watermark); EventTimeTimeout flushes newly-ripe rows on
+    * watermark-only batches.
+    *
+    * Finality contract (what the oracle replays): a probe emits iff
+    * floor(ts_ns/10⁶) ≤ final watermark (max event-time ms − delay);
+    * its build is the (ts_ns, event_id)-max build with
+    * probe.ts − lookback ≤ build.ts ≤ probe.ts — such builds are
+    * always themselves final, so the oracle needs no build-side
+    * watermark condition.
+    */
+  def asofJoinStream(events: Dataset[TEvent], probeType: String,
+      buildType: String, lookbackNs: Long): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofRow](OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[AsofState]) =>
+          val prior = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.pending ++ it
+          val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+          // builds first: a probe finalized this batch may match a build
+          // finalized this same batch (including equal timestamps)
+          val builds = prior.builds ++ ripe.filter(_.event_type == buildType)
+          val out = ripe.filter(_.event_type == probeType)
+            .sortBy(e => (e.ts_ns, e.event_id))
+            .map { p =>
+              val cand = builds.filter(b =>
+                b.ts_ns <= p.ts_ns && b.ts_ns >= p.ts_ns - lookbackNs)
+              if (cand.isEmpty) AsofRow(uid, p.event_id, None, None)
+              else {
+                val best = cand.maxBy(b => (b.ts_ns, b.event_id))
+                AsofRow(uid, p.event_id, Some(best.event_id),
+                  Some((p.ts_ns - best.ts_ns) / 1000L))
+              }
+            }
+          if (isStreaming) {
+            // every pending probe has ts_ms > wm, so its candidates have
+            // ts_ns ≥ (wm+1)·10⁶ − lookback — prune builds below that
+            val keepNs = (wm + 1L) * 1000000L - lookbackNs
+            val kept = builds.filter(_.ts_ns >= keepNs)
+            if (rest.isEmpty && kept.isEmpty) state.remove()
+            else {
+              state.update(AsofState(rest, kept))
+              state.setTimeoutTimestamp(wm + 1)
+            }
+          }
+          out.iterator
+      }
+  }
 }

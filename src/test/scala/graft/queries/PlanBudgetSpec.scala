@@ -34,7 +34,8 @@ class PlanBudgetSpec extends SparkSpec {
       "d21_stream_sig_dedup", "e24_stream_outer_join",
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
-      "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift")
+      "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift",
+      "e33_stream_asof")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each

@@ -1030,6 +1030,78 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoinStream: latest build wins, lookback bounds, cross-batch retention, ties") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofRow, TEvent}
+    val M = 1000000L // 1 ms in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.asofJoinStream(events, "P", "B", 100 * M)
+    val ckpt = Files.createTempDirectory("graft-asof-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("asof").as[AsofRow].collect().toSeq
+      .sortBy(r => (r.user_id, r.probe_id))
+    try {
+      // batch 1, arrival order scrambled: the probe at 30 ms must take
+      // the LATEST build (20 ms, not 10 ms); the probe at 5 ms has no
+      // build at/before it → null row
+      mem.addData((1L, 10 * M, 1L, "B"), (1L, 30 * M, 2L, "P"),
+        (1L, 20 * M, 3L, "B"), (1L, 5 * M, 4L, "P"))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        AsofRow(1L, 2L, Some(3L), Some(10000L)),
+        AsofRow(1L, 4L, None, None)), s"got ${rows()}")
+      // batch 2: a build and a probe just after it (watermark lands at
+      // 210 ms, so the 200 ms build must survive pruning for later probes)
+      mem.addData((1L, 200 * M, 5L, "B"), (1L, 210 * M, 6L, "P"))
+      q.processAllAvailable()
+      assert(rows().contains(AsofRow(1L, 6L, Some(5L), Some(10000L))),
+        s"got ${rows()}")
+      // batch 3: the 200 ms build serves a probe arriving a batch later
+      // (220 ms, within lookback) but NOT one 150 ms past it (350 ms,
+      // outside the 100 ms lookback → null row); equal-timestamp
+      // build/probe finalize together and the higher event_id wins a tie
+      mem.addData((1L, 220 * M, 8L, "P"), (1L, 350 * M, 7L, "P"),
+        (3L, 500 * M, 10L, "B"), (3L, 500 * M, 11L, "B"), (3L, 500 * M, 12L, "P"),
+        (2L, 1000 * M, 9L, "B"))
+      q.processAllAvailable()
+      val g3 = rows()
+      assert(g3.contains(AsofRow(1L, 8L, Some(5L), Some(20000L))),
+        s"build must survive across batches, got $g3")
+      assert(g3.contains(AsofRow(1L, 7L, None, None)),
+        s"a build older than the lookback must not match, got $g3")
+      assert(g3.contains(AsofRow(3L, 12L, Some(11L), Some(0L))),
+        s"same-ts tie must pick the higher event_id, got $g3")
+    } finally q.stop()
+  }
+
+  test("asofJoinStream (batch): equals the argmax replay on 600 random events (seeded)") {
+    import graft.streaming.Streaming.{AsofRow, TEvent}
+    val rnd = new scala.util.Random(17)
+    val L = 20 * 1000000L
+    val evs = (1 to 600).map { i =>
+      TEvent(rnd.nextInt(7).toLong, rnd.nextInt(80) * 1000000L, i.toLong,
+        if (rnd.nextBoolean()) "P" else "B")
+    }
+    val got = Streaming.asofJoinStream(spark.createDataset(evs), "P", "B", L)
+      .collect().toSeq.sortBy(r => (r.user_id, r.probe_id))
+    val want = evs.filter(_.event_type == "P").map { p =>
+      val cand = evs.filter(b => b.event_type == "B" && b.user_id == p.user_id &&
+        b.ts_ns <= p.ts_ns && b.ts_ns >= p.ts_ns - L)
+      if (cand.isEmpty) AsofRow(p.user_id, p.event_id, None, None)
+      else {
+        val best = cand.maxBy(b => (b.ts_ns, b.event_id))
+        AsofRow(p.user_id, p.event_id, Some(best.event_id),
+          Some((p.ts_ns - best.ts_ns) / 1000L))
+      }
+    }.sortBy(r => (r.user_id, r.probe_id))
+    assert(got == want)
+  }
+
   test("mergeAggBatch: generation merge equals recompute; a replayed batch is idempotent") {
     val tmp = Files.createTempDirectory("graft-upsert").toString
     val stateDir = s"$tmp/state"
