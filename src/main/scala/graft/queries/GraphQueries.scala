@@ -317,6 +317,52 @@ object GraphQueries {
           round6(col("aa_micro").cast(DoubleType) / lit(1000000.0)).as("aa"))
         .orderBy(desc("aa_micro"), col("part_a"), col("part_b"))
         .limit(25)
+    },
+
+    // NEIGHBORHOOD JACCARD link prediction — g08's complement: where
+    // Adamic-Adar weights each common neighbor by rarity, Jaccard
+    // normalizes the raw overlap by the union of the two
+    // neighborhoods, |N(a)∩N(b)| / (d_a + d_b − |N(a)∩N(b)|) — the
+    // degree-robust score (a hub sharing 5 of its 500 neighbors ranks
+    // far below two 6-degree parts sharing the same 5). Same
+    // co-purchase graph and wedge enumeration as g08 (common
+    // neighbors counted through centers with deg ≤ 64 by the same
+    // documented hub-cap contract; Σ min(d,64)² wedge bound under any
+    // skew), but the DENOMINATOR uses full degrees from the deg
+    // table. The score folds to exact integer micro-units by long
+    // division — both engines aggregate only longs, the one double is
+    // the displayed ratio (t21 rule). Existing edges anti-join out:
+    // the output is PREDICTED links, ranked.
+    "g09_neighbor_jaccard" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= MinSupport)
+        .select("u", "v")
+        .localCheckpoint()
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      // deg has three consumers (center filter + both score joins)
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d")).localCheckpoint()
+      val ctr = adj.join(deg.filter(col("d") >= 2 && col("d") <= AaCapDeg), "node")
+      val wedges = ctr.as("x").join(ctr.as("y"),
+          col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("common"))
+        .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+        .join(deg.select(col("node").as("a"), col("d").as("d_a")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("d_b")), "b")
+        .withColumn("jac_micro",
+          expr("(common * 1000000L) div (d_a + d_b - common)"))
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("common"),
+          col("d_a"), col("d_b"), col("jac_micro"),
+          round6(col("jac_micro").cast(DoubleType) / lit(1000000.0)).as("jac"))
+        .orderBy(desc("jac_micro"), col("part_a"), col("part_b"))
+        .limit(25)
     })
 
   private val tradeEdgesSql =
@@ -492,5 +538,37 @@ object GraphQueries {
         |FROM sc
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.a AND e.v = sc.b)
         |ORDER BY aa_micro DESC, part_a, part_b
+        |LIMIT 25""".stripMargin,
+
+    // same g08 edge build and hub-capped wedge count; full degrees in
+    // the denominator; integer micro-units by long division on both
+    // sides, the one double is the displayed ratio
+    "g09_neighbor_jaccard" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT u, v FROM (
+        |        SELECT a.p AS u, b.p AS v, count(*) AS supp
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |        GROUP BY a.p, b.p)
+        |      WHERE supp >= $MinSupport),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v AS node, u AS nbr FROM e),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        |ctr AS (SELECT adj.node, adj.nbr
+        |        FROM adj JOIN deg ON adj.node = deg.node
+        |        WHERE d BETWEEN 2 AND $AaCapDeg),
+        |wdg AS (SELECT x.nbr AS a, y.nbr AS b
+        |        FROM ctr x JOIN ctr y ON x.node = y.node AND x.nbr < y.nbr),
+        |sc AS (SELECT a, b, count(*) AS common FROM wdg GROUP BY a, b),
+        |nx AS (SELECT sc.a, sc.b, sc.common FROM sc
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.a AND e.v = sc.b)),
+        |j AS (SELECT nx.a, nx.b, nx.common, da.d AS d_a, db.d AS d_b,
+        |        CAST((nx.common * 1000000) // (da.d + db.d - nx.common) AS BIGINT)
+        |          AS jac_micro
+        |      FROM nx JOIN deg da ON nx.a = da.node JOIN deg db ON nx.b = db.node)
+        |SELECT a AS part_a, b AS part_b, common, d_a, d_b, jac_micro,
+        |  floor((CAST(jac_micro AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS jac
+        |FROM j
+        |ORDER BY jac_micro DESC, part_a, part_b
         |LIMIT 25""".stripMargin)
 }

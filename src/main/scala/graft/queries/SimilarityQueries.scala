@@ -17,6 +17,9 @@ import graft.functions.VecFns._
   */
 object SimilarityQueries {
 
+  /** Radius threshold for the s20/s21 range-search pair (cosine ≥ τ). */
+  private val RangeTau = 0.3
+
   private def vecsNorm(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), l2normalize(toDouble(col("embedding"))).as("e"))
@@ -529,6 +532,56 @@ object SimilarityQueries {
         .orderBy("sz")
     },
 
+    // RANGE (radius) search — the OTHER retrieval primitive: all
+    // neighbors with cosine ≥ τ, not a fixed top-k. Top-k always
+    // returns k rows however bad the tail; a radius query returns the
+    // semantic MATCHES — the primitive under near-dup candidate
+    // generation (d06's ladder) and "find everything above the
+    // duplicate threshold" audits. Bucketed exactly like s02 (sign-LSH
+    // equi-join, never all-pairs); the τ filter rides the candidate
+    // scan, so output is match-sized. Result-set boundary is
+    // deterministic across engines because the dot is the same
+    // sequential fold on both sides (bit-identical doubles; the τ
+    // compare happens on raw bits, round6 only on display).
+    "s20_range_search" -> { (s, dir) =>
+      val v = vecsNorm(s, dir).withColumn("bucket", lshBucket(col("e")))
+      val q = v.filter(col("vec_id") < 10).as("q")
+      val c = v.as("c")
+      q.join(c,
+          col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          dotSeq(col("q.e"), col("c.e")).as("c"))
+        .filter(col("c") >= RangeTau)
+        .select(col("query_id"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // Range-search recall vs the exact radius scan — the s06 pattern
+    // for the radius primitive: the bucketed path misses exactly the
+    // τ-matches hashed into OTHER buckets, and this row freezes that
+    // loss per query (queries with zero exact matches drop out, as in
+    // s06). The exact side is the documented brute member of the
+    // ladder (10 queries × corpus scan, like s01).
+    "s21_range_recall" -> { (s, dir) =>
+      val v = vecsNorm(s, dir)
+      val q = v.filter(col("vec_id") < 10).as("q")
+      val exact = q.join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+          dotSeq(col("q.e"), col("c.e")).as("c"))
+        .filter(col("c") >= RangeTau)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("s20_range_search")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.intersect(approx)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round6(col("hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    },
+
     // IVF+PQ — the composed PRODUCTION index (FAISS IndexIVFPQ's
     // shape): the coarse quantizer (s03's label-IVF, nprobe=1)
     // restricts the search to one cluster, and WITHIN the probed
@@ -990,6 +1043,45 @@ object SimilarityQueries {
            |per AS (SELECT bucket, count(*) AS sz FROM v GROUP BY bucket)
            |SELECT sz, count(*) AS n_buckets, CAST(sz * count(*) AS BIGINT) AS vectors
            |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+      // s02's bucketed candidate join with the τ filter in place of
+      // the rank window; the τ compare sees the same sequential-fold
+      // dot bits as Spark, round6 only on display
+      "s20_range_search" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, e, $bucketExpr AS bucket
+           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM v q JOIN v c
+           |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |SELECT query_id, neighbor_id,
+           |  floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cos
+           |FROM scored WHERE c >= $RangeTau
+           |ORDER BY query_id, neighbor_id""".stripMargin,
+      // exact radius scan vs the s20 bucketed path, s06's recall tail
+      "s21_range_recall" ->
+        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |ex AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |  WHERE $dqc >= $RangeTau),
+           |b AS (
+           |  SELECT vec_id, e, $bucketExpr AS bucket
+           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+           |ap AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM b q JOIN b c
+           |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |  WHERE $dqc >= $RangeTau),
+           |hit AS (
+           |  SELECT query_id, count(*) AS hits FROM (
+           |    SELECT * FROM ex INTERSECT SELECT * FROM ap)
+           |  GROUP BY query_id),
+           |ex_n AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
+           |SELECT query_id, n_exact, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           |  floor((CAST(coalesce(hits, 0) AS DOUBLE) / n_exact) * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM ex_n LEFT JOIN hit USING (query_id)
+           |ORDER BY query_id""".stripMargin,
       // composes the pinned s01/s16 SQL (the s08 anti-drift pattern)
       "s17_mplsh_recall" ->
         s"""WITH ex_top AS (SELECT query_id, neighbor_id FROM ($s01Sql)),

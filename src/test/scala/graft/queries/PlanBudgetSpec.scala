@@ -237,6 +237,10 @@ class PlanBudgetSpec extends SparkSpec {
     // g08: g03's edge build (checkpointed) + deg/ctr, wedge equi-join,
     // pair agg, anti join, TakeOrdered — same 6 as g03
     "g08_adamic_adar" -> 6,
+    // g09: g08's shape + the two full-degree scoring joins (deg is
+    // node-scale, NOT a broadcastable dim at 100 TB — shuffle joins
+    // on a/b are the honest plan); measured 10 (tools.BudgetProbe)
+    "g09_neighbor_jaccard" -> 10,
     // s18: s03's coarse probe + s05's codebook/ADC over the
     // checkpointed sub frame + rerank (broadcasts excluded as always)
     "s18_ivfpq_topk" -> 6,
@@ -254,6 +258,12 @@ class PlanBudgetSpec extends SparkSpec {
     // s19: bucket assignment agg + size histogram agg + presentation
     // sort — corpus crosses one exchange
     "s19_lsh_histogram" -> 3,
+    // s20: s02's broadcast bucket join, τ filter map-side — only the
+    // presentation sort exchanges (measured 1)
+    "s20_range_search" -> 1,
+    // s21: exact radius scan + s20 + intersect/agg recall tail
+    // (measured 6)
+    "s21_range_recall" -> 6,
     // x34: two pushed-filter scans, ONE key shuffle pair for the
     // full-outer SMJ, 4-row aggregate + presentation sort
     "x34_snapshot_diff" -> 4,

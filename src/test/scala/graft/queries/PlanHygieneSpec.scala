@@ -64,6 +64,7 @@ class PlanHygieneSpec extends SparkSpec {
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
       "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
+      "s21_range_recall", // s06's shape: brute exact radius side (s01)
       "s09_ann_mrr", "d13_auto_dedup",
       "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
       "p24_pps_sample", // corpus total weight: one 1-ROW broadcast frame
