@@ -78,6 +78,10 @@ object GraftFunctions {
       exprs => KmvDistinct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_set",
+      exprs => KmvSetAgg(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll",
       exprs => HllDistinct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")

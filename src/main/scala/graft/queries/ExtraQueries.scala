@@ -788,6 +788,43 @@ object ExtraQueries {
         .orderBy("change")
     },
 
+    // KMV SKETCH SET-OVERLAP — pairwise source content overlap from
+    // bounded sketches (Beyer et al. SIGMOD'07, the multiset-synopsis
+    // estimator): per source keep the k=64 smallest distinct content
+    // hashes (graft_kmv_set, the SET form of x17's aggregate); for
+    // each source pair the k smallest of the two sketches' union are a
+    // uniform sample of the union, and the fraction present in BOTH
+    // sketches estimates Jaccard(A, B). The "which crawls/dumps feed
+    // me the same documents" census — d01 answers it exactly by
+    // shuffling the corpus on content hash; this answers it from
+    // 64 longs per source, the pre-dedup triage at 100 TB (which
+    // source pairs are worth an exact pass). Scale shape: ONE corpus
+    // aggregate with bounded per-group state (k·maps longs cross the
+    // shuffle); the pairwise stage touches only |sources|² sketch
+    // rows — dimension-sized, never the corpus; union/slice/intersect
+    // are plain array expressions on 64-long arrays. All integers:
+    // exact order statistics of the deterministic h60, Jaccard folded
+    // to micro-units by long division (the displayed double is
+    // round6 of that).
+    "x35_kmv_overlap" -> { (s, dir) =>
+      val K = 64
+      val sk = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(call_function("graft_kmv_set", h60(col("text")), lit(K)).as("hs"))
+      val p = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          slice(array_sort(array_union(col("a.hs"), col("b.hs"))), 1, K).as("un"),
+          col("a.hs").as("ha"), col("b.hs").as("hb"))
+      p.select(col("source_a"), col("source_b"),
+          size(col("un")).cast(LongType).as("held"),
+          size(array_intersect(array_intersect(col("un"), col("ha")), col("hb")))
+            .cast(LongType).as("inter"))
+        .withColumn("jac_micro", expr("(inter * 1000000L) div held"))
+        .withColumn("jac",
+          round6(col("jac_micro").cast(DoubleType) / lit(1000000.0)))
+        .orderBy("source_a", "source_b")
+    },
+
     // SINGLE-PASS COLUMN PROFILE (the Deequ/constraint-check shape):
     // per column of the events table — completeness (null rate),
     // exact distinct cardinality, and type-appropriate min/max
@@ -1203,6 +1240,32 @@ object ExtraQueries {
          |FROM w WHERE nb = 7 AND na = 7
          |ORDER BY abs(after7 - before7) DESC, event_type, day
          |LIMIT 10""".stripMargin,
+    // same k-min ranking of the same md5-derived hashes (x17's replay
+    // pattern); union/slice/filter on the 64-long lists mirror the
+    // Spark array expressions; jac folds by the same long division
+    "x35_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS hs
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    list_slice(list_sort(list_distinct(a.hs || b.hs)), 1, 64) AS un,
+        |    a.hs AS ha, b.hs AS hb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |sc AS (SELECT source_a, source_b,
+        |    CAST(len(un) AS BIGINT) AS held,
+        |    CAST(len(list_filter(un,
+        |      x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS inter
+        |  FROM p)
+        |SELECT source_a, source_b, held, inter,
+        |  CAST((inter * 1000000) // held AS BIGINT) AS jac_micro,
+        |  floor((CAST((inter * 1000000) // held AS DOUBLE) / 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jac
+        |FROM sc ORDER BY source_a, source_b""".stripMargin,
     // same simulated snapshots; cents/day folded before hashing, the
     // p09 md5-prefix mirror of graft_md5p60
     "x34_snapshot_diff" ->

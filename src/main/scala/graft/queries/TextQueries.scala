@@ -338,6 +338,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER FERTILITY — the published tokenizer-fit report (the
+    // "fertility" table in multilingual-LM papers): per language,
+    // BPE pieces per whitespace word and chars per BPE token, from the
+    // SAME trained tokenizer t17 pins. High fertility = the vocabulary
+    // under-serves that language (its words fragment), the number that
+    // drives vocab-size and data-mix decisions — a language whose
+    // fertility is 2× pays 2× the context window for the same text.
+    // Composes the pinned t17 row (anti-drift) + a doc-meta join; all
+    // corpus-sized sums are exact longs, the two ratios divide once
+    // per output row.
+    "t24_fertility" -> { (s, dir) =>
+      val per = queries("t17_bpe_doc_tokens")(s, dir)
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+      val meta = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast(LongType).as("chars"))
+      per.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum(col("chars")).as("chars"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .select(col("lang"), col("docs"), col("chars"), col("ws_tokens"),
+          col("bpe_tokens"),
+          round6(col("bpe_tokens").cast(DoubleType) /
+            col("ws_tokens").cast(DoubleType)).as("fertility"),
+          round6(col("chars").cast(DoubleType) /
+            col("bpe_tokens").cast(DoubleType)).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // PMI collocations — pointwise mutual information over corpus word
     // bigrams, the standard collocation detector ("new york" scores
     // high because its joint count beats the unigram-independence
@@ -538,6 +568,71 @@ object TextQueries {
           round6((col("kl_micro").cast(DoubleType) / lit(1000000.0)) /
             col("toks").cast(DoubleType)).as("kl"))
         .orderBy("source")
+    },
+
+    // TRAINED language-ID — the supervised upgrade of t01's stopword
+    // heuristic (fastText-style, reduced to its deterministic core): a
+    // Laplace-smoothed char-TRIGRAM naive-Bayes model per language,
+    // trained on the labeled 80% split (doc_id % 5 ≠ 0), scored on the
+    // held-out 20%, reported as the lang × pred confusion matrix — the
+    // number that says whether the classifier is good enough to label
+    // the unlabeled web crawl. Determinism: the model is alphabet-
+    // bounded (≤ 27³ trigrams × 5 langs), so each (lang, trigram)
+    // log-prob ln((c+1)/(c_l+V)) folds to integer MICRO-NATS once on
+    // the model frame; per-doc scores are exact long sums Σ n·lp and
+    // the argmax breaks ties by language name — no doubles are ever
+    // summed (the t21 rule). Unseen trigrams hit the same formula at
+    // c = 0, so the miss path and the smoothing path are one
+    // expression. Scale shape: one train-side (lang, g) aggregate that
+    // partial-combines to the alphabet bound per partition, pivoted
+    // model + 1-row totals ride back as BROADCASTS onto the eval-side
+    // doc-gram counts (the trigram vocabulary is alphabet-bounded —
+    // a TRUE broadcast dim at any corpus size, unlike t22's word
+    // vocab), one doc-keyed score shuffle, one tiny confusion agg.
+    "t23_trigram_langid" -> { (s, dir) =>
+      val L = Seq("de", "en", "es", "fr", "zh")
+      val t = regexp_replace(lower(col("text")), "[^a-z ]", "")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), t.as("t"))
+      val cs = split(col("t"), "")
+      val n2 = greatest(length(col("t")) - 2, lit(0))
+      val tris = zip_with(
+        zip_with(slice(cs, lit(1), n2), slice(cs, lit(2), n2), (a, b) => concat(a, b)),
+        slice(cs, lit(3), n2), (ab, c) => concat(ab, c))
+      val grams = docs.select(col("doc_id"), col("lang"), explode(tris).as("g"))
+      val train = grams.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // model-sized; consumed by mw + totals
+      val cAggs = L.map(l => sum(when(col("lang") === l, col("c"))).as(s"c_$l"))
+      val mw = train.groupBy("g").agg(cAggs.head, cAggs.tail: _*)
+      val totals = train
+        .agg(countDistinct(col("g")).as("v"),
+          L.map(l => sum(when(col("lang") === l, col("c"))).as(s"ct_$l")): _*)
+      def lpMicro(cCol: org.apache.spark.sql.Column, l: String) =
+        floor(log((cCol + lit(1L)).cast(DoubleType) /
+          (col(s"ct_$l") + col("v")).cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType)
+      val model = mw.crossJoin(broadcast(totals))
+        .select(col("g") +: L.map(l =>
+          lpMicro(coalesce(col(s"c_$l"), lit(0L)), l).as(s"w_$l")): _*)
+      val defaults = totals
+        .select(L.map(l => lpMicro(lit(0L), l).as(s"d_$l")): _*)
+      val ev = grams.filter(col("doc_id") % 5 === 0)
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("n"))
+      val sAggs = L.map(l =>
+        sum(col("n") * coalesce(col(s"w_$l"), col(s"d_$l"))).as(s"s_$l"))
+      val scored = ev.join(broadcast(model), Seq("g"), "left")
+        .crossJoin(broadcast(defaults))
+        .groupBy("doc_id", "lang")
+        .agg(sAggs.head, sAggs.tail: _*)
+      val best = greatest(L.map(l => col(s"s_$l")): _*)
+      val pred = L.init.foldRight(lit(L.last)) { (l, rest) =>
+        when(col(s"s_$l") === best, l).otherwise(rest)
+      }
+      scored.withColumn("pred_lang", pred)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
     },
 
     // BM25 relevance scoring for a fixed query-term set — the retrieval
@@ -852,6 +947,35 @@ object TextQueries {
          |  floor((CAST(sum(k * n_pieces) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word
          |FROM dw JOIN np USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t17's CTEs re-composed (same trained tokenizer), rolled up to
+    // the per-language fertility report
+    "t24_fertility" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers,
+         |np AS (
+         |  SELECT word,
+         |    CAST(len(list_filter(string_split(seg, ' '), x -> x <> '')) AS BIGINT) AS n_pieces
+         |  FROM w$BpeRounds),
+         |dw AS (
+         |  SELECT doc_id, word, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(k * n_pieces) AS BIGINT) AS bpe_tokens
+         |  FROM dw JOIN np USING (word) GROUP BY doc_id),
+         |meta AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT lang, count(*) AS docs, CAST(sum(chars) AS BIGINT) AS chars,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  floor((CAST(sum(bpe_tokens) AS DOUBLE) / CAST(sum(ws_tokens) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS fertility,
+         |  floor((CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe_tokens) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+         |FROM per JOIN meta USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // unigram/bigram counts replayed from the same whitespace split;
     // the pmi arithmetic mirrors the Spark cast/operation order so both
     // engines produce identical doubles before the shared rounding
@@ -971,6 +1095,52 @@ object TextQueries {
         |  floor(((CAST(sum(cst) AS DOUBLE) / 1000000.0) / CAST(max(t_s) AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS kl
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // same trigram stream, train split, micro-nat model fold, and
+    // tie-break CASE order as the Spark side; unseen trigrams hit the
+    // same formula at c = 0
+    "t23_trigram_langid" -> {
+      val L = Seq("de", "en", "es", "fr", "zh")
+      val cCols = L.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN c END) AS c_$l").mkString(", ")
+      val ctCols = L.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN c END) AS ct_$l").mkString(", ")
+      val wCols = L.map(l =>
+        s"""CAST(floor(ln(CAST(coalesce(c_$l, 0) + 1 AS DOUBLE) /
+           |      CAST(ct_$l + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_$l"""
+          .stripMargin).mkString(",\n    ")
+      val dCols = L.map(l =>
+        s"""CAST(floor(ln(CAST(1 AS DOUBLE) /
+           |      CAST(ct_$l + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS d_$l"""
+          .stripMargin).mkString(",\n    ")
+      val sCols = L.map(l =>
+        s"CAST(sum(n * coalesce(w_$l, d_$l)) AS BIGINT) AS s_$l").mkString(", ")
+      val best = s"greatest(${L.map(l => s"s_$l").mkString(", ")})"
+      val predCase = L.init.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH cl AS (SELECT doc_id, lang,
+         |    regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t FROM documents),
+         |tg AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, length(t) - 1),
+         |      i -> substr(t, CAST(i AS INT), 3))) AS g
+         |  FROM cl),
+         |tr AS (SELECT lang, g, count(*) AS c FROM tg
+         |  WHERE doc_id % 5 <> 0 GROUP BY lang, g),
+         |tot AS (SELECT count(DISTINCT g) AS v, $ctCols FROM tr),
+         |mw AS (SELECT g, $cCols FROM tr GROUP BY g),
+         |model AS (SELECT g,
+         |    $wCols
+         |  FROM mw CROSS JOIN tot),
+         |dft AS (SELECT
+         |    $dCols
+         |  FROM tot),
+         |ev AS (SELECT doc_id, lang, g, count(*) AS n FROM tg
+         |  WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, g),
+         |sc AS (SELECT doc_id, lang, $sCols
+         |  FROM ev LEFT JOIN model USING (g) CROSS JOIN dft
+         |  GROUP BY doc_id, lang),
+         |pr AS (SELECT lang, CASE $predCase ELSE '${L.last}' END AS pred_lang FROM sc)
+         |SELECT lang, pred_lang, count(*) AS n FROM pr GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    },
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

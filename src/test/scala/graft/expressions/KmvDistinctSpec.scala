@@ -48,6 +48,25 @@ class KmvDistinctSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
   }
 
+  private def sketchSet(ids: Seq[Long], k: Int, parts: Int): Seq[Long] = {
+    graft.expressions.GraftFunctions.register(spark)
+    ids.toDF("id").repartition(parts)
+      .agg(expr(s"graft_kmv_set(graft_md5p60(CAST(id AS STRING)), $k)").as("hs"))
+      .head().getSeq[Long](0)
+  }
+
+  test("kmv_set: the k smallest distinct hashes, sorted, partition-invariant") {
+    val ids = (1L to 500L) ++ (1L to 100L)
+    val want = (1L to 500L)
+      .map(i => Md5Prefix60.hash60(i.toString.getBytes("UTF-8")))
+      .distinct.sorted.take(16)
+    assert(sketchSet(ids, 16, 1) == want)
+    assert(sketchSet(ids, 16, 7) == want, "merge must be union-then-truncate")
+    // below capacity: the full distinct hash set
+    val small = sketchSet(Seq(5L, 6L, 5L), 16, 3)
+    assert(small.length == 2 && small == small.sorted)
+  }
+
   test("kth is null and held 0 when all inputs are null") {
     graft.expressions.GraftFunctions.register(spark)
     val r = Seq(Option.empty[String], Option.empty[String]).toDF("s")

@@ -261,6 +261,16 @@ class PlanBudgetSpec extends SparkSpec {
     // s20: s02's broadcast bucket join, τ filter map-side — only the
     // presentation sort exchanges (measured 1)
     "s20_range_search" -> 1,
+    // t23: train (lang,g) agg + countDistinct expand + pivoted model
+    // agg + eval (doc,lang,g) agg + doc-score agg + confusion agg +
+    // sort; model/totals ride as broadcasts (measured 9)
+    "t23_trigram_langid" -> 9,
+    // t24: t17's composed shuffles + the lang rollup + sort
+    // (measured 5)
+    "t24_fertility" -> 5,
+    // x35: ONE corpus aggregate (bounded kmv_set state) + the
+    // dimension-sized pairwise stage + sort (measured 3)
+    "x35_kmv_overlap" -> 3,
     // s21: exact radius scan + s20 + intersect/agg recall tail
     // (measured 6)
     "s21_range_recall" -> 6,

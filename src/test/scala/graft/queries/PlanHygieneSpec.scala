@@ -65,6 +65,12 @@ class PlanHygieneSpec extends SparkSpec {
       "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
       "s21_range_recall", // s06's shape: brute exact radius side (s01)
+      "t23_trigram_langid", // model totals/defaults: two 1-ROW broadcast
+                            // frames cross-joined (the t18/p24 shape)
+      "x35_kmv_overlap", // pairwise sketch compare: non-equi (a < b) join
+                         // on the DIMENSION-sized per-source sketch frame
+                         // (64 longs/row); the corpus crossed one bounded
+                         // aggregate before it
       "s09_ann_mrr", "d13_auto_dedup",
       "t18_pmi_collocations", // corpus totals: two 1-ROW broadcast frames
       "p24_pps_sample", // corpus total weight: one 1-ROW broadcast frame
