@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.NumFns.round6
-import graft.ops.{Bfs, KCore, LabelPropagation, PageRank, Sssp}
+import graft.ops.{Bfs, Hits, KCore, LabelPropagation, PageRank, Sssp}
 
 /** Graph-analytics rows over graphs derived from the synthetic tables —
   * the iterative-algorithm pillar beside d07's connected components
@@ -55,6 +55,8 @@ object GraphQueries {
   private val AaCapDeg = 64
   private val KCoreK = 2
   private val KCoreRounds = 12
+  private val HitsIters = 4
+  private val HitsScale = 1000000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PageRank over the customer–supplier trade graph — 5 fixed-point
@@ -363,6 +365,36 @@ object GraphQueries {
           round6(col("jac_micro").cast(DoubleType) / lit(1000000.0)).as("jac"))
         .orderBy(desc("jac_micro"), col("part_a"), col("part_b"))
         .limit(25)
+    },
+
+    // HITS hubs & authorities (Kleinberg) over the DIRECTED demand
+    // graph customer → supplier — where g01's PageRank scores global
+    // centrality on the symmetrized graph, HITS separates the two
+    // roles by mutual reinforcement: a hub customer is one whose
+    // demand spans the strong suppliers; an authority supplier is one
+    // the strong hubs buy from. ops.Hits runs 4 fixed-point integer
+    // iterations (L1-normalized half-steps — each value ≤ scale, so
+    // raw·scale never overflows a long and every division truncates
+    // identically in both engines); the oracle replays the same
+    // half-steps as unrolled CTE layers from the same constants. Top
+    // 12 per role, rank-deterministic tie-break on node id.
+    "g10_hits" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val (hubs, auths) = Hits.run(edges, HitsIters, HitsScale)
+      val topHub = hubs.orderBy(desc("hub"), col("node")).limit(12)
+        .select(lit("customer").as("role"), expr("node div 2").as("node_id"),
+          col("hub").as("score"))
+      val topAuth = auths.orderBy(desc("auth"), col("node")).limit(12)
+        .select(lit("supplier").as("role"), expr("node div 2").as("node_id"),
+          col("auth").as("score"))
+      topHub.unionAll(topAuth)
+        .withColumn("score_f",
+          round6(col("score").cast(DoubleType) / lit(HitsScale.toDouble)))
+        .orderBy(col("role"), desc("score"), col("node_id"))
     })
 
   private val tradeEdgesSql =
@@ -570,5 +602,23 @@ object GraphQueries {
         |    / 1000000.0 AS jac
         |FROM j
         |ORDER BY jac_micro DESC, part_a, part_b
-        |LIMIT 25""".stripMargin)
+        |LIMIT 25""".stripMargin,
+
+    // ops.Hits.sqlCtes unrolls the same L1-normalized half-steps from
+    // the same constants; top 12 per role with the same tie-break
+    "g10_hits" -> {
+      val edgesCte =
+        """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+      s"""WITH ${Hits.sqlCtes(edgesCte, HitsIters, HitsScale)},
+         |th AS (SELECT 'customer' AS role, node // 2 AS node_id, hub AS score
+         |  FROM hub ORDER BY hub DESC, node LIMIT 12),
+         |ta AS (SELECT 'supplier' AS role, node // 2 AS node_id, auth AS score
+         |  FROM auth ORDER BY auth DESC, node LIMIT 12)
+         |SELECT role, node_id, score,
+         |  floor((CAST(score AS DOUBLE) / $HitsScale.0) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS score_f
+         |FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+         |ORDER BY role, score DESC, node_id""".stripMargin
+    })
 }

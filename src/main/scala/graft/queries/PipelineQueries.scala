@@ -305,6 +305,32 @@ object PipelineQueries {
         .orderBy("split")
     },
 
+    // PACKING vs PADDING efficiency — the batch-construction trade-off
+    // report behind p26: doc-ALIGNED batching pads every document to a
+    // multiple of L=256 (simple attention masks, wasted slots), while
+    // p26's contiguous packing wastes nothing but crosses document
+    // boundaries. This row quantifies the choice on this corpus: total
+    // padded sequences and padding rate for the aligned strategy vs
+    // the packed sequence count (Σ(toks+1 EOS) / L), i.e. exactly how
+    // much compute the cross-boundary masks buy back. All-integer
+    // ceil-div arithmetic on one corpus scan → one 1-row aggregate;
+    // ratios fold by long division (round6 display only).
+    "p28_pack_efficiency" -> { (s, dir) =>
+      val L = 256L
+      Tables(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast(LongType).as("toks"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("toks")).as("tokens"),
+          sum(expr(s"(toks + ${L - 1}) div $L")).as("pad_seqs"),
+          sum(expr(s"(toks + ${L - 1}) div $L * $L - toks")).as("pad_tokens"))
+        .select(col("docs"), col("tokens"), col("pad_seqs"), col("pad_tokens"),
+          expr(s"(tokens + docs + ${L - 1}) div $L").as("pack_seqs"),
+          expr(s"(pad_tokens * 1000000L) div (pad_seqs * $L)").as("pad_rate_micro"))
+        .withColumn("pad_rate",
+          round6(col("pad_rate_micro").cast(DoubleType) / lit(1000000.0)))
+        .withColumn("saved_seqs", col("pad_seqs") - col("pack_seqs"))
+    },
+
     // Deterministic k-PER-STRATUM sampling ("hash reservoir"): each
     // source keeps its k=10 docs with the smallest 52-bit hash priority —
     // a uniform, reproducible sample whose membership is stable under
@@ -952,6 +978,24 @@ object PipelineQueries {
         |  greatest(off, seq_id * 256) - seq_id * 256 AS seq_off,
         |  least(off + toks, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS len
         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+    // same ceil-div arithmetic over the same token counts; the 1-row
+    // report's ratios fold by the same long division
+    "p28_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS docs, CAST(sum(toks) AS BIGINT) AS tokens,
+        |    CAST(sum((toks + 255) // 256) AS BIGINT) AS pad_seqs,
+        |    CAST(sum((toks + 255) // 256 * 256 - toks) AS BIGINT) AS pad_tokens
+        |  FROM d)
+        |SELECT docs, tokens, pad_seqs, pad_tokens,
+        |  CAST((tokens + docs + 255) // 256 AS BIGINT) AS pack_seqs,
+        |  CAST((pad_tokens * 1000000) // (pad_seqs * 256) AS BIGINT) AS pad_rate_micro,
+        |  floor((CAST((pad_tokens * 1000000) // (pad_seqs * 256) AS DOUBLE)
+        |    / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS pad_rate,
+        |  CAST(pad_seqs - (tokens + docs + 255) // 256 AS BIGINT) AS saved_seqs
+        |FROM a""".stripMargin,
     // p13's split rule + d22's window mirror + the p09 md5-prefix
     // hash; distinct eval grams probed against distinct train grams
     "p27_split_overlap" ->

@@ -532,6 +532,49 @@ object SimilarityQueries {
         .orderBy("sz")
     },
 
+    // RECALL@k CURVE — s06 freezes one point (recall@3); ANN papers
+    // and index-tuning dashboards publish the CURVE: recall@k of the
+    // sign-LSH tier vs the exact scan at k ∈ {1, 3, 5, 10}, the shape
+    // that says whether the index is missing near-top neighbors (curve
+    // rises with k) or whole neighborhoods (flat). One exact and one
+    // bucketed top-10 pass, joined once on (query, neighbor); the four
+    // k-points fold from ONE aggregate over the joined ranks (no
+    // per-k rescans); possible = k × |queries| from a 1-row count.
+    "s22_recall_curve" -> { (s, dir) =>
+      val Ks = Seq(1, 3, 5, 10)
+      val v = vecsNorm(s, dir)
+      val vb = v.withColumn("bucket", lshBucket(col("e")))
+      def ranked(q: DataFrame, c: DataFrame,
+          cond: org.apache.spark.sql.Column): DataFrame = {
+        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+        q.join(c, cond)
+          .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+            dotSeq(col("q.e"), col("c.e")).as("c"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= 10)
+          .select("query_id", "neighbor_id", "r")
+      }
+      val ex = ranked(v.filter(col("vec_id") < 10).as("q"), v.as("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      val ap = ranked(vb.filter(col("vec_id") < 10).as("q"), vb.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      val joined = ex.withColumnRenamed("r", "er")
+        .join(ap.withColumnRenamed("r", "ar"), Seq("query_id", "neighbor_id"))
+      val hAggs = Ks.map(k =>
+        sum(when(col("er") <= k && col("ar") <= k, 1L).otherwise(0L)).as(s"h$k"))
+      val nq = ex.select(countDistinct("query_id").as("nq"))
+      joined.agg(hAggs.head, hAggs.tail: _*)
+        .crossJoin(nq)
+        .select(explode(array(Ks.map(k => struct(
+          lit(k.toLong).as("k"), col(s"h$k").as("hits"),
+          (lit(k.toLong) * col("nq")).as("possible"))): _*)).as("s"))
+        .select(col("s.k").as("k"), col("s.hits").as("hits"),
+          col("s.possible").as("possible"),
+          round6(col("s.hits").cast(DoubleType) /
+            col("s.possible").cast(DoubleType)).as("recall"))
+        .orderBy("k")
+    },
+
     // RANGE (radius) search — the OTHER retrieval primitive: all
     // neighbors with cosine ≥ τ, not a fixed top-k. Top-k always
     // returns k rows however bad the tail; a radius query returns the
@@ -1043,6 +1086,42 @@ object SimilarityQueries {
            |per AS (SELECT bucket, count(*) AS sz FROM v GROUP BY bucket)
            |SELECT sz, count(*) AS n_buckets, CAST(sz * count(*) AS BIGINT) AS vectors
            |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+      // same exact/bucketed top-10 passes; the four k-points fold from
+      // one pass over the joined ranks, possible = k × |queries|
+      "s22_recall_curve" ->
+        s"""WITH v AS (SELECT vec_id, $norm AS e FROM embeddings),
+           |ex_scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ex AS (
+           |  SELECT query_id, neighbor_id, r FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ex_scored) WHERE r <= 10),
+           |b AS (
+           |  SELECT vec_id, e, $bucketExpr AS bucket
+           |  FROM (SELECT vec_id, $norm AS e FROM embeddings)),
+           |ap_scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dqc AS c
+           |  FROM b q JOIN b c
+           |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ap AS (
+           |  SELECT query_id, neighbor_id, r FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS r
+           |    FROM ap_scored) WHERE r <= 10),
+           |j AS (
+           |  SELECT ex.r AS er, ap.r AS ar
+           |  FROM ex JOIN ap USING (query_id, neighbor_id)),
+           |nq AS (SELECT count(DISTINCT query_id) AS nq FROM ex),
+           |ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k),
+           |h AS (
+           |  SELECT k, CAST(sum(CASE WHEN er <= k AND ar <= k THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |  FROM j CROSS JOIN ks GROUP BY k)
+           |SELECT k, hits, CAST(k * nq AS BIGINT) AS possible,
+           |  floor((CAST(hits AS DOUBLE) / CAST(k * nq AS DOUBLE)) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS recall
+           |FROM h CROSS JOIN nq ORDER BY k""".stripMargin,
       // s02's bucketed candidate join with the τ filter in place of
       // the rank window; the τ compare sees the same sequential-fold
       // dot bits as Spark, round6 only on display

@@ -214,6 +214,9 @@ class PlanBudgetSpec extends SparkSpec {
     // g07: restart rounds run eagerly inside localCheckpoints (g01's
     // shape); static tail = checkpoint scan + presentation sort
     "g07_ppr" -> 0,
+    // g10: HITS half-steps run eagerly inside localCheckpoints (g01's
+    // shape); static tail = checkpoint scans + TakeOrdered (measured 0)
+    "g10_hits" -> 0,
     // x32: the x29 grid materializes once (localCheckpoint); static
     // tail = replicate-aggregate + join-back + presentation sort
     "x32_ewma" -> 2,
@@ -271,6 +274,12 @@ class PlanBudgetSpec extends SparkSpec {
     // x35: ONE corpus aggregate (bounded kmv_set state) + the
     // dimension-sized pairwise stage + sort (measured 3)
     "x35_kmv_overlap" -> 3,
+    // p28: one corpus scan into a 1-row aggregate + the 1-row tail
+    // (measured 1)
+    "p28_pack_efficiency" -> 1,
+    // s22: exact + bucketed rank windows, the (query, neighbor) rank
+    // join, one 4-point fold + sort (measured 7)
+    "s22_recall_curve" -> 7,
     // s21: exact radius scan + s20 + intersect/agg recall tail
     // (measured 6)
     "s21_range_recall" -> 6,

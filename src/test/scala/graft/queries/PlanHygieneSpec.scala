@@ -65,6 +65,8 @@ class PlanHygieneSpec extends SparkSpec {
       "s10_ivf_nprobe", // centroid probe + composed s01 exact side (s03/s06 shapes)
       "s08_pq_recall", "p14_bloom_decontam", "d12_lsh_tuning",
       "s21_range_recall", // s06's shape: brute exact radius side (s01)
+      "s22_recall_curve", // s06's shape: brute exact top-10 side (s01)
+                          // + the 1-row nq frame
       "t23_trigram_langid", // model totals/defaults: two 1-ROW broadcast
                             // frames cross-joined (the t18/p24 shape)
       "x35_kmv_overlap", // pairwise sketch compare: non-equi (a < b) join
