@@ -84,19 +84,24 @@ object Hits {
       edgesCte: String,
       iterations: Int,
       scale: Long = 1000000000L): String = {
+    // every CTE is referenced exactly ONCE by the next layer: a raw/tot
+    // CTE pair would be referenced twice and DuckDB INLINES multiply-
+    // referenced CTEs — doubling the whole prior chain per reference,
+    // 4^iterations expansions (observed: the sf0.1 replay spilled temp
+    // storage until the disk filled). The L1 total therefore comes from
+    // an unpartitioned window over the raw aggregate, same exact
+    // integer value, single reference, linear plan.
     val layers = (1 to iterations).map { k =>
-      s"""a${k}raw AS (
-         |  SELECT e.dst, sum(h.hub) AS raw
-         |  FROM edges e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
-         |a${k}tot AS (SELECT sum(raw) AS t FROM a${k}raw),
-         |a$k AS (SELECT dst AS node, (raw * $scale) // t AS auth
-         |  FROM a${k}raw CROSS JOIN a${k}tot),
-         |h${k}raw AS (
-         |  SELECT e.src, sum(a.auth) AS raw
-         |  FROM edges e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
-         |h${k}tot AS (SELECT sum(raw) AS t FROM h${k}raw),
-         |h$k AS (SELECT src AS node, (raw * $scale) // t AS hub
-         |  FROM h${k}raw CROSS JOIN h${k}tot)""".stripMargin
+      s"""a$k AS (
+         |  SELECT dst AS node, (raw * $scale) // (sum(raw) OVER ()) AS auth
+         |  FROM (SELECT e.dst, sum(h.hub) AS raw
+         |        FROM edges e JOIN h${k - 1} h ON e.src = h.node
+         |        GROUP BY e.dst)),
+         |h$k AS (
+         |  SELECT src AS node, (raw * $scale) // (sum(raw) OVER ()) AS hub
+         |  FROM (SELECT e.src, sum(a.auth) AS raw
+         |        FROM edges e JOIN a$k a ON e.dst = a.node
+         |        GROUP BY e.src))""".stripMargin
     }.mkString(",\n")
     s"""edges AS ($edgesCte),
        |hn AS (SELECT DISTINCT src AS node FROM edges),
