@@ -811,6 +811,10 @@ object ExtraQueries {
       val sk = Tables(s, dir, "documents")
         .groupBy("source")
         .agg(call_function("graft_kmv_set", h60(col("text")), lit(K)).as("hs"))
+        // two consumers (both sides of the pair join) — materialize the
+        // dimension-sized sketch frame once or each side re-plans the
+        // corpus aggregate (measured: 2 scans → 1)
+        .localCheckpoint()
       val p = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
           slice(array_sort(array_union(col("a.hs"), col("b.hs"))), 1, K).as("un"),

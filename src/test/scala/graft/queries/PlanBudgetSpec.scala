@@ -271,9 +271,10 @@ class PlanBudgetSpec extends SparkSpec {
     // t24: t17's composed shuffles + the lang rollup + sort
     // (measured 5)
     "t24_fertility" -> 5,
-    // x35: ONE corpus aggregate (bounded kmv_set state) + the
-    // dimension-sized pairwise stage + sort (measured 3)
-    "x35_kmv_overlap" -> 3,
+    // x35: ONE corpus aggregate (bounded kmv_set state, checkpointed
+    // sketch frame) + the dimension-sized pairwise stage + sort
+    // (measured 1)
+    "x35_kmv_overlap" -> 1,
     // p28: one corpus scan into a 1-row aggregate + the 1-row tail
     // (measured 1)
     "p28_pack_efficiency" -> 1,
