@@ -379,6 +379,31 @@ object EventQueries {
         .orderBy("cluster_id")
     },
 
+    // MEDIA SIZE-CLASS CENSUS — the shard-planning ledger behind
+    // Multimodal's size-bucketed repartition: per power-of-two payload
+    // size class, media count, byte volume, min/max, and the exact-dup
+    // count (distinct signatures vs rows). A decode fan-out is sized by
+    // BYTES not rows — a bucket holding 1% of files but 60% of bytes is
+    // the one that needs its own partitioning — and per-bucket dup
+    // ratios say where content-hash dedup pays before decode. One
+    // corpus scan into one aggregate (the countDistinct rides the same
+    // shuffle); bucket = floor(log2(nbytes)) via the integer-exact
+    // bin-length identity both engines share (x21's precedent).
+    "m06_size_histogram" -> { (s, dir) =>
+      val m = Tables(s, dir, "documents")
+        .select(encode(col("text"), "UTF-8").as("payload"))
+        .select(octet_length(col("payload")).cast(LongType).as("nbytes"),
+          substring(md5(col("payload")), 1, 15).as("sig"))
+        .filter(col("nbytes") > 0)
+      m.withColumn("bucket", (length(bin(col("nbytes"))) - 1).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_media"), sum("nbytes").as("bytes"),
+          min("nbytes").as("min_bytes"), max("nbytes").as("max_bytes"),
+          countDistinct(col("sig")).as("distinct_sigs"))
+        .withColumn("dups", col("n_media") - col("distinct_sigs"))
+        .orderBy("bucket")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -1232,6 +1257,21 @@ object EventQueries {
         |WHERE length(f) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
     "m03_media_neardup" -> M03Sql,
+    // same bin-length log2 identity (x21's precedent); md5 over the
+    // text mirrors Spark's md5 over its UTF-8 bytes (ASCII corpus)
+    "m06_size_histogram" ->
+      """WITH m AS (
+        |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |    substr(md5(text), 1, 15) AS sig
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0)
+        |SELECT CAST(length(bin(nbytes)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_media, CAST(sum(nbytes) AS BIGINT) AS bytes,
+        |  CAST(min(nbytes) AS BIGINT) AS min_bytes,
+        |  CAST(max(nbytes) AS BIGINT) AS max_bytes,
+        |  CAST(count(DISTINCT sig) AS BIGINT) AS distinct_sigs,
+        |  CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS dups
+        |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin,
     // m03's pair CTEs + the d07 recursive min-label fixpoint + a
     // cluster census
     "m05_media_clusters" ->

@@ -278,6 +278,9 @@ class PlanBudgetSpec extends SparkSpec {
     // p28: one corpus scan into a 1-row aggregate + the 1-row tail
     // (measured 1)
     "p28_pack_efficiency" -> 1,
+    // m06: one scan, bucket aggregate with the countDistinct expand,
+    // presentation sort (measured 3)
+    "m06_size_histogram" -> 3,
     // s22: exact + bucketed rank windows, the (query, neighbor) rank
     // join, one 4-point fold + sort (measured 7)
     "s22_recall_curve" -> 7,
