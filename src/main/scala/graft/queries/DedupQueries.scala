@@ -362,6 +362,48 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
+    // DEDUP FUNNEL — the waterfall ledger a curation run publishes:
+    // docs and tokens surviving each tier of the ladder, applied in
+    // escalating-cost order (exact content hash → d08's minhash
+    // signature key → d09's verified near-dup clusters). d01/d08/d09
+    // each pin their tier in isolation; this row pins the COMPOSED
+    // pipeline semantics (each tier keeps its min-id keeper among the
+    // PREVIOUS tier's survivors) and the attribution numbers that
+    // justify each tier's cost. Scale shape: one pass per tier — a
+    // content-hash shuffle, a signature-key shuffle, and the memoized
+    // candidate graph's CC (pair-volume, not corpus); the report is
+    // four 1-row aggregates.
+    "d25_dedup_funnel" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(tokens(col("text"))).cast(LongType).as("toks"))
+      val ex = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s1 = d.join(ex, Seq("doc_id"), "left_semi")
+      val keyed = s1.withColumn("hms",
+          transform(array_distinct(grams3(tokens(col("text")))), g => h60(g) % lit(P)))
+        .withColumn("sig_key", coalesce(
+          when(size(col("hms")) > 0,
+            concat_ws(",", transform(minhashSlots(col("hms")), _.cast("string")))),
+          col("text")))
+      val k2 = keyed.groupBy("sig_key")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s2 = s1.join(k2, Seq("doc_id"), "left_semi")
+      val losers = graft.ops.ConnectedComponents.minLabel(
+          neardupPairs(s, dir).select("doc_a", "doc_b"))._1
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
+      def stat(stage: Int, tier: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+          .select(lit(stage.toLong).as("stage"), lit(tier).as("tier"),
+            col("docs"), col("tokens"))
+      stat(0, "raw", d)
+        .unionAll(stat(1, "exact", s1))
+        .unionAll(stat(2, "near_sig", s2))
+        .unionAll(stat(3, "near_cluster", s3))
+        .orderBy("stage")
+    },
+
     // MinHash signature agreement: LSH-banding candidates verified by
     // counting agreement over all K=16 slots, kept when >= K/2 agree
     // (est. Jaccard >= 0.5). A direct self-join on raw (k, v) slot values
@@ -1127,6 +1169,55 @@ object DedupQueries {
     "d01_dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
+    // d01's hash keeper → d08's signature keeper among tier-1
+    // survivors → d09's CC losers dropped; four 1-row tier aggregates
+    "d25_dedup_funnel" ->
+      s"""WITH RECURSIVE $sqlSigs,
+         |$sqlCand,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+         |  FROM toks),
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE j >= 0.5),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |n AS (SELECT DISTINCT s AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS l FROM n
+         |  UNION
+         |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.v),
+         |losers AS (
+         |  SELECT v AS doc_id FROM (SELECT v, min(l) AS cl FROM reach GROUP BY v)
+         |  WHERE cl <> v),
+         |d AS (SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY sha256(text)),
+         |s1 AS (SELECT d.doc_id, d.text, d.toks FROM d JOIN ex USING (doc_id)),
+         |keys AS (
+         |  SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS sig_key
+         |  FROM sig GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT s1.doc_id, coalesce(k.sig_key, s1.text) AS sig_key
+         |  FROM s1 LEFT JOIN keys k USING (doc_id)),
+         |k2 AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY sig_key),
+         |s2 AS (SELECT s1.doc_id, s1.toks FROM s1 JOIN k2 USING (doc_id)),
+         |s3 AS (SELECT s2.doc_id, s2.toks FROM s2
+         |  WHERE s2.doc_id NOT IN (SELECT doc_id FROM losers)),
+         |f AS (
+         |  SELECT 0 AS stage, 'raw' AS tier, count(*) AS docs,
+         |    CAST(sum(toks) AS BIGINT) AS tokens FROM d
+         |  UNION ALL SELECT 1, 'exact', count(*), CAST(sum(toks) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, 'near_sig', count(*), CAST(sum(toks) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'near_cluster', count(*), CAST(sum(toks) AS BIGINT) FROM s3)
+         |SELECT CAST(stage AS BIGINT) AS stage, tier, docs, tokens
+         |FROM f ORDER BY stage""".stripMargin,
     "d02_minhash_pairs" ->
       s"""WITH $sqlSigs,
          |$sqlCand

@@ -281,6 +281,10 @@ class PlanBudgetSpec extends SparkSpec {
     // m06: one scan, bucket aggregate with the countDistinct expand,
     // presentation sort (measured 3)
     "m06_size_histogram" -> 3,
+    // d25: three tier shuffles (content hash, signature key, semi/anti
+    // joins) + the embedded memoized candidate-build exchanges (d02's
+    // shape); CC rounds run inside checkpoints (measured 13)
+    "d25_dedup_funnel" -> 13,
     // s22: exact + bucketed rank windows, the (query, neighbor) rank
     // join, one 4-point fold + sort (measured 7)
     "s22_recall_curve" -> 7,

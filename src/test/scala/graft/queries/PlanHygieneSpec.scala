@@ -59,6 +59,7 @@ class PlanHygieneSpec extends SparkSpec {
       "d02_minhash_pairs",
       "d05_ngram_jaccard", "d18_containment", // d05's shape, containment scoring
       "d19_central_keeper", // composes d05's verified pairs (same shape)
+      "d25_dedup_funnel", // composes d05's verified pairs (same shape)
       "d23_split_leakage", // composes d05's verified pairs (same shape)
       "d03_minhash_lsh", "x11_skew_salted_join",
       "s03_ivf_topk", "s04_sq8_topk", "s06_lsh_recall", "s07_ivf_recall",
