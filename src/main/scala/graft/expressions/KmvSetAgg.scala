@@ -33,10 +33,16 @@ case class KmvSetAgg(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
   // k must be a foldable literal (it bounds the buffer)
-  private lazy val k: Int = kExpr.eval() match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+  private lazy val k: Int = {
+    val kv = kExpr.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+    }
+    // offer() reads buf.last once the buffer is "full"; k <= 0 would make an
+    // EMPTY buffer full and fail with an opaque NoSuchElementException
+    require(kv >= 1, s"graft_kmv_set: k must be >= 1, got $kv")
+    kv
   }
 
   override lazy val resolved: Boolean = childrenResolved &&

@@ -35,8 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  /** @param edges directed (src: long, dst: long) rows; duplicates are
-    *              distinct parallel edges (each carries contribution).
+  /** @param edges directed (src: long, dst: long) rows; MUST be distinct —
+    *              the no-overflow argument above (each addend ≤ scale, so a
+    *              per-node raw sum stays ≤ n·scale ≪ 2^63/scale) assumes at
+    *              most one edge per (src, dst); parallel-edge multiplicity
+    *              could push raw · scale past Long.MaxValue silently.
+    *              Callers dedup first (g10 does `.distinct()`); run() does
+    *              not dedup internally because that extra exchange would
+    *              change every pinned plan budget for a case no caller has.
     * @return (hubs, auths): (node, hub) for every node with an
     *         out-edge, (node, auth) for every node with an in-edge;
     *         both in units of 1/scale, each column L1-summing to ~scale

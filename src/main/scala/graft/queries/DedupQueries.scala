@@ -367,9 +367,13 @@ object DedupQueries {
     // escalating-cost order (exact content hash → d08's minhash
     // signature key → d09's verified near-dup clusters). d01/d08/d09
     // each pin their tier in isolation; this row pins the COMPOSED
-    // pipeline semantics (each tier keeps its min-id keeper among the
-    // PREVIOUS tier's survivors) and the attribution numbers that
-    // justify each tier's cost. Scale shape: one pass per tier — a
+    // pipeline semantics and the attribution numbers that justify each
+    // tier's cost. Tier semantics: tiers 1–2 keep the min-id keeper
+    // among the previous tier's survivors; tier 3 drops ALL non-minimal
+    // members of the whole-corpus near-dup clusters (cluster minima are
+    // global, so a cluster whose global-min member already fell at an
+    // earlier tier keeps no representative — the same rule both engines
+    // compute). Scale shape: one pass per tier — a
     // content-hash shuffle, a signature-key shuffle, and the memoized
     // candidate graph's CC (pair-volume, not corpus); the report is
     // four 1-row aggregates.

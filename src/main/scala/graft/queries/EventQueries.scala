@@ -370,8 +370,14 @@ object EventQueries {
     // d07 pins. Scale: CC runs on the PAIR graph (near-dup-sized, not
     // corpus-sized); the census is one cluster-keyed aggregate.
     "m05_media_clusters" -> { (s, dir) =>
+      // localCheckpoint: CC's node/edge sides + the census are multiple
+      // consumers of the pair frame — without materialization each one
+      // re-executed m03's full decode→LSH→pair pipeline (VERDICT r8:
+      // m05 10.6 s vs m03's 2.8 s standalone). The checkpointed frame
+      // is pair-sized (near-dup volume), the neardupPairs pattern.
       val pairs = queries("m03_media_neardup")(s, dir)
         .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+        .localCheckpoint()
       graft.ops.ConnectedComponents.minLabel(pairs)._1
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("members"), min("doc_id").as("keeper"),
@@ -1000,6 +1006,43 @@ object EventQueries {
         .orderBy("user_id", "click_id")
     },
 
+    // FULL-OUTER stream-stream AS-OF join — e33 completed with the
+    // symmetric build side, the way e25/e26 completed e17's interval
+    // family: every final click emits once (matched or not, e33's
+    // rows), and every view that was NO final click's argmax emits
+    // once its forward horizon passes (click_id NULL) — the
+    // orphaned-view audit a funnel pipeline reads to find impressions
+    // that never converted. The build-side finality point is exactly
+    // the retention horizon the left-outer operator already prunes at,
+    // so the full-outer costs no extra state — just matched-id marks
+    // pruned with the builds they mark. The oracle replays both
+    // contracts: clicks as e33; a view emits unmatched iff
+    // (vns + 2 h) ms ≤ final watermark and it is no final click's
+    // argmax. 20th live streaming oracle row.
+    "e34_stream_asof_full" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts2", graft.streaming.Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts2", "2 hours")
+        .as[graft.streaming.Streaming.TEvent]
+      val joined = graft.streaming.Streaming.asofFullOuterStream(
+        ev, "click", "view", 7200000000000L)
+      val sink = "e34_stream_asof_full_sink"
+      s.catalog.dropTempView(sink)
+      scopedStream(s) {
+        val q = joined.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("probe_id").as("click_id"),
+          col("build_id").as("view_id"), col("gap_us"))
+        .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+          col("view_id").asc_nulls_first)
+    },
+
     // Interval-overlap aggregation by SWEEP LINE: each event opens a
     // 5-minute activity interval; per (event_type, day) report the peak
     // number of simultaneously-open intervals and the union-covered
@@ -1566,6 +1609,33 @@ object EventQueries {
         |SELECT user_id, click_id, view_id, (cns - vns) // 1000 AS gap_us
         |FROM j WHERE rn = 1
         |ORDER BY user_id, click_id""".stripMargin,
+    // e33's click contract + the symmetric build side: a view emits
+    // unmatched (click_id NULL) iff its forward horizon (vns + 2 h, in
+    // ms) is at/below the final watermark and no final click chose it
+    // as argmax. NULLS FIRST pinned (Spark's asc default).
+    "e34_stream_asof_full" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),
+        |c AS (SELECT user_id, event_id AS click_id, tsn AS cns FROM e, wm
+        |  WHERE event_type = 'click' AND (tsn // 1000) // 1000 <= wm_ms),
+        |v AS (SELECT user_id, event_id AS view_id, tsn AS vns FROM e
+        |  WHERE event_type = 'view'),
+        |j AS (SELECT c.user_id, c.click_id, c.cns, v.view_id, v.vns,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY v.vns DESC, v.view_id DESC) AS rn
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND v.vns <= c.cns AND v.vns >= c.cns - 7200000000000),
+        |m AS (SELECT user_id, click_id, view_id, (cns - vns) // 1000 AS gap_us
+        |  FROM j WHERE rn = 1)
+        |SELECT user_id, click_id, view_id, gap_us FROM m
+        |UNION ALL
+        |SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id, v.view_id,
+        |  CAST(NULL AS BIGINT) AS gap_us
+        |FROM v, wm
+        |WHERE ((v.vns + 7200000000000) // 1000) // 1000 <= wm_ms
+        |  AND v.view_id NOT IN (SELECT view_id FROM m WHERE view_id IS NOT NULL)
+        |ORDER BY user_id, click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
     "e32_stream_shift" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn FROM events),
         |wm AS (SELECT (max(tsn) // 1000) // 1000 - 7200000 AS wm_ms FROM e),

@@ -560,8 +560,11 @@ object SimilarityQueries {
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       val joined = ex.withColumnRenamed("r", "er")
         .join(ap.withColumnRenamed("r", "ar"), Seq("query_id", "neighbor_id"))
+      // coalesce: a degenerate EMPTY rank join must yield hits = 0 (the
+      // global agg still emits its 1 row), matching the oracle's LEFT JOIN
       val hAggs = Ks.map(k =>
-        sum(when(col("er") <= k && col("ar") <= k, 1L).otherwise(0L)).as(s"h$k"))
+        coalesce(sum(when(col("er") <= k && col("ar") <= k, 1L).otherwise(0L)), lit(0L))
+          .as(s"h$k"))
       val nq = ex.select(countDistinct("query_id").as("nq"))
       joined.agg(hAggs.head, hAggs.tail: _*)
         .crossJoin(nq)
@@ -700,6 +703,141 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
         .orderBy("query_id", "rank")
+    },
+
+    // PERSISTED IVF INDEX LIFECYCLE — the production flow every
+    // in-memory tier above skips: BUILD the coarse index once
+    // (decimal-exact label centroids + the inverted lists laid out as
+    // label-PARTITIONED parquet), WRITE it via io.Writers, then SERVE
+    // top-k from the RE-READ artifact only. The oracle is s03's pinned
+    // SQL unchanged, so a green row proves index-from-disk ≡
+    // index-in-memory: double arrays round-trip parquet bit-exactly
+    // and the hive partition column comes back typed (label is int32).
+    // Scale story: the build is a one-time job whose cost amortizes
+    // over every serving job (s03 repays it per job); centroids are a
+    // tiny broadcast table on disk; postings are hive-partitioned
+    // inverted lists, so a serving job's scan is pruned to the probed
+    // clusters' directories — partition pruning IS the inverted-list
+    // seek. Runs eagerly (write → re-read → checkpoint) so the temp
+    // artifact is reclaimed before return, the d14 side-effectful
+    // pattern; the checkpointed result is 30 rows.
+    "s23_ivf_persisted" -> { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+      val tmp = java.nio.file.Files.createTempDirectory("s23_ivf").toString
+      graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
+      graft.io.Writers.parquetPartitioned(
+        v.select(col("vec_id"), col("e"), col("label")),
+        s"$tmp/postings", Seq("label"), targetFileCount = 4)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val post = s.read.parquet(s"$tmp/postings")
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val best = q.crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("c_label").as("best_label"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      val out = best
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(post.select(col("label").as("best_label"),
+          col("vec_id").as("neighbor_id"), col("e").as("ce")), "best_label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      out.orderBy("query_id", "rank")
+    },
+
+    // PERSISTED IVF+PQ INDEX — s23's lifecycle applied to the composed
+    // production index (s18's shape): the written artifact is the REAL
+    // resident set of an IVFPQ index — coarse centroids, the per-
+    // subspace codebook, and the codes table holding ONLY (vec_id, m,
+    // code) under label= partitions (no raw subvectors: 4 code ids per
+    // vector, the PQ compression actually banked on disk). Serving
+    // recomputes query subvectors from the raw store (queries arrive
+    // raw online), probes the re-read centroids, builds the ADC LUT
+    // against the re-read codebook, scans ONLY the probed label
+    // partition's codes, and reranks the top-C against raw vectors —
+    // exactly s18's arithmetic, so s18's pinned SQL is the oracle and
+    // a green row proves the persisted artifact serves bit-identical
+    // results. At 100 TB the codes table is the only corpus-sized
+    // artifact and it is 16× narrower than the vectors it indexes.
+    "s24_ivfpq_persisted" -> { (s, dir) =>
+      val M = 4
+      val SubDim = 16
+      val C = 10
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          l2normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      val sub = v.select(col("vec_id"), col("label"),
+          posexplode(array((0 until M).map(m =>
+            slice(col("e"), m * SubDim + 1, SubDim)): _*)))
+        .toDF("vec_id", "label", "m", "sub")
+        .withColumn("b", lshBucketN(col("sub"), SubDim))
+        .localCheckpoint()
+      val sums = (0 until SubDim).map(d =>
+        sum(element_at(col("sub"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
+      val cbBuild = sub.groupBy("m", "b")
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("m"), col("b"),
+          array((0 until SubDim).map(d =>
+            col(s"s$d").cast(DoubleType) / col("n")): _*).as("cb"))
+      val tmp = java.nio.file.Files.createTempDirectory("s24_ivfpq").toString
+      graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
+      graft.io.Writers.parquet(cbBuild, s"$tmp/codebook")
+      graft.io.Writers.parquetPartitioned(
+        sub.select(col("vec_id"), col("m"), col("b"), col("label")),
+        s"$tmp/codes", Seq("label"), targetFileCount = 4)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebook")
+      val codes = s.read.parquet(s"$tmp/codes")
+      val q = v.filter(col("vec_id") < 10)
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+      val best = q.crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("c_label"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("c_label").as("label"))
+      val lut = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("query_id"), col("m"), col("b"),
+          dotSeq(col("sub"), col("cb")).as("part"))
+      val cl = codes.select(col("vec_id").as("neighbor_id"), col("m"),
+          col("b"), col("label"))
+        .join(broadcast(best), "label")
+      val parts = (0 until M).map(m =>
+        max(when(col("m") === m, col("part"))).as(s"p$m"))
+      val adc = cl.join(broadcast(lut), Seq("query_id", "m", "b"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(parts.head, parts.tail: _*)
+        .select(col("query_id"), col("neighbor_id"),
+          (0 until M).map(m => col(s"p$m")).reduce(_ + _).as("adc"))
+      val wCand = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      val out = adc.withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= C)
+        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      out.orderBy("query_id", "rank")
     },
 
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
@@ -1116,8 +1254,9 @@ object SimilarityQueries {
            |nq AS (SELECT count(DISTINCT query_id) AS nq FROM ex),
            |ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k),
            |h AS (
-           |  SELECT k, CAST(sum(CASE WHEN er <= k AND ar <= k THEN 1 ELSE 0 END) AS BIGINT) AS hits
-           |  FROM j CROSS JOIN ks GROUP BY k)
+           |  SELECT ks.k,
+           |    CAST(coalesce(sum(CASE WHEN er <= ks.k AND ar <= ks.k THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+           |  FROM ks LEFT JOIN j ON true GROUP BY ks.k)
            |SELECT k, hits, CAST(k * nq AS BIGINT) AS possible,
            |  floor((CAST(hits AS DOUBLE) / CAST(k * nq AS DOUBLE)) * 1000000.0 + 0.5)
            |    / 1000000.0 AS recall
@@ -1313,6 +1452,10 @@ object SimilarityQueries {
            |ORDER BY query_id""".stripMargin
       },
       "s03_ivf_topk" -> s03Sql,
+      // the persisted-index rows re-serve the pinned tier SQL: a green
+      // row = index-from-disk ≡ index-in-memory
+      "s23_ivf_persisted" -> s03Sql,
+      "s24_ivfpq_persisted" -> s18Sql,
       // s03's probe/search shape with nprobe=2 and the parity predicate
       // applied to cluster MEMBERS (cv), never to queries or centroids
       "s13_filtered_ann" -> {

@@ -877,4 +877,90 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class AsofFullRow(user_id: Long, probe_id: Option[Long],
+      build_id: Option[Long], gap_us: Option[Long])
+  case class AsofFullState(pending: List[TEvent], builds: List[TEvent],
+      matched: List[Long])
+
+  /** FULL-OUTER stream-stream AS-OF join — [[asofJoinStream]] (probe
+    * side: every final probe emits once, matched or not) completed with
+    * the symmetric build-side contract: a build that matched NO probe
+    * emits once its FORWARD horizon passes — the way e25/e26 completed
+    * e17's interval family. "Matched" means CHOSEN as some final
+    * probe's argmax, not merely lying in a probe's window: a build
+    * superseded by a newer build for every probe in its window is
+    * unmatched (the abandoned-quote / orphaned-view audit row).
+    *
+    * Build-side finality: build b can still be chosen while any probe
+    * in [b.ts, b.ts + lookback] is pending; pending probes have
+    * ts_ms > wm, so once floor((b.ts_ns + lookback)/10⁶) ≤ wm every
+    * probe that could choose b has been finalized — which is EXACTLY
+    * the retention horizon asofJoinStream already prunes at, so the
+    * unmatched-build emission is the prune step itself, reading the
+    * matched-id marks accumulated since the build ripened. Probes
+    * match against this batch's full build list BEFORE expiry runs, so
+    * a build matched at its own expiry watermark is marked in time.
+    * State per key stays bounded by the same two horizons as
+    * asofJoinStream; the matched-id list is pruned with the builds it
+    * marks.
+    *
+    * Finality contract (what the oracle replays): probe rows as in
+    * asofJoinStream; build b emits (probe_id NULL) iff
+    * floor((b.ts_ns + lookback)/10⁶) ≤ final watermark and b is no
+    * final probe's argmax.
+    */
+  def asofFullOuterStream(events: Dataset[TEvent], probeType: String,
+      buildType: String, lookbackNs: Long): Dataset[AsofFullRow] = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    val timeoutConf =
+      if (isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofFullState, AsofFullRow](OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[TEvent], state: GroupState[AsofFullState]) =>
+          val prior = state.getOption.getOrElse(AsofFullState(Nil, Nil, Nil))
+          val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val buf = prior.pending ++ it
+          val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
+          // builds first (asofJoinStream's equal-ts finality), and ALL
+          // matching before any expiry: a probe finalized this batch may
+          // choose a build that expires this same batch
+          val builds = prior.builds ++ ripe.filter(_.event_type == buildType)
+          var matched = prior.matched.toSet
+          val probeRows = ripe.filter(_.event_type == probeType)
+            .sortBy(e => (e.ts_ns, e.event_id))
+            .map { p =>
+              val cand = builds.filter(b =>
+                b.ts_ns <= p.ts_ns && b.ts_ns >= p.ts_ns - lookbackNs)
+              if (cand.isEmpty) AsofFullRow(uid, Some(p.event_id), None, None)
+              else {
+                val best = cand.maxBy(b => (b.ts_ns, b.event_id))
+                matched += best.event_id
+                AsofFullRow(uid, Some(p.event_id), Some(best.event_id),
+                  Some((p.ts_ns - best.ts_ns) / 1000L))
+              }
+            }
+          // forward-horizon expiry ≡ asofJoinStream's keepNs prune
+          // (b.ts_ns + lb < (wm+1)·10⁶ ⟺ floor((b.ts_ns + lb)/10⁶) ≤ wm),
+          // written overflow-safe for the batch path's wm = MaxValue
+          val (expired, kept) = builds.partition(b =>
+            wm == Long.MaxValue || (b.ts_ns + lookbackNs) / 1000000L <= wm)
+          val buildRows = expired.filter(b => !matched.contains(b.event_id))
+            .sortBy(b => (b.ts_ns, b.event_id))
+            .map(b => AsofFullRow(uid, None, Some(b.event_id), None))
+          if (isStreaming) {
+            val keptIds = kept.map(_.event_id).toSet
+            val keptMatched = matched.filter(keptIds.contains).toList
+            if (rest.isEmpty && kept.isEmpty) state.remove()
+            else {
+              state.update(AsofFullState(rest, kept, keptMatched))
+              state.setTimeoutTimestamp(wm + 1)
+            }
+          }
+          (probeRows ++ buildRows).iterator
+      }
+  }
 }

@@ -67,6 +67,21 @@ class KmvDistinctSpec extends SparkSpec {
     assert(small.length == 2 && small == small.sorted)
   }
 
+  test("kmv_set: k <= 0 fails with a clear argument error, not a buffer exception") {
+    graft.expressions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq(1L).toDF("id")
+        .agg(expr("graft_kmv_set(graft_md5p60(CAST(id AS STRING)), 0)"))
+        .head()
+    }
+    // the require message must surface (wrapped in Spark's exec exception),
+    // never the pre-guard NoSuchElementException from buf.last on empty
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("k must be >= 1"))),
+      s"expected the k >= 1 require message, got: $e")
+  }
+
   test("kth is null and held 0 when all inputs are null") {
     graft.expressions.GraftFunctions.register(spark)
     val r = Seq(Option.empty[String], Option.empty[String]).toDF("s")

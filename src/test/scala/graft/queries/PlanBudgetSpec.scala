@@ -35,7 +35,7 @@ class PlanBudgetSpec extends SparkSpec {
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
       "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift",
-      "e33_stream_asof")
+      "e33_stream_asof", "e34_stream_asof_full")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each
@@ -247,6 +247,14 @@ class PlanBudgetSpec extends SparkSpec {
     // s18: s03's coarse probe + s05's codebook/ADC over the
     // checkpointed sub frame + rerank (broadcasts excluded as always)
     "s18_ivfpq_topk" -> 6,
+    // s23/s24: the persisted-index lifecycle runs eagerly (build →
+    // write → serve-from-disk → checkpoint) inside the builder, d14's
+    // side-effectful shape; static tail = checkpoint scan +
+    // presentation sort (measured 1 each). The serving jobs' scans are
+    // DPP-pruned to the probed label= partitions (observed at probe
+    // time: 4 of 10 postings directories read for the 10-query probe)
+    "s23_ivf_persisted" -> 1,
+    "s24_ivfpq_persisted" -> 1,
     // p26: the two-level PrefixSum (p08's 4) — the sequence explode
     // and span arithmetic are map-side; presentation sort included
     "p26_seq_pack" -> 4,

@@ -1102,6 +1102,93 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofFullOuterStream: unmatched builds emit at horizon, matched marks survive batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofFullRow, TEvent}
+    val M = 1000000L // 1 ms in ns
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.asofFullOuterStream(events, "P", "B", 100 * M)
+    val ckpt = Files.createTempDirectory("graft-asoffo-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("asoffo")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def rows() = spark.table("asoffo").as[AsofFullRow].collect().toSeq
+      .sortBy(r => (r.user_id, r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+    try {
+      // batch 1 (wm → 30 ms): probe side behaves exactly like
+      // asofJoinStream; neither build's forward horizon (ts + 100 ms)
+      // has passed, so no build row yet
+      mem.addData((1L, 10 * M, 1L, "B"), (1L, 30 * M, 2L, "P"),
+        (1L, 20 * M, 3L, "B"), (1L, 5 * M, 4L, "P"))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        AsofFullRow(1L, Some(2L), Some(3L), Some(10000L)),
+        AsofFullRow(1L, Some(4L), None, None)), s"got ${rows()}")
+      // batch 2 (wm → 210 ms): build 1 (10 ms) expires UNMATCHED (the
+      // 30 ms probe chose build 3); build 3 expires matched → no row;
+      // build 5 (200 ms) is chosen by probe 6 and retained
+      mem.addData((1L, 200 * M, 5L, "B"), (1L, 210 * M, 6L, "P"))
+      q.processAllAvailable()
+      val g2 = rows()
+      assert(g2.contains(AsofFullRow(1L, None, Some(1L), None)),
+        s"superseded build must emit unmatched at its horizon, got $g2")
+      assert(!g2.exists(r => r.probe_id.isEmpty && r.build_id.contains(3L)),
+        s"a matched build must not emit, got $g2")
+      assert(g2.contains(AsofFullRow(1L, Some(6L), Some(5L), Some(10000L))), s"got $g2")
+      // batch 3 (wm → 1000 ms): build 5's horizon passes now — its
+      // matched mark from batch 2 must have survived in state (no row);
+      // the u3 same-ts trio: probe 12 picks build 11 (higher id), so
+      // build 10 is the in-window-but-never-argmax case → unmatched;
+      // build 9 (1000 ms) is never final-horizoned → never emits
+      mem.addData((1L, 220 * M, 8L, "P"),
+        (3L, 500 * M, 10L, "B"), (3L, 500 * M, 11L, "B"), (3L, 500 * M, 12L, "P"),
+        (2L, 1000 * M, 9L, "B"))
+      q.processAllAvailable()
+      val g3 = rows()
+      assert(g3.contains(AsofFullRow(1L, Some(8L), Some(5L), Some(20000L))), s"got $g3")
+      assert(!g3.exists(r => r.probe_id.isEmpty && r.build_id.contains(5L)),
+        s"matched mark must survive batches — build 5 emitted unmatched: $g3")
+      assert(g3.contains(AsofFullRow(3L, Some(12L), Some(11L), Some(0L))), s"got $g3")
+      assert(g3.contains(AsofFullRow(3L, None, Some(10L), None)),
+        s"tie-loser build must emit unmatched, got $g3")
+      assert(!g3.exists(r => r.probe_id.isEmpty && r.build_id.contains(9L)),
+        s"a build whose horizon never passes must not emit, got $g3")
+    } finally q.stop()
+  }
+
+  test("asofFullOuterStream (batch): probe rows equal asofJoinStream; build rows equal the unmatched set") {
+    import graft.streaming.Streaming.{AsofFullRow, TEvent}
+    val rnd = new scala.util.Random(23)
+    val L = 20 * 1000000L
+    val evs = (1 to 600).map { i =>
+      TEvent(rnd.nextInt(7).toLong, rnd.nextInt(80) * 1000000L, i.toLong,
+        if (rnd.nextBoolean()) "P" else "B")
+    }
+    val got = Streaming.asofFullOuterStream(spark.createDataset(evs), "P", "B", L)
+      .collect().toSeq
+      .sortBy(r => (r.user_id, r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+    val probeWant = evs.filter(_.event_type == "P").map { p =>
+      val cand = evs.filter(b => b.event_type == "B" && b.user_id == p.user_id &&
+        b.ts_ns <= p.ts_ns && b.ts_ns >= p.ts_ns - L)
+      if (cand.isEmpty) AsofFullRow(p.user_id, Some(p.event_id), None, None)
+      else {
+        val best = cand.maxBy(b => (b.ts_ns, b.event_id))
+        AsofFullRow(p.user_id, Some(p.event_id), Some(best.event_id),
+          Some((p.ts_ns - best.ts_ns) / 1000L))
+      }
+    }
+    val matchedIds = probeWant.flatMap(_.build_id).toSet
+    // batch mode: every build's horizon has passed (wm = ∞)
+    val buildWant = evs.filter(b => b.event_type == "B" && !matchedIds(b.event_id))
+      .map(b => AsofFullRow(b.user_id, None, Some(b.event_id), None))
+    val want = (probeWant ++ buildWant)
+      .sortBy(r => (r.user_id, r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("mergeAggBatch: generation merge equals recompute; a replayed batch is idempotent") {
     val tmp = Files.createTempDirectory("graft-upsert").toString
     val stateDir = s"$tmp/state"
