@@ -731,7 +731,6 @@ object SimilarityQueries {
         v.select(col("vec_id"), col("e"), col("label")),
         s"$tmp/postings", Seq("label"), targetFileCount = 4)
       val cent = s.read.parquet(s"$tmp/centroids")
-      val post = s.read.parquet(s"$tmp/postings")
       val q = v.filter(col("vec_id") < 10)
       val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
       val best = q.crossJoin(broadcast(cent))
@@ -740,6 +739,16 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("c_label").as("best_label"))
+      // STATIC partition pruning from the query-batch-sized probe set:
+      // the distinct best labels are bounded by min(|queries|, nlist) —
+      // a driver-safe collect (the d13 tiny-collect pattern) whose IN
+      // filter prunes the postings LISTING itself (measured: only the
+      // probed label= dirs are opened; DPP against the checkpoint-backed
+      // probe frame planned but did not prune — the unbounded-probe-set
+      // swap-in is the filtered-scan DPP join PersistedIndexSpec pins)
+      val probed = best.select("best_label").distinct().collect().map(_.get(0))
+      val post = s.read.parquet(s"$tmp/postings")
+        .where(col("label").isin(probed: _*))
       val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
       val out = best
         .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
@@ -799,7 +808,6 @@ object SimilarityQueries {
         s"$tmp/codes", Seq("label"), targetFileCount = 4)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebook")
-      val codes = s.read.parquet(s"$tmp/codes")
       val q = v.filter(col("vec_id") < 10)
       val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
       val best = q.crossJoin(broadcast(cent))
@@ -808,6 +816,11 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("c_label").as("label"))
+      // static pruning of the codes listing from the bounded probe set
+      // (s23's pattern — only the probed label= dirs are opened)
+      val probed = best.select("label").distinct().collect().map(_.get(0))
+      val codes = s.read.parquet(s"$tmp/codes")
+        .where(col("label").isin(probed: _*))
       val lut = sub.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("m"), col("sub"))
         .join(broadcast(cb), Seq("m"))

@@ -250,9 +250,11 @@ class PlanBudgetSpec extends SparkSpec {
     // s23/s24: the persisted-index lifecycle runs eagerly (build →
     // write → serve-from-disk → checkpoint) inside the builder, d14's
     // side-effectful shape; static tail = checkpoint scan +
-    // presentation sort (measured 1 each). The serving jobs' scans are
-    // DPP-pruned to the probed label= partitions (observed at probe
-    // time: 4 of 10 postings directories read for the 10-query probe)
+    // presentation sort (measured 1 each). The serving scans are
+    // statically pruned to the probed label= partitions via the
+    // bounded probe-set IN filter (measured: exactly the 5 probed of
+    // 10 directories opened at sf0.001); the DPP path for unbounded
+    // probe sets is pinned by io.PersistedIndexSpec
     "s23_ivf_persisted" -> 1,
     "s24_ivfpq_persisted" -> 1,
     // p26: the two-level PrefixSum (p08's 4) — the sequence explode
