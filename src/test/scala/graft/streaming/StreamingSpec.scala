@@ -1159,6 +1159,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofFullOuterStream: matched marks and builds survive a query RESTART (state-store round-trip)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofFullRow, TEvent}
+    val M = 1000000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.asofFullOuterStream(events, "P", "B", 100 * M)
+    val ckpt = Files.createTempDirectory("graft-asoffo-rs-ckpt").toString
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    // ("This query does not support recovering from checkpoint location")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[AsofFullRow]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AsofFullRow], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // query A: builds 1 and 3 ripen, probe 2 chooses build 3 (the matched
+    // mark), neither build's horizon has passed; STOP the query — state
+    // (builds + matched marks + watermark 30 ms) persists in the store
+    val q1 = start()
+    mem.addData((1L, 10 * M, 1L, "B"), (1L, 20 * M, 3L, "B"), (1L, 30 * M, 2L, "P"))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes from the checkpoint: wm → 200 ms passes both
+    // builds' horizons — build 1 must emit unmatched, build 3 must stay
+    // suppressed by the ROUND-TRIPPED matched mark; probe 5 finds no
+    // candidate in [100, 200]. Rows emitted before the stop came from
+    // query A; the post-restart emissions can only come from restored
+    // state (the source replays nothing — batch 1 was committed).
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((1L, 200 * M, 5L, "P"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+        .sortBy(r => (r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+      assert(rows.contains(AsofFullRow(1L, None, Some(1L), None)),
+        s"retained build must emit unmatched after restart, got $rows")
+      assert(!rows.exists(r => r.probe_id.isEmpty && r.build_id.contains(3L)),
+        s"matched mark must survive the restart — build 3 emitted unmatched: $rows")
+      assert(rows.contains(AsofFullRow(1L, Some(5L), None, None)), s"got $rows")
+    } finally q2.stop()
+  }
+
   test("asofFullOuterStream (batch): probe rows equal asofJoinStream; build rows equal the unmatched set") {
     import graft.streaming.Streaming.{AsofFullRow, TEvent}
     val rnd = new scala.util.Random(23)
