@@ -1159,6 +1159,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStream: pending probes and retained builds survive a query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofRow, TEvent}
+    val M = 1000000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[TEvent]
+    val out = Streaming.asofJoinStream(events, "P", "B", 100 * M)
+    val ckpt = Files.createTempDirectory("graft-asof-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[AsofRow]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AsofRow], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // query A: three builds ripen (wm → 55) and are RETAINED (all within
+    // lookback of the watermark); STOP — AsofState(builds=[1, 3, 4])
+    // persists in the store
+    val q1 = start()
+    mem.addData((1L, 10 * M, 1L, "B"), (1L, 50 * M, 3L, "B"), (1L, 55 * M, 4L, "B"))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: the new probe must match the latest RESTORED
+    // build (55 ms) — if the state round-trip dropped builds, the row
+    // comes back null-joined or picks the wrong build
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((1L, 60 * M, 2L, "P"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows.contains(AsofRow(1L, 2L, Some(4L), Some(5000L))),
+        s"probe must match the latest restored build after restart, got $rows")
+    } finally q2.stop()
+  }
+
   test("asofFullOuterStream: matched marks and builds survive a query RESTART (state-store round-trip)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.{AsofFullRow, TEvent}
