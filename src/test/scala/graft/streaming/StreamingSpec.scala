@@ -1248,6 +1248,54 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("asofFullOuterStream: output is invariant to the micro-batch carve (seeded)") {
+    // THE streaming determinism property: the same event set fed in 1
+    // batch vs K random batches must emit the SAME final row set — a
+    // row's finality point depends only on the watermark, every probe
+    // that could choose a build finalizes before that build expires,
+    // and the final watermark is carve-independent. A carve-dependent
+    // diff here would mean order-sensitive state folding.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofFullRow, TEvent}
+    val rnd = new scala.util.Random(41)
+    val evs = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, (1 + rnd.nextInt(80)) * 1000000L, i.toLong,
+        if (rnd.nextBoolean()) "P" else "B")
+    }
+    def runCarved(batches: Seq[Seq[(Long, Long, Long, String)]]): Seq[AsofFullRow] = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "0 seconds")
+        .as[TEvent]
+      val out = Streaming.asofFullOuterStream(events, "P", "B", 20 * 1000000L)
+      val ckpt = Files.createTempDirectory("graft-asoffo-carve").toString
+      val sink = s"asoffo_carve_${batches.length}"
+      spark.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(sink).as[AsofFullRow].collect().toSeq
+        .sortBy(r => (r.user_id, r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+    }
+    val oneBatch = runCarved(Seq(evs))
+    // K random contiguous batches of the ts-SORTED sequence, cut only at
+    // strict ts increases: with a 0-second delay a cross-batch cut
+    // inside one timestamp would make the tail rows sit AT the advanced
+    // watermark and be dropped as late (the documented late-row trap).
+    // Equal-ts build/probe groups still land whole inside one batch,
+    // exercising the builds-before-probes finality rule across state
+    // carried over many batch boundaries
+    val sorted = evs.sortBy(_._2)
+    val legalCuts = (1 until sorted.length).filter(i => sorted(i)._2 > sorted(i - 1)._2)
+    val cuts = (0 +: rnd.shuffle(legalCuts).take(6).sorted :+ sorted.length).distinct
+    val carved = runCarved(cuts.sliding(2).map { case Seq(a, b) => sorted.slice(a, b) }.toSeq)
+    assert(oneBatch.nonEmpty && oneBatch == carved,
+      s"carve changed the output: ${oneBatch.size} vs ${carved.size} rows")
+  }
+
   test("asofFullOuterStream (batch): probe rows equal asofJoinStream; build rows equal the unmatched set") {
     import graft.streaming.Streaming.{AsofFullRow, TEvent}
     val rnd = new scala.util.Random(23)
