@@ -1159,6 +1159,96 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: an OPEN session survives a query restart and closes with its pre-restart events") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+      .as[Streaming.Event]
+    val out = Streaming.sessionize(events, gap)
+    val ckpt = Files.createTempDirectory("graft-sess-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Streaming.Session]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.Session], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val base = 100 * gap
+    // query A: a 2-event session stays OPEN (nothing emitted); STOP —
+    // SessionizeState(open = 2-event session) persists in the store
+    val q1 = start()
+    mem.addData((1L, base, 10L, 1.0), (1L, base + gap, 11L, 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: a far event closes the RESTORED session by
+    // gap-exceed — the emitted row must carry both pre-restart events
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((1L, base + 10 * gap, 12L, 3.0))
+      q2.processAllAvailable()
+      mem.addData((1L, base + 11 * gap, 13L, 4.0)) // flush batch for the timeout
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows.contains(Streaming.Session(1L, base, 2, 10L, 11L, 3.0)),
+        s"restored open session must close with both pre-restart events, got $rows")
+    } finally q2.stop()
+  }
+
+  test("windowed HLL aggregation: register state survives a query restart (agg-buffer round-trip)") {
+    // the TypedImperativeAggregate's serialize/deserialize is exercised
+    // between micro-batches by the cross-batch test; THIS pins it across
+    // a full query restart — the registers written by query A must merge
+    // with query B's rows into the same sketch a single batch computes
+    implicit val sqlCtx = spark.sqlContext
+    graft.expressions.GraftFunctions.register(spark)
+    val DayNs = 86400000000000L
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_ns")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "0 seconds")
+    val agg = events.groupBy(window(col("ts"), "1 day"))
+      .agg(call_function("graft_hll",
+        expr("graft_md5p60(CAST(user_id AS STRING))"), lit(8)).as("sk"))
+      .select(col("sk.zeros").as("zeros"), col("sk.ssum").as("ssum"))
+    val ckpt = Files.createTempDirectory("graft-hll-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long)]())
+    def start() = agg.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getInt(0), r.getLong(1))))
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // query A: users 1..300 land in day 1's window (still open); STOP
+    val q1 = start()
+    mem.addData((1L to 300L).map(u => (u, DayNs + u * 1000000L)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // query B: users 301..600 merge into the RESTORED registers; a
+    // day-3 event closes day 1's window
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((301L to 600L).map(u => (u, DayNs + u * 1000000L)): _*)
+      mem.addData((9999L, 3 * DayNs))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      // batch-mode ground truth over ALL 600 users
+      import spark.implicits._
+      val want = (1L to 600L).toDF("user_id")
+        .agg(call_function("graft_hll",
+          expr("graft_md5p60(CAST(user_id AS STRING))"), lit(8)).as("sk"))
+        .select(col("sk.zeros"), col("sk.ssum")).head()
+      assert(rows.contains((want.getInt(0), want.getLong(1))),
+        s"restart-merged registers must equal the batch sketch ${(want.getInt(0), want.getLong(1))}, got $rows")
+    } finally q2.stop()
+  }
+
   test("asofJoinStream: pending probes and retained builds survive a query RESTART") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.{AsofRow, TEvent}
