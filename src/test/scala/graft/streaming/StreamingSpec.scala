@@ -1386,6 +1386,62 @@ class StreamingSpec extends SparkSpec {
       s"carve changed the output: ${oneBatch.size} vs ${carved.size} rows")
   }
 
+  test("asofFullOuterStream under the RocksDB state store provider: same rows as the default backend") {
+    // the newest stateful operator against the backend the 100 TB claim
+    // names: AsofFullState (pending + builds + matched marks) must fold
+    // identically when the state store is RocksDB (off-heap, incremental
+    // checkpoints) — the dedup-path RocksDB pin extended to the as-of
+    // family
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AsofFullRow, TEvent}
+    val rnd = new scala.util.Random(53)
+    val evs = (1 to 150).map { i =>
+      (rnd.nextInt(4).toLong, (1 + rnd.nextInt(60)) * 1000000L, i.toLong,
+        if (rnd.nextBoolean()) "P" else "B")
+    }
+    def run(): Seq[AsofFullRow] = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "0 seconds")
+        .as[TEvent]
+      val out = Streaming.asofFullOuterStream(events, "P", "B", 15 * 1000000L)
+      val ckpt = Files.createTempDirectory("graft-asoffo-rocks").toString
+      val got = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[AsofFullRow]())
+      val q = out.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AsofFullRow], _: Long) =>
+          df.collect().foreach(got.add)
+        }
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        // ts-ordered thirds (cuts at strict ts increases — the carve rule)
+        val sorted = evs.sortBy(_._2)
+        val legal = (1 until sorted.length).filter(i => sorted(i)._2 > sorted(i - 1)._2)
+        val cuts = (0 +: Seq(legal(legal.length / 3), legal(2 * legal.length / 3)) :+ sorted.length).distinct
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          mem.addData(sorted.slice(a, b): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+        .sortBy(r => (r.user_id, r.probe_id.getOrElse(-1L), r.build_id.getOrElse(-1L)))
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val default = run()
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run()
+      assert(default.nonEmpty && rocks == default,
+        s"provider changed the output: ${default.size} vs ${rocks.size} rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("asofFullOuterStream (batch): probe rows equal asofJoinStream; build rows equal the unmatched set") {
     import graft.streaming.Streaming.{AsofFullRow, TEvent}
     val rnd = new scala.util.Random(23)
