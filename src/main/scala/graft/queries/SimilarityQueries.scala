@@ -853,6 +853,53 @@ object SimilarityQueries {
       out.orderBy("query_id", "rank")
     },
 
+    // PERSISTED TRAINED-QUANTIZER INDEX — the s23 lifecycle for the
+    // LEARNED tier, completing the persisted family across all three
+    // coarse quantizers (label s23, trained k-means here, IVFPQ s24):
+    // the k-means fit runs once (the memoized Quantizer), its TRAINED
+    // artifacts — centroids and the assignment postings under cid=
+    // partitions — are written via io.Writers, and s11's search runs
+    // entirely from the re-read artifacts (probe against re-read
+    // centroids, candidate scan statically pruned to the probed cid
+    // partitions, s23's bounded-collect pattern). Oracle = s11's
+    // pinned SQL: a green row proves the trained index serves from
+    // disk bit-identically — the FAISS train→write→load→search flow.
+    "s25_kmeans_persisted" -> { (s, dir) =>
+      val cent0 = Quantizer.centroids(s, dir)
+      val asg0 = Quantizer.assignments(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("s25_km").toString
+      graft.io.Writers.parquet(cent0, s"$tmp/centroids")
+      graft.io.Writers.parquetPartitioned(
+        asg0.select(col("vec_id"), col("e"), col("cid")),
+        s"$tmp/postings", Seq("cid"), targetFileCount = 4)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
+      val best = q.crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("cid"),
+          dotSeq(col("e"), col("c")).as("d"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"))
+      val probed = best.select("cid").distinct().collect().map(_.get(0))
+      val post = s.read.parquet(s"$tmp/postings")
+        .where(col("cid").isin(probed: _*))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+      val out = best
+        .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+        .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
+          col("e").as("ce")), "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      out.orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the production RAG shape — one lexical ranking (the
     // pinned t08 BM25 scorer over the fixed query-term set) and one
@@ -1469,6 +1516,7 @@ object SimilarityQueries {
       // row = index-from-disk ≡ index-in-memory
       "s23_ivf_persisted" -> s03Sql,
       "s24_ivfpq_persisted" -> s18Sql,
+      "s25_kmeans_persisted" -> s11Sql,
       // s03's probe/search shape with nprobe=2 and the parity predicate
       // applied to cluster MEMBERS (cv), never to queries or centroids
       "s13_filtered_ann" -> {
