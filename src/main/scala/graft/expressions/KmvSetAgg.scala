@@ -36,7 +36,9 @@ case class KmvSetAgg(
   private lazy val k: Int = {
     val kv = kExpr.eval() match {
       case i: Int  => i
-      case l: Long => l.toInt
+      // toIntExact: a silent .toInt would wrap a BIGINT literal past 2^31
+      // (e.g. 2^32+3 -> 3) and sail under the k >= 1 guard below
+      case l: Long => Math.toIntExact(l)
       case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
     }
     // offer() reads buf.last once the buffer is "full"; k <= 0 would make an

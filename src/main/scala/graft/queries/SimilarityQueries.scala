@@ -722,9 +722,14 @@ object SimilarityQueries {
     // artifact is reclaimed before return, the d14 side-effectful
     // pattern; the checkpointed result is 30 rows.
     "s23_ivf_persisted" -> { (s, dir) =>
+      // localCheckpoint: the eager lifecycle takes 4 actions off this
+      // frame (two artifact writes, the probed-label collect, the final
+      // checkpoint) — uncached each re-scanned and re-normalized the
+      // corpus (s24 does the same for the same reason)
       val v = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           l2normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
       val tmp = java.nio.file.Files.createTempDirectory("s23_ivf").toString
       graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
       graft.io.Writers.parquetPartitioned(

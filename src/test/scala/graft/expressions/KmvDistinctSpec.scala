@@ -80,6 +80,15 @@ class KmvDistinctSpec extends SparkSpec {
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("k must be >= 1"))),
       s"expected the k >= 1 require message, got: $e")
+    // a BIGINT literal past 2^31 must fail loudly, not wrap under the
+    // guard (2^32+3 .toInt would be 3 — a silently smaller sketch)
+    val e2 = intercept[Exception] {
+      Seq(1L).toDF("id")
+        .agg(expr("graft_kmv_set(graft_md5p60(CAST(id AS STRING)), 4294967299)"))
+        .head()
+    }
+    assert(chain(e2).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected integer-overflow rejection for k = 2^32+3, got: $e2")
   }
 
   test("kth is null and held 0 when all inputs are null") {

@@ -61,29 +61,35 @@ class PersistedIndexSpec extends SparkSpec {
     // collect() and the scan metrics)
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val back = spark.read.parquet(tmp)
-    val best = spark.read.parquet(tmpProbe).filter(col("query_id") < 200L)
-    val served = back.join(broadcast(best), col("label") === col("best_label"))
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"expected DPP on the partitioned postings scan; plan:\n${plan.take(3000)}")
-    // (labels 3 and 7 → 20 rows each, ×2 and ×1 probes). collect() so
-    // the metrics below come from THIS DataFrame's own execution
-    assert(served.collect().length == 60)
-    // and the pruning is REAL, not just planned: the executed scan must
-    // have LISTED only the 2 probed label= directories (one file each)
-    val scans = served.queryExecution.executedPlan.collectWithSubqueries {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(_.toString.contains("pidx_dpp")) => s
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    assert(scans.nonEmpty, "postings FileSourceScan not found in executed plan")
-    val filesRead = scans.head.metrics("numFiles").value
-    assert(filesRead == 2L,
-      s"DPP must prune the listing to the 2 probed partitions, read $filesRead files")
-    Seq(tmp, tmpProbe).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    // finally-restore: the session is JVM-wide shared across suites — a
+    // failing assert must not leave AQE off for every later suite, nor
+    // leak the temp dirs
+    try {
+      val back = spark.read.parquet(tmp)
+      val best = spark.read.parquet(tmpProbe).filter(col("query_id") < 200L)
+      val served = back.join(broadcast(best), col("label") === col("best_label"))
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected DPP on the partitioned postings scan; plan:\n${plan.take(3000)}")
+      // (labels 3 and 7 → 20 rows each, ×2 and ×1 probes). collect() so
+      // the metrics below come from THIS DataFrame's own execution
+      assert(served.collect().length == 60)
+      // and the pruning is REAL, not just planned: the executed scan must
+      // have LISTED only the 2 probed label= directories (one file each)
+      val scans = served.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("pidx_dpp")) => s
+      }
+      assert(scans.nonEmpty, "postings FileSourceScan not found in executed plan")
+      val filesRead = scans.head.metrics("numFiles").value
+      assert(filesRead == 2L,
+        s"DPP must prune the listing to the 2 probed partitions, read $filesRead files")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Seq(tmp, tmpProbe).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
     }
   }
 }
