@@ -731,42 +731,52 @@ object SimilarityQueries {
           l2normalize(toDouble(col("embedding"))).as("e"))
         .localCheckpoint()
       val tmp = java.nio.file.Files.createTempDirectory("s23_ivf").toString
-      graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
-      graft.io.Writers.parquetPartitioned(
-        v.select(col("vec_id"), col("e"), col("label")),
-        s"$tmp/postings", Seq("label"), targetFileCount = 4)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val q = v.filter(col("vec_id") < 10)
-      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
-      val best = q.crossJoin(broadcast(cent))
-        .select(col("vec_id").as("query_id"), col("c_label"),
-          dotSeq(col("e"), col("c")).as("d"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("c_label").as("best_label"))
-      // STATIC partition pruning from the query-batch-sized probe set:
-      // the distinct best labels are bounded by min(|queries|, nlist) —
-      // a driver-safe collect (the d13 tiny-collect pattern) whose IN
-      // filter prunes the postings LISTING itself (measured: only the
-      // probed label= dirs are opened; DPP against the checkpoint-backed
-      // probe frame planned but did not prune — the unbounded-probe-set
-      // swap-in is the filtered-scan DPP join PersistedIndexSpec pins)
-      val probed = best.select("best_label").distinct().collect().map(_.get(0))
-      val post = s.read.parquet(s"$tmp/postings")
-        .where(col("label").isin(probed: _*))
-      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
-      val out = best
-        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
-        .join(post.select(col("label").as("best_label"),
-          col("vec_id").as("neighbor_id"), col("e").as("ce")), "best_label")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
-        .localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      // finally-reclaimed: a failure anywhere in build→write→serve must
+      // not leak the artifact dir; the final localCheckpoint makes
+      // deletion-before-return safe on the success path too
+      val out = try {
+        graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
+        graft.io.Writers.parquetPartitioned(
+          v.select(col("vec_id"), col("e"), col("label")),
+          s"$tmp/postings", Seq("label"), targetFileCount = 4)
+        val cent = s.read.parquet(s"$tmp/centroids")
+        val q = v.filter(col("vec_id") < 10)
+        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+        val best = q.crossJoin(broadcast(cent))
+          .select(col("vec_id").as("query_id"), col("c_label"),
+            dotSeq(col("e"), col("c")).as("d"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("c_label").as("best_label"))
+        // STATIC partition pruning from the query-batch-sized probe set:
+        // the distinct best labels are bounded by min(|queries|, nlist) —
+        // a driver-safe collect (the d13 tiny-collect pattern) whose IN
+        // filter prunes the postings LISTING itself (measured: only the
+        // probed label= dirs are opened; DPP against the checkpoint-backed
+        // probe frame planned but did not prune — the unbounded-probe-set
+        // swap-in is the filtered-scan DPP join PersistedIndexSpec pins).
+        // Degenerate probe set (no query vectors → probed empty): the
+        // empty IN list evaluates false-for-all, and best is itself empty,
+        // so the serve join yields the correct empty frame
+        // (PersistedIndexSpec pins the empty-isin semantics this relies on).
+        val probed = best.select("best_label").distinct().collect().map(_.get(0))
+        val post = s.read.parquet(s"$tmp/postings")
+          .where(col("label").isin(probed: _*))
+        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+        best
+          .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+          .join(post.select(col("label").as("best_label"),
+            col("vec_id").as("neighbor_id"), col("e").as("ce")), "best_label")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
       out.orderBy("query_id", "rank")
     },
 
@@ -806,55 +816,60 @@ object SimilarityQueries {
           array((0 until SubDim).map(d =>
             col(s"s$d").cast(DoubleType) / col("n")): _*).as("cb"))
       val tmp = java.nio.file.Files.createTempDirectory("s24_ivfpq").toString
-      graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
-      graft.io.Writers.parquet(cbBuild, s"$tmp/codebook")
-      graft.io.Writers.parquetPartitioned(
-        sub.select(col("vec_id"), col("m"), col("b"), col("label")),
-        s"$tmp/codes", Seq("label"), targetFileCount = 4)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebook")
-      val q = v.filter(col("vec_id") < 10)
-      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
-      val best = q.crossJoin(broadcast(cent))
-        .select(col("vec_id").as("query_id"), col("c_label"),
-          dotSeq(col("e"), col("c")).as("d"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("c_label").as("label"))
-      // static pruning of the codes listing from the bounded probe set
-      // (s23's pattern — only the probed label= dirs are opened)
-      val probed = best.select("label").distinct().collect().map(_.get(0))
-      val codes = s.read.parquet(s"$tmp/codes")
-        .where(col("label").isin(probed: _*))
-      val lut = sub.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("m"), col("sub"))
-        .join(broadcast(cb), Seq("m"))
-        .select(col("query_id"), col("m"), col("b"),
-          dotSeq(col("sub"), col("cb")).as("part"))
-      val cl = codes.select(col("vec_id").as("neighbor_id"), col("m"),
-          col("b"), col("label"))
-        .join(broadcast(best), "label")
-      val parts = (0 until M).map(m =>
-        max(when(col("m") === m, col("part"))).as(s"p$m"))
-      val adc = cl.join(broadcast(lut), Seq("query_id", "m", "b"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(parts.head, parts.tail: _*)
-        .select(col("query_id"), col("neighbor_id"),
-          (0 until M).map(m => col(s"p$m")).reduce(_ + _).as("adc"))
-      val wCand = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
-      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
-      val out = adc.withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= C)
-        .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
-        .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
-        .localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      // finally-reclaimed, as in s23
+      val out = try {
+        graft.io.Writers.parquet(ivfCentroids(v), s"$tmp/centroids")
+        graft.io.Writers.parquet(cbBuild, s"$tmp/codebook")
+        graft.io.Writers.parquetPartitioned(
+          sub.select(col("vec_id"), col("m"), col("b"), col("label")),
+          s"$tmp/codes", Seq("label"), targetFileCount = 4)
+        val cent = s.read.parquet(s"$tmp/centroids")
+        val cb = s.read.parquet(s"$tmp/codebook")
+        val q = v.filter(col("vec_id") < 10)
+        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("c_label"))
+        val best = q.crossJoin(broadcast(cent))
+          .select(col("vec_id").as("query_id"), col("c_label"),
+            dotSeq(col("e"), col("c")).as("d"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("c_label").as("label"))
+        // static pruning of the codes listing from the bounded probe set
+        // (s23's pattern — only the probed label= dirs are opened; empty
+        // probe set degenerates to the correct empty frame, see s23)
+        val probed = best.select("label").distinct().collect().map(_.get(0))
+        val codes = s.read.parquet(s"$tmp/codes")
+          .where(col("label").isin(probed: _*))
+        val lut = sub.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+          .join(broadcast(cb), Seq("m"))
+          .select(col("query_id"), col("m"), col("b"),
+            dotSeq(col("sub"), col("cb")).as("part"))
+        val cl = codes.select(col("vec_id").as("neighbor_id"), col("m"),
+            col("b"), col("label"))
+          .join(broadcast(best), "label")
+        val parts = (0 until M).map(m =>
+          max(when(col("m") === m, col("part"))).as(s"p$m"))
+        val adc = cl.join(broadcast(lut), Seq("query_id", "m", "b"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(parts.head, parts.tail: _*)
+          .select(col("query_id"), col("neighbor_id"),
+            (0 until M).map(m => col(s"p$m")).reduce(_ + _).as("adc"))
+        val wCand = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
+        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+        adc.withColumn("crank", row_number().over(wCand))
+          .filter(col("crank") <= C)
+          .join(v.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+          .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ce")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
       out.orderBy("query_id", "rank")
     },
 
@@ -873,35 +888,39 @@ object SimilarityQueries {
       val cent0 = Quantizer.centroids(s, dir)
       val asg0 = Quantizer.assignments(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("s25_km").toString
-      graft.io.Writers.parquet(cent0, s"$tmp/centroids")
-      graft.io.Writers.parquetPartitioned(
-        asg0.select(col("vec_id"), col("e"), col("cid")),
-        s"$tmp/postings", Seq("cid"), targetFileCount = 4)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
-      val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
-      val best = q.crossJoin(broadcast(cent))
-        .select(col("vec_id").as("query_id"), col("cid"),
-          dotSeq(col("e"), col("c")).as("d"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cid"))
-      val probed = best.select("cid").distinct().collect().map(_.get(0))
-      val post = s.read.parquet(s"$tmp/postings")
-        .where(col("cid").isin(probed: _*))
-      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
-      val out = best
-        .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
-        .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
-          col("e").as("ce")), "cid")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
-        .localCheckpoint()
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      // finally-reclaimed, as in s23
+      val out = try {
+        graft.io.Writers.parquet(cent0, s"$tmp/centroids")
+        graft.io.Writers.parquetPartitioned(
+          asg0.select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4)
+        val cent = s.read.parquet(s"$tmp/centroids")
+        val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
+        val best = q.crossJoin(broadcast(cent))
+          .select(col("vec_id").as("query_id"), col("cid"),
+            dotSeq(col("e"), col("c")).as("d"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("cid"))
+        val probed = best.select("cid").distinct().collect().map(_.get(0))
+        val post = s.read.parquet(s"$tmp/postings")
+          .where(col("cid").isin(probed: _*))
+        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+        best
+          .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+          .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
+            col("e").as("ce")), "cid")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
       out.orderBy("query_id", "rank")
     },
 

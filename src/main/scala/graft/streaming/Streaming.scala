@@ -832,6 +832,14 @@ object Streaming {
     * probe.ts − lookback ≤ build.ts ≤ probe.ts — such builds are
     * always themselves final, so the oracle needs no build-side
     * watermark condition.
+    *
+    * Late input: a row already at/below the watermark on arrival is
+    * DROPPED on arrival. Spark's late-row filter enforces the same
+    * bound upstream when the watermark column survives into this
+    * Dataset (our pipelines keep it); the local guard makes the
+    * finality contract self-contained — a late probe processed anyway
+    * would match against a build list whose true argmax may already be
+    * pruned, contradicting rows emitted as final.
     */
   def asofJoinStream(events: Dataset[TEvent], probeType: String,
       buildType: String, lookbackNs: Long): Dataset[AsofRow] = {
@@ -846,7 +854,9 @@ object Streaming {
         (uid: Long, it: Iterator[TEvent], state: GroupState[AsofState]) =>
           val prior = state.getOption.getOrElse(AsofState(Nil, Nil))
           val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
-          val buf = prior.pending ++ it
+          // explicit late-drop (see scaladoc); batch path keeps all rows
+          val fresh = if (isStreaming) it.filter(_.ts_ns / 1000000L > wm) else it
+          val buf = prior.pending ++ fresh
           val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
           // builds first: a probe finalized this batch may match a build
           // finalized this same batch (including equal timestamps)
@@ -909,6 +919,11 @@ object Streaming {
     * asofJoinStream; build b emits (probe_id NULL) iff
     * floor((b.ts_ns + lookback)/10⁶) ≤ final watermark and b is no
     * final probe's argmax.
+    *
+    * Late input: dropped on arrival, as in [[asofJoinStream]]. The
+    * guard matters MORE here — a late probe matched against the kept
+    * builds after its true argmax expired would contradict an already-
+    * emitted unmatched-build row on both sides of the audit.
     */
   def asofFullOuterStream(events: Dataset[TEvent], probeType: String,
       buildType: String, lookbackNs: Long): Dataset[AsofFullRow] = {
@@ -923,7 +938,9 @@ object Streaming {
         (uid: Long, it: Iterator[TEvent], state: GroupState[AsofFullState]) =>
           val prior = state.getOption.getOrElse(AsofFullState(Nil, Nil, Nil))
           val wm = if (isStreaming) state.getCurrentWatermarkMs() else Long.MaxValue
-          val buf = prior.pending ++ it
+          // explicit late-drop (see scaladoc); batch path keeps all rows
+          val fresh = if (isStreaming) it.filter(_.ts_ns / 1000000L > wm) else it
+          val buf = prior.pending ++ fresh
           val (ripe, rest) = buf.partition(e => e.ts_ns / 1000000L <= wm)
           // builds first (asofJoinStream's equal-ts finality), and ALL
           // matching before any expiry: a probe finalized this batch may

@@ -42,6 +42,24 @@ class PersistedIndexSpec extends SparkSpec {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
+  test("empty probe set: isin() with no values is false-for-all (the s23 degenerate path)") {
+    // s23/s24/s25 prune the postings listing with isin(probed: _*) from a
+    // driver collect; an empty query batch yields an empty IN list. Pin
+    // Spark's semantics: it neither throws nor matches anything — the
+    // serve path degenerates to the correct empty frame.
+    val tmp = java.nio.file.Files.createTempDirectory("pidx_empty").toString
+    try {
+      val post = (0L until 20L).map(i => (i, (i % 4).toInt)).toDF("vec_id", "label")
+      Writers.parquetPartitioned(post, tmp, Seq("label"), targetFileCount = 4)
+      val probed = Array.empty[Any]
+      val pruned = spark.read.parquet(tmp).where(col("label").isin(probed: _*))
+      assert(pruned.count() == 0L, "empty IN list must evaluate false for every row")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("serving join over label-partitioned postings plans dynamic partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("pidx_dpp").toString
     val post = (0L until 200L).map(i => (i, (i % 10).toInt, i * 0.5))
