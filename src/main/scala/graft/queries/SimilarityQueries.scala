@@ -924,6 +924,81 @@ object SimilarityQueries {
       out.orderBy("query_id", "rank")
     },
 
+    // INCREMENTAL APPEND to the persisted trained index — the index-
+    // MAINTENANCE half of the lifecycle s23/s24/s25 opened (their build
+    // is one-shot; production corpora grow daily, and rebuilding a
+    // 100 TB index per ingest batch is the one cost everyone avoids —
+    // the FAISS add() / d14-incremental-dedup shape applied to ANN):
+    //   1. BUILD  — the frozen trained quantizer (centroids) and the
+    //      BASE ingest's postings (4 of 5 vectors) go to disk;
+    //   2. APPEND — the DELTA batch (the held-out fifth, arriving as
+    //      raw vectors with no cid) is assigned against the RE-READ
+    //      centroid artifact — one broadcast-fold projection over the
+    //      delta only — and APPENDED as new files under the existing
+    //      cid= partition dirs; base postings are never read or
+    //      rewritten, and the frozen centroids guarantee old
+    //      assignments stay valid;
+    //   3. SERVE  — s25's serve, from the MERGED listing.
+    // Oracle = s11's pinned SQL (the full-corpus in-memory build):
+    // a green row proves append-maintained index ≡ rebuilt index —
+    // parquet round-trips centroids bit-exactly (PersistedIndexSpec)
+    // and KMeans.assign's argmax fold is deterministic, so the delta's
+    // from-disk assignment is bit-identical to the one the full build
+    // would produce. At 100 TB the append job's cost is O(delta), the
+    // serving cost is unchanged (pruned listing over the merged dirs),
+    // and the accumulating small files are Writers.compact's job.
+    "s26_ivf_append" -> { (s, dir) =>
+      val cent0 = Quantizer.centroids(s, dir)
+      val asg0 = Quantizer.assignments(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("s26_app").toString
+      // finally-reclaimed, as in s23
+      val out = try {
+        // 1. build: frozen quantizer + base postings (vec_id % 5 != 0)
+        graft.io.Writers.parquet(cent0, s"$tmp/centroids")
+        graft.io.Writers.parquetPartitioned(
+          asg0.filter(col("vec_id") % 5 =!= 0)
+            .select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4)
+        // 2. append: the delta batch arrives RAW (no cid); assign it
+        //    against the re-read frozen centroids and append under the
+        //    existing cid= dirs (mode=append adds files, touches nothing)
+        val centRe = s.read.parquet(s"$tmp/centroids")
+        val delta = asg0.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("e"))
+        graft.io.Writers.parquetPartitioned(
+          graft.ops.KMeans.assign(delta, centRe)
+            .select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4, mode = "append")
+        // 3. serve from the merged artifact — s25's serve verbatim
+        val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
+        val best = q.crossJoin(broadcast(centRe))
+          .select(col("vec_id").as("query_id"), col("cid"),
+            dotSeq(col("e"), col("c")).as("d"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("cid"))
+        val probed = best.select("cid").distinct().collect().map(_.get(0))
+        val post = s.read.parquet(s"$tmp/postings")
+          .where(col("cid").isin(probed: _*))
+        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+        best
+          .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+          .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
+            col("e").as("ce")), "cid")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      out.orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the production RAG shape — one lexical ranking (the
     // pinned t08 BM25 scorer over the fixed query-term set) and one
@@ -1541,6 +1616,10 @@ object SimilarityQueries {
       "s23_ivf_persisted" -> s03Sql,
       "s24_ivfpq_persisted" -> s18Sql,
       "s25_kmeans_persisted" -> s11Sql,
+      // the append row re-serves s11's SQL too: a green row = the
+      // incrementally-maintained index (base build + delta append,
+      // served from disk) ≡ the full in-memory rebuild
+      "s26_ivf_append" -> s11Sql,
       // s03's probe/search shape with nprobe=2 and the parity predicate
       // applied to cluster MEMBERS (cv), never to queries or centroids
       "s13_filtered_ann" -> {

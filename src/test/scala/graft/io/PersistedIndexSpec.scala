@@ -60,6 +60,58 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("append-mode partitioned write leaves base files untouched; per-partition compact preserves rows (the s26 maintenance contract)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pidx_append").toString
+    val tmpC = java.nio.file.Files.createTempDirectory("pidx_compact").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    def dataFiles(dir: String): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> ((st.getLen, st.getModificationTime))
+      }
+      b.result()
+    }
+    try {
+      val all = (0L until 40L).map(i => (i, (i % 4).toInt))
+      val base = all.filter(_._1 % 5 != 0).toDF("vec_id", "cid")
+      val delta = all.filter(_._1 % 5 == 0).toDF("vec_id", "cid")
+      Writers.parquetPartitioned(base, tmp, Seq("cid"), targetFileCount = 4)
+      val baseFiles = dataFiles(tmp)
+      Writers.parquetPartitioned(delta, tmp, Seq("cid"), targetFileCount = 4,
+        mode = "append")
+      val afterFiles = dataFiles(tmp)
+      // append ADDED files; every base file survives byte-identical
+      assert(afterFiles.size > baseFiles.size, "append must add new files")
+      baseFiles.foreach { case (p, meta) =>
+        assert(afterFiles.get(p).contains(meta),
+          s"append must not rewrite base file $p")
+      }
+      // merged listing serves base ∪ delta
+      val got = spark.read.parquet(tmp).select("vec_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == (0L until 40L).toSeq, "merged read must equal base ∪ delta")
+      // per-partition compaction (the small-file cure appends accumulate
+      // toward): same rows, fewer files
+      val src = s"$tmp/cid=0"
+      Writers.compact(spark, src, tmpC, targetFiles = 1)
+      val want = spark.read.parquet(src).select("vec_id")
+        .as[Long].collect().sorted.toSeq
+      val gotC = spark.read.parquet(tmpC).select("vec_id")
+        .as[Long].collect().sorted.toSeq
+      assert(gotC == want, "compaction must preserve rows exactly")
+      assert(dataFiles(tmpC).size == 1, "compaction must hit the file target")
+    } finally {
+      Seq(tmp, tmpC).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+  }
+
   test("serving join over label-partitioned postings plans dynamic partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("pidx_dpp").toString
     val post = (0L until 200L).map(i => (i, (i % 10).toInt, i * 0.5))

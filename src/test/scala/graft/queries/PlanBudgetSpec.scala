@@ -260,6 +260,9 @@ class PlanBudgetSpec extends SparkSpec {
     // s25: the trained-quantizer lifecycle, same eager shape (measured
     // 1; probed-cid static pruning measured 6 of 8 dirs at sf0.001)
     "s25_kmeans_persisted" -> 1,
+    // s26: build + delta-append + serve all run eagerly (s23's shape);
+    // static tail = checkpoint scan + presentation sort (measured 1)
+    "s26_ivf_append" -> 1,
     // p26: the two-level PrefixSum (p08's 4) — the sequence explode
     // and span arithmetic are map-side; presentation sort included
     "p26_seq_pack" -> 4,
