@@ -1338,6 +1338,99 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("transitionsStream: retained tail AND pending buffer survive a query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{TEvent, TPair}
+    val M = 1000000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      // nonzero delay so an event can sit in the PENDING buffer across
+      // the stop (with 0 s the max-ts event is always ripe at the
+      // watermark-advance batch and the buffer drains before any stop)
+      .withWatermark("ts", "100 milliseconds")
+      .as[TEvent]
+    val out = Streaming.transitionsStream(events)
+    val ckpt = Files.createTempDirectory("graft-trans-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[TPair]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[TPair], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // query A: A@10/B@50 buffer (wm 0), then X@200 lifts the watermark
+    // to 100 — A and B finalize (pair A→B emits), tail=B@50, X stays
+    // PENDING (200 > 100); STOP with state (tail=B, buffer=[X]), wm=100
+    val q1 = start()
+    mem.addData((1L, 10 * M, 1L, "A"), (1L, 50 * M, 2L, "B"))
+    q1.processAllAvailable()
+    mem.addData((1L, 200 * M, 3L, "X"))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: C@250 lifts wm to 150 (nothing ripens), Y@400
+    // lifts wm to 300 — X@200 and C@250 finalize together and must chain
+    // onto the RESTORED tail: pairs B→X and X→C exist only if BOTH the
+    // tail and the pending buffer round-tripped through the state store.
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((1L, 250 * M, 4L, "C"))
+      q2.processAllAvailable()
+      mem.addData((1L, 400 * M, 5L, "Y"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows.contains(TPair(1L, "B", "X", 200 * M)),
+        s"restored buffered event must chain onto the restored tail, got $rows")
+      assert(rows.contains(TPair(1L, "X", "C", 250 * M)),
+        s"post-restart events must continue the restored chain, got $rows")
+      assert(!rows.exists(p => p.prev == "A"),
+        s"pre-restart pair A→B must not re-emit after restart, got $rows")
+    } finally q2.stop()
+  }
+
+  test("dedupNearStream: seen-signature state survives a query RESTART (dup stays suppressed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val day = 86400L * 1000 * M // day in ns (start fixtures at day 1+)
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts_ns", "text")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+    val out = Streaming.dedupNearStream(docs, watermarkDelay = "1 hour")
+      .select("doc_id")
+    val ckpt = Files.createTempDirectory("graft-dedup-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "a completely different document about distributed query engines"
+    // query A: doc 1 emits and its minhash signature enters the dedup
+    // state; STOP
+    val q1 = start()
+    mem.addData((1L, day, t1))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: doc 2 repeats doc 1's text 10 minutes later —
+    // ABOVE the restored watermark (day − 1 h), so only the ROUND-TRIPPED
+    // seen-signature state can suppress it (the late filter cannot);
+    // doc 3 is novel and must emit
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((2L, day + 600L * 1000 * M, t1), (3L, day + 600L * 1000 * M, t2))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq.sorted
+      assert(rows == Seq(3L),
+        s"dup must stay suppressed by restored state, novel doc must emit; got $rows")
+    } finally q2.stop()
+  }
+
   test("asofFullOuterStream: output is invariant to the micro-batch carve (seeded)") {
     // THE streaming determinism property: the same event set fed in 1
     // batch vs K random batches must emit the SAME final row set — a
