@@ -1390,6 +1390,117 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("funnelStream: partial registers AND the failed-verdict tombstone survive a query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{FunnelDone, TEvent}
+    val M = 1000000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "100 milliseconds")
+      .as[TEvent]
+    val out = Streaming.funnelStream(events)
+    val ckpt = Files.createTempDirectory("graft-funnel-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[FunnelDone]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelDone], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // query A: user 1 folds signup@10/click@50 (two registers set,
+    // unsettled); user 2's purchase-before-click chain settles as a
+    // FAILED verdict (tombstone, no emit); the user-9 noise event lifts
+    // the watermark to 100 so both fold before the STOP
+    val q1 = start()
+    mem.addData(
+      (1L, 10 * M, 1L, "signup"), (1L, 50 * M, 2L, "click"),
+      (2L, 10 * M, 3L, "purchase"), (2L, 20 * M, 4L, "click"),
+      (2L, 30 * M, 5L, "signup"))
+    q1.processAllAvailable()
+    mem.addData((9L, 200 * M, 6L, "noise"))
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: user 1's purchase@150 completes the chain — the
+    // emitted row must carry the PRE-restart register timestamps; user
+    // 2 replays a perfectly ordered chain that would emit if the
+    // tombstone were lost
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData(
+        (1L, 150 * M, 7L, "purchase"),
+        (2L, 150 * M, 8L, "signup"), (2L, 160 * M, 9L, "click"),
+        (2L, 170 * M, 10L, "purchase"))
+      q2.processAllAvailable()
+      mem.addData((9L, 400 * M, 11L, "noise"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows == Seq(FunnelDone(1L, 10 * M, 50 * M, 150 * M)),
+        s"restored registers must complete user 1 once; the restored " +
+          s"tombstone must keep user 2 silent; got $rows")
+    } finally q2.stop()
+  }
+
+  test("anomalyStream: scoring moments AND the open-day partial survive a query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AnomDay, TEvent}
+    val M = 1000000L
+    val D = 86400000L // day in ms
+    val H1 = 3600000L // hour in ms
+    def ns(ms: Long) = ms * M
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val events = mem.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+      .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+      .withWatermark("ts", "1 hour")
+      .as[TEvent]
+    val out = Streaming.anomalyStream(events)
+    val ckpt = Files.createTempDirectory("graft-anom-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[AnomDay]())
+    def start() = out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AnomDay], _: Long) =>
+        df.collect().foreach(got.add)
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    var id = 0L
+    def ev(ms: Long) = { id += 1; (1L, ns(ms), id, "e") }
+    // query A: user 1's history days 1/2/3 carry counts 1/2/3; the
+    // user-9 lift puts the watermark at day4+30min, finalizing the
+    // history (moments h=3, t=6, s2=14) while day 4 stays open; then 5
+    // of day 4's 8 events arrive ABOVE the watermark and wait in
+    // state; STOP
+    val q1 = start()
+    mem.addData(
+      Seq(ev(1 * D + H1),
+        ev(2 * D + H1), ev(2 * D + 2 * H1),
+        ev(3 * D + H1), ev(3 * D + 2 * H1), ev(3 * D + 3 * H1)) :+
+        ((9L, ns(4 * D + 90 * 60000L), 100L, "lift")): _*)
+    q1.processAllAvailable()
+    mem.addData((1 to 5).map(i => ev(4 * D + 2 * H1 + i)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // query B resumes: day 4's remaining 3 events arrive, then the
+    // second lift finalizes day 4 with count 8 — scored against the
+    // RESTORED moments: dev = 3·8−6 = 18, varn = 3·14−36 = 6,
+    // 18² > 4·6 → z = 18/√6 = 7.348469. Losing the moments (h=0) would
+    // suppress the row; losing the buffered 5 would score cnt=3 and
+    // fail the gate — the exact row below pins both round-trips.
+    got.clear()
+    val q2 = start()
+    try {
+      mem.addData((1 to 3).map(i => ev(4 * D + 3 * H1 + i)): _*)
+      q2.processAllAvailable()
+      mem.addData((9L, ns(5 * D + 2 * H1), 101L, "lift"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows == Seq(AnomDay(1L, 4L, 8L, 7.348469)),
+        s"day 4 must score cnt=8 against the restored history moments; got $rows")
+    } finally q2.stop()
+  }
+
   test("dedupNearStream: seen-signature state survives a query RESTART (dup stays suppressed)") {
     implicit val sqlCtx = spark.sqlContext
     val M = 1000000L
