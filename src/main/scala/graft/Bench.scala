@@ -37,12 +37,6 @@ object Bench {
     val filter: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => filter.forall(_.contains(n)) }
-    // The prelude memoizes the dedup pair builds AND the Quantizer
-    // caches (vecs_norm, quantizer) that s-queries consume — run it
-    // whenever a d- or s-query is selected, so filtered timings stay
-    // comparable to the full-surface BENCH_local.json numbers.
-    val runPrelude =
-      filter.forall(_.exists(n => n.startsWith("d") || n.startsWith("s")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,11 +58,13 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // drop warm-up state: evict the dedup memo FIRST (clearCache alone
-    // unpersists the frames but the memo would keep re-serving them,
+    // drop warm-up state: evict every memo FIRST (clearCache alone
+    // unpersists the frames but the memos would keep re-serving them,
     // re-materializing without the intended one-time count)
     graft.queries.DedupQueries.evictAll(spark)
     graft.queries.Quantizer.evictAll(spark)
+    graft.queries.TextQueries.evictAll(spark)
+    graft.queries.EventQueries.evictAll(spark)
     spark.catalog.clearCache()
     System.gc()
 
@@ -102,50 +98,77 @@ object Bench {
       if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
     }
 
-    // shared dedup prelude: timed as its own entry. Later prewarm calls
-    // hit the persisted frames, so a plain min-of-N would hide the build;
-    // instead the build runs twice WITH an eviction in between (two real
-    // builds) and reports min + spread — a single-sample number was
-    // swinging 2x run-to-run purely on host stalls. The prelude gets the
-    // SAME adaptive retries as queries (observed: both initial builds
-    // landing inside one multi-minute degradation window, min 22 s vs
-    // the 3-4 s steady state) — each retry re-evicts so every sample is
-    // a real build. The last build's frames stay persisted for the
-    // d-queries.
+    // Shared memoized preludes, each timed as its own entry. Later
+    // consumer calls hit the persisted frames, so a plain min-of-N would
+    // hide the build; instead each build runs twice WITH an eviction in
+    // between (two real builds) and reports min + spread — a
+    // single-sample number was swinging 2x run-to-run purely on host
+    // stalls. Preludes get the SAME adaptive retries as queries
+    // (observed: both initial builds landing inside one multi-minute
+    // degradation window, min 22 s vs the 3-4 s steady state) — each
+    // retry re-evicts so every sample is a real build. The last build's
+    // frames stay persisted for the consumers.
     // Per-component attribution (r5 lesson: one d00 number hid an +11 s
-    // regression in embedPairsExact): each build times the five component
+    // regression in embedPairsExact): each build times its component
     // materializations separately; the total is their sum, and the
     // component breakdown of the FASTEST build lands in BENCH_local.json
-    // as "d00_components" so the next prelude regression names its culprit.
-    var preludeParts: Seq[(String, Double)] = Nil
-    val prelude = if (!runPrelude) None else {
+    // (d00_components / m00_components / t00_components) so the next
+    // prelude regression names its culprit.
+    //   d00: dedup pair builds + Quantizer caches (d- and s-queries)
+    //   m00: the media near-dup pair frame (m03 presents, m05 clusters)
+    //   t00: the bigram-count frame (t14/t21) + trained BPE (t15/t16/t17/t24)
+    final case class PreludeSpec(
+      name: String,
+      appliesTo: String => Boolean,
+      evict: () => Unit,
+      parts: () => Seq[(String, () => Unit)])
+    val preludeSpecs = Seq(
+      PreludeSpec("d00_dedup_prelude",
+        n => n.startsWith("d") || n.startsWith("s"),
+        () => {
+          graft.queries.DedupQueries.evict(spark, sfDir)
+          graft.queries.Quantizer.evict(spark, sfDir)
+        },
+        () => graft.queries.DedupQueries.prewarmParts(spark, sfDir)),
+      PreludeSpec("m00_media_prelude",
+        graft.queries.EventQueries.preludeConsumers.contains,
+        () => graft.queries.EventQueries.evict(spark, sfDir),
+        () => graft.queries.EventQueries.prewarmParts(spark, sfDir)),
+      PreludeSpec("t00_text_prelude",
+        graft.queries.TextQueries.preludeConsumers.contains,
+        () => graft.queries.TextQueries.evict(spark, sfDir),
+        () => graft.queries.TextQueries.prewarmParts(spark, sfDir)))
+
+    val preludeParts = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+    def runPrelude(spec: PreludeSpec): Option[(String, (Double, Double))] = {
+      if (!filter.forall(_.exists(spec.appliesTo))) return None
       def build(): Option[Double] = {
-        graft.queries.DedupQueries.evict(spark, sfDir)
-        graft.queries.Quantizer.evict(spark, sfDir)
-        val thunks = graft.queries.DedupQueries.prewarmParts(spark, sfDir)
+        spec.evict()
+        val thunks = spec.parts()
         val parts = thunks.flatMap { case (part, body) =>
-          timedOnce(s"d00/$part", body()).map(part -> _)
+          timedOnce(s"${spec.name.take(3)}/$part", body()).map(part -> _)
         }
         if (parts.length < thunks.length) None
         else {
           val total = parts.map(_._2).sum
-          if (preludeParts.isEmpty || total < preludeParts.map(_._2).sum)
-            preludeParts = parts
+          if (!preludeParts.contains(spec.name) ||
+              total < preludeParts(spec.name).map(_._2).sum)
+            preludeParts(spec.name) = parts
           Some(total)
         }
       }
       var ts = Seq(build(), build()).flatten
       var extra = 0
       while (ts.nonEmpty && extra < 2 && ts.min > 5.0 && (ts.max - ts.min) > ts.min) {
-        System.err.println(f"[bench] retry d00_dedup_prelude: min ${ts.min}%.2fs spread ${ts.max - ts.min}%.2fs")
+        System.err.println(f"[bench] retry ${spec.name}: min ${ts.min}%.2fs spread ${ts.max - ts.min}%.2fs")
         ts = ts ++ build()
         extra += 1
       }
-      if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min))
+      if (ts.isEmpty) None else Some(spec.name -> (ts.min, ts.max - ts.min))
     }
 
     val results: Seq[(String, (Double, Double))] =
-      (prelude.map("d00_dedup_prelude" -> _).toSeq ++
+      (preludeSpecs.flatMap(runPrelude) ++
         selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
           timed(name, fn(spark, sfDir).count()).map(name -> _)
         })
@@ -164,10 +187,13 @@ object Bench {
     val total = results.map(_._2._1).sum
 
     // Full-detail record (4-decimal timings + per-query spread) → file.
+    val componentMaps = preludeParts.toSeq.map { case (name, parts) =>
+      s""""${name.take(3)}_components":${jmap(parts.map { case (k, t) => k -> f(t) })}"""
+    }.mkString(",")
     val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$Passes,""" +
       s""""queries":${jmap(results.map { case (k, (mn, _)) => k -> f(mn) })},""" +
       s""""spread":${jmap(results.map { case (k, (_, sp)) => k -> f(sp) })},""" +
-      s""""d00_components":${jmap(preludeParts.map { case (k, t) => k -> f(t) })},""" +
+      (if (componentMaps.nonEmpty) componentMaps + "," else "") +
       s""""errors":$errs,"sf":"$sfDir"}"""
     val outFile = if (filter.isDefined) "BENCH_filtered.json" else "BENCH_local.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")

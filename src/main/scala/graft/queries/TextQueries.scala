@@ -17,6 +17,108 @@ object TextQueries {
   private val langs: Seq[(String, Seq[String])] =
     Seq("en" -> StopEn, "de" -> StopDe, "es" -> StopEs, "fr" -> StopFr)
 
+  /** Session-scoped memo of the TRAINED text models and their shared
+    * corpus aggregates (the DedupQueries.memo idiom). Two families:
+    * (1) the char-bigram (doc_id, g, n) counts that t14 and t21 both
+    * derive their model AND their per-doc scores from — one corpus
+    * generate+aggregate instead of two; (2) the BPE tokenizer, whose
+    * 8-round training (one corpus word-count aggregate + 8
+    * vocabulary-sized argmax/merge rounds) was previously re-run by
+    * every consumer (t15 train, t16 vocab, t17 doc tokens, t24 via
+    * t17) — four identical trainings per sweep. Training once and
+    * serving the learned merges from the memo is the production
+    * tokenizer lifecycle (train → freeze → apply), the same
+    * build-once shape the persisted ANN index (s23+) pins. The
+    * persisted frames are vocabulary/bigram-alphabet bounded —
+    * never corpus-scale.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+      val df = build.persist()
+      df.count()
+      df
+    })
+
+  /** Learned merge table rows (rank, l, r, pair_count) — driver-side
+    * (8 rows); memoized separately from the frames because the learn
+    * loop's cost is its per-round collects, not a materialization.
+    */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(Long, String, String, Long)]]
+
+
+  /** The (doc_id, bigram, n) corpus aggregate t14 and t21 share. The
+    * bigram array is built with zip_with over two slices of the char
+    * split — array INPUTS, not a lambda capturing the text column
+    * (t14's measured O(len²) CollapseProject lesson, kept here).
+    */
+  private[queries] def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bigram_counts") {
+      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
+      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
+          (a, b) => concat(a, b))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    }
+
+  /** The one corpus-sized word-count aggregate BPE trains on. */
+  private[queries] def bpeWordCounts(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bpe_word_counts") {
+      graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text")
+    }
+
+  /** The trained tokenizer: learn once per (session, dir), serve the
+    * 8 learned merges to every consumer. Deterministic (exact integer
+    * pair counts, lexicographic tie-break), so train-once ≡ the old
+    * train-per-consumer results bit-for-bit.
+    */
+  private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      graft.ops.BpeLearn.learnMerges(bpeWordCounts(s, dir), BpeRounds)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq)
+
+  /** Unpersist and drop every memoized frame/model for (session, dir) —
+    * Bench evicts between its warm-up and timed sections and between
+    * prelude build samples (the DedupQueries.evict contract).
+    */
+  def evict(s: SparkSession, dir: String): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(k => k._1 == sid && k._2 == dir)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+    bpeMemo.remove((sid, dir))
+    ()
+  }
+
+  /** Evict every dir memoized for this session. */
+  def evictAll(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(_._1 == sid)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+    bpeMemo.keys.filter(_._1 == sid).foreach(bpeMemo.remove)
+  }
+
+  /** The queries that consume a memoized build — Bench runs (and
+    * times) the t00 prelude iff one of these is selected.
+    */
+  val preludeConsumers: Set[String] =
+    Set("t14_bigram_typicality", "t15_bpe_merges", "t16_bpe_vocab",
+      "t17_bpe_doc_tokens", "t21_bigram_lm", "t24_fertility")
+
+  /** The prelude's component builds, individually invokable so Bench
+    * attributes each materialization (the d00 per-component lesson).
+    * bpe_merges trains on the already-memoized word counts, so its
+    * entry times the 8 learn rounds alone.
+    */
+  def prewarmParts(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "bigram_counts" -> (() => { bigramCounts(s, dir); () }),
+    "bpe_word_counts" -> (() => { bpeWordCounts(s, dir); () }),
+    "bpe_merges" -> (() => { bpeMerges(s, dir); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID: stopword-hit argmax with fixed precedence (en > de >
     // es > fr > unknown on all-zero).
@@ -250,26 +352,14 @@ object TextQueries {
       // exploded an index column and cut substrings AFTER the generate,
       // so every exploded row carried the full document string, and it
       // did that twice (model + score side): 11 s at sf0.1 of pure
-      // memory bandwidth. The bigram array is built with zip_with over
-      // two slices of the char split — array INPUTS, not a lambda that
-      // captures `txt`, because CollapseProject inlines the cleaning
-      // regex into a capturing lambda and re-runs it PER ELEMENT
-      // (measured O(len²): still 7 s). The (doc_id, g) aggregate then
-      // collapses occurrences map-side before any exchange; the
-      // <= 27²-row model derives from those counts (its exchange
-      // reuses the same subtree), and the score join multiplies counts
-      // instead of probing one broadcast row per occurrence.
-      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
-      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
-      val gcounts = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(zip_with(
-          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
-          (a, b) => concat(a, b))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-      // both branches (model + score join) read the counts; the shared
-      // (doc_id, g) exchange is runtime-reused (verified: an explicit
-      // localCheckpoint here was NOT faster), so the 15M-row bigram
-      // generate runs once
+      // memory bandwidth. The (doc_id, g) aggregate collapses
+      // occurrences map-side before any exchange and is MEMOIZED
+      // (bigramCounts) — t21 derives its smoothed LM from the same
+      // frame, so the corpus generate runs once per (session, dir),
+      // not once per consumer. The <= 27²-row model derives from those
+      // counts, and the score join multiplies counts instead of
+      // probing one broadcast row per occurrence.
+      val gcounts = bigramCounts(s, dir)
       val model = gcounts.groupBy("g").agg(sum(col("n")).as("cnt"))
       gcounts.join(broadcast(model), "g")
         .groupBy("doc_id")
@@ -289,8 +379,13 @@ object TextQueries {
     // literal `replace`, identical in both engines, so the whole
     // training loop hash-matches a generated 8-layer oracle.
     "t15_bpe_merges" -> { (s, dir) =>
-      graft.ops.BpeLearn.learnMerges(
-        graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text"), 8)
+      // serve the memoized trained model (learn-once lifecycle); the
+      // 8 merge rows rebuild driver-side with the exact schema and
+      // values learnMerges emits (rank, l, r, merged = concat, count)
+      import s.implicits._
+      bpeMerges(s, dir).toDF("rank", "l", "r", "pair_count")
+        .select(col("rank"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("pair_count"))
         .orderBy("rank")
     },
 
@@ -301,9 +396,8 @@ object TextQueries {
     // with. Vocabulary-sized throughout after the one word-count
     // aggregate.
     "t16_bpe_vocab" -> { (s, dir) =>
-      val words = graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text")
-      val merges = graft.ops.BpeLearn.learnMerges(words, 8)
-        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = bpeWordCounts(s, dir)
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
       graft.ops.BpeLearn.applyMerges(words, merges)
         .select(col("cnt"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum(col("cnt")).as("n"))
@@ -319,9 +413,8 @@ object TextQueries {
     // and one broadcast join, not a per-token string replay.
     "t17_bpe_doc_tokens" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val words = graft.ops.BpeLearn.wordCounts(docs, "text")
-      val merges = graft.ops.BpeLearn.learnMerges(words, 8)
-        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = bpeWordCounts(s, dir)
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
       val pieces = graft.ops.BpeLearn.applyMerges(words, merges)
         .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
       val docWords = docs
@@ -503,13 +596,9 @@ object TextQueries {
     // per-doc bigram counts, one doc-keyed shuffle, no corpus-sized
     // join.
     "t21_bigram_lm" -> { (s, dir) =>
-      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
-      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
-      val gcounts = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(zip_with(
-          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
-          (a, b) => concat(a, b))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      // the memoized t14 bigram-count frame — one corpus generate
+      // serves both the familiarity score and this smoothed LM
+      val gcounts = bigramCounts(s, dir)
       val model = gcounts.groupBy("g").agg(sum(col("n")).as("cnt"))
       val cx = model.groupBy(substring(col("g"), 1, 1).as("x"))
         .agg(sum(col("cnt")).as("cx"))

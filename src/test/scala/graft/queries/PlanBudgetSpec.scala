@@ -122,8 +122,15 @@ class PlanBudgetSpec extends SparkSpec {
     "t09_countmin" -> 3, "t10_normalize" -> 1,
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
     "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 5,
-    "t15_bpe_merges" -> 1, "t16_bpe_vocab" -> 2,
-    "t17_bpe_doc_tokens" -> 4,
+    // t15: merges are served from the trained-model memo (driver-side
+    // rows); the only exchange is the presentation sort
+    "t15_bpe_merges" -> 1,
+    // t16/t17: +1 over the pre-memo pins — the memoized bpe_word_counts
+    // build exchange prints once inside the InMemoryRelation subtree
+    // (one-time build per session/dir, the d02 memo-embed convention);
+    // the live per-query shuffles are unchanged
+    "t16_bpe_vocab" -> 3,
+    "t17_bpe_doc_tokens" -> 5,
     // t19: map-only regex counts + presentation sort
     "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
@@ -225,9 +232,11 @@ class PlanBudgetSpec extends SparkSpec {
     "s16_mplsh_topk" -> 2,
     // s17: composes s01 (exact side) + s16 — the s06 evaluation shape
     "s17_mplsh_recall" -> 8,
-    // t21: t14's bigram chain (5) + the model/cx folds the smoothing
-    // needs — every extra exchange is over the ≤27²-row model frame
-    "t21_bigram_lm" -> 8,
+    // t21: the memoized bigram-count frame (its build exchange prints
+    // once in the InMemoryRelation subtree) + the model/cx folds the
+    // smoothing needs — every extra exchange is over the ≤27²-row
+    // model frame (measured 7 post-memo, was 8 inline)
+    "t21_bigram_lm" -> 7,
     // p25: grouped two-level prefix sum (per-(source,range) partials,
     // tiny offsets frame, in-range window) + source totals +
     // presentation sort
@@ -284,9 +293,9 @@ class PlanBudgetSpec extends SparkSpec {
     // agg + eval (doc,lang,g) agg + doc-score agg + confusion agg +
     // sort; model/totals ride as broadcasts (measured 9)
     "t23_trigram_langid" -> 9,
-    // t24: t17's composed shuffles + the lang rollup + sort
-    // (measured 5)
-    "t24_fertility" -> 5,
+    // t24: t17's composed shuffles (incl. the one-time memo-build
+    // exchange, see t16/t17) + the lang rollup + sort (measured 6)
+    "t24_fertility" -> 6,
     // x35: ONE corpus aggregate (bounded kmv_set state, checkpointed
     // sketch frame) + the dimension-sized pairwise stage + sort
     // (measured 1)
