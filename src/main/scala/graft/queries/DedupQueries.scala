@@ -86,6 +86,9 @@ object DedupQueries {
   def prewarmParts(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "lsh_candidates" -> (() => { lshCandidates(s, dir); () }),
     "shingle_sets" -> (() => { shingleSets(s, dir); () }),
+    // the verified pair frame consumed by d05/d07/d09/d19/d25 — built
+    // (and attributed) after its candidate + shingle inputs
+    "neardup_pairs" -> (() => { neardupPairs(s, dir); () }),
     "sweep_candidates" -> (() => { sweepCandidates(s, dir); () }),
     // the widened norm frame feeds embed_pairs_exact, sign proposals
     // AND the quantizer — built (and attributed) before its consumers
@@ -270,22 +273,26 @@ object DedupQueries {
     }
 
   /** Verified near-dup pairs (doc_a < doc_b, exact n-gram Jaccard >= 0.5
-    * over the LSH candidates) — shared by d05 (scores) and d07
-    * (clustering).
+    * over the LSH candidates) — MEMOIZED: six rows consume it (d05
+    * scores, d07 clusters, d09 keep-list, d19 central keeper, d25
+    * funnel, the d02-adjacent spec paths), and without the memo each
+    * one re-ran the candidate×sets verify join. Pair volume at the 0.5
+    * threshold is near-dup-sized — a few MB, never corpus-scale.
     */
-  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(s, dir)
-    val sets = shingleSets(s, dir)
-    val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
-    val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType).as("i"),
-        size(col("gsa")).as("na"), size(col("gsb")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i") / (col("na") + col("nb") - col("i"))).as("j"))
-      .filter(col("j") >= 0.5)
-  }
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "neardup") {
+      val cand = lshCandidates(s, dir)
+      val sets = shingleSets(s, dir)
+      val a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gsa")
+      val b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gsb")
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType).as("i"),
+          size(col("gsa")).as("na"), size(col("gsb")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i") / (col("na") + col("nb") - col("i"))).as("j"))
+        .filter(col("j") >= 0.5)
+    }
 
   /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
