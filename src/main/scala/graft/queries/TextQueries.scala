@@ -395,6 +395,41 @@ object TextQueries {
     // occurrence count: the piece-frequency table a tokenizer ships
     // with. Vocabulary-sized throughout after the one word-count
     // aggregate.
+    // PERSISTED TOKENIZER LIFECYCLE — s23's build→write→serve flow
+    // applied to the text pillar's trained model: the BPE merge table
+    // (trained once, the t00 memo) is WRITTEN via io.Writers as the
+    // artifact a tokenizer actually ships, and the vocabulary is then
+    // tokenized from the RE-READ merges only. Oracle = t16's pinned
+    // SQL unchanged, so a green row proves model-from-disk ≡
+    // model-in-memory (strings and longs round-trip parquet exactly;
+    // rank order restores the greedy application order). At 100 TB the
+    // model is a KB-sized artifact trained once and broadcast to every
+    // tokenize job — the amortize argument the persisted ANN rows pin,
+    // applied to the tokenizer. Runs eagerly (write → re-read →
+    // checkpoint) with the artifact dir finally-reclaimed, the
+    // s23/d14 side-effectful pattern.
+    "t25_bpe_persisted" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("t25_bpe").toString
+      val out = try {
+        graft.io.Writers.parquet(
+          bpeMerges(s, dir).toDF("rank", "l", "r", "pair_count"), s"$tmp/merges")
+        val reread = s.read.parquet(s"$tmp/merges")
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
+        graft.ops.BpeLearn.applyMerges(bpeWordCounts(s, dir), reread)
+          .select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("n"))
+          .orderBy(desc("n"), col("piece")).limit(50)
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+      out.orderBy(desc("n"), col("piece"))
+    },
+
     "t16_bpe_vocab" -> { (s, dir) =>
       val words = bpeWordCounts(s, dir)
       val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
@@ -1013,6 +1048,15 @@ object TextQueries {
          |ORDER BY rank""".stripMargin,
     // the final layer's segmentation IS the tokenized vocabulary
     "t16_bpe_vocab" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(list_filter(string_split(seg, ' '), x -> x <> '')) AS piece
+         |  FROM w$BpeRounds)
+         |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin,
+    // t16's SQL verbatim: the row asserts the PERSISTED model serves
+    // identically to the in-memory one, so the oracle must not move
+    "t25_bpe_persisted" ->
       s"""WITH $bpeProlog,
          |$bpeLayers
          |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (

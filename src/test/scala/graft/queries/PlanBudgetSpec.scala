@@ -131,6 +131,9 @@ class PlanBudgetSpec extends SparkSpec {
     // the live per-query shuffles are unchanged
     "t16_bpe_vocab" -> 3,
     "t17_bpe_doc_tokens" -> 5,
+    // t25: the persisted-model serve runs eagerly (write -> re-read ->
+    // checkpoint, the s23 shape); static tail = checkpoint scan + sort
+    "t25_bpe_persisted" -> 1,
     // t19: map-only regex counts + presentation sort
     "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
