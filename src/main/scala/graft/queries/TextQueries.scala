@@ -49,20 +49,19 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(Long, String, String, Long)]]
 
 
-  /** The (doc_id, bigram, n) corpus aggregate t14 and t21 share. The
-    * bigram array is built with zip_with over two slices of the char
-    * split — array INPUTS, not a lambda capturing the text column
-    * (t14's measured O(len²) CollapseProject lesson, kept here).
+  /** The (doc_id, bigram, n) corpus frame t14 and t21 share — built by
+    * the native one-pass expression (CharBigramsExpr): per doc the
+    * counts fold inside the projection, so this build is SHUFFLE-FREE
+    * (the earlier zip_with/explode/HashAggregate chain allocated one
+    * string per char + one per position, then shuffled the collapsed
+    * counts — CharBigramsSpec pins the two forms row-identical).
     */
   private[queries] def bigramCounts(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "bigram_counts") {
-      val cs = split(regexp_replace(lower(col("text")), "[^a-z ]", ""), "")
-      val n1 = length(regexp_replace(lower(col("text")), "[^a-z ]", "")) - 1
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(zip_with(
-          slice(cs, lit(1), greatest(n1, lit(0))), slice(cs, lit(2), greatest(n1, lit(0))),
-          (a, b) => concat(a, b))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .select(col("doc_id"),
+          explode(call_function("graft_char_bigrams", col("text"))).as("bg"))
+        .select(col("doc_id"), col("bg.g").as("g"), col("bg.n").as("n"))
     }
 
   /** The one corpus-sized word-count aggregate BPE trains on. */

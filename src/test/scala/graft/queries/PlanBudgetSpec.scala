@@ -121,7 +121,10 @@ class PlanBudgetSpec extends SparkSpec {
     "t07_vocab" -> 2, "t08_bm25" -> 5,
     "t09_countmin" -> 3, "t10_normalize" -> 1,
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
-    "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 5,
+    // t14: the memoized bigram frame is a PROJECTION (native
+    // CharBigramsExpr folds per-doc counts in one pass — no build
+    // exchange at all); live = model agg + doc agg + sort
+    "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 3,
     // t15: merges are served from the trained-model memo (driver-side
     // rows); the only exchange is the presentation sort
     "t15_bpe_merges" -> 1,
@@ -235,11 +238,10 @@ class PlanBudgetSpec extends SparkSpec {
     "s16_mplsh_topk" -> 2,
     // s17: composes s01 (exact side) + s16 — the s06 evaluation shape
     "s17_mplsh_recall" -> 8,
-    // t21: the memoized bigram-count frame (its build exchange prints
-    // once in the InMemoryRelation subtree) + the model/cx folds the
-    // smoothing needs — every extra exchange is over the ≤27²-row
-    // model frame (measured 7 post-memo, was 8 inline)
-    "t21_bigram_lm" -> 7,
+    // t21: the memoized bigram frame is exchange-free (see t14); the
+    // model/cx smoothing folds are aggregates over the ≤27²-row model
+    // frame (measured 5 with the native build, was 8 inline)
+    "t21_bigram_lm" -> 5,
     // p25: grouped two-level prefix sum (per-(source,range) partials,
     // tiny offsets frame, in-range window) + source totals +
     // presentation sort
