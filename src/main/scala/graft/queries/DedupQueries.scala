@@ -253,11 +253,18 @@ object DedupQueries {
     */
   private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "cand") {
-      val sig = minhashSigs(s, dir)
-        .withColumn("band", (col("k") / 4).cast(IntegerType))
-      val bsig = sig.groupBy(col("doc_id"), col("band"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("v")))),
-          x => x.getField("v").cast(StringType)), ",").as("bs"))
+      // band signatures SLICED straight from the per-doc slot array
+      // (slots are already in k order) — an earlier form posexploded to
+      // (doc_id, k, v) and re-grouped with a (doc_id, band) aggregate,
+      // paying a corpus×K shuffle just to undo its own explode; this
+      // projection makes bsig shuffle-free (bands = K/4, 4 slots each,
+      // posexplode's 0-based pos IS the band index)
+      val bsig = minhashArr(s, dir)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(MinhashK / 4 - 1)), b =>
+            array_join(transform(slice(col("slots"), b * lit(4) + lit(1), lit(4)),
+              v => v.cast(StringType)), ","))))
+        .toDF("doc_id", "band", "bs")
       val small = bsig.groupBy("band", "bs")
         .agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= MaxBucket)

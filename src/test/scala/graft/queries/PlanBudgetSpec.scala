@@ -44,11 +44,16 @@ class PlanBudgetSpec extends SparkSpec {
   // plans; mention counting would multiply one real shuffle ~6×).
   // d02/d03/d05/d10 embed the memoized dedup-prelude build exchanges
   private val budget: Map[String, Int] = Map(
-    "d01_dedup_exact" -> 2, "d02_minhash_pairs" -> 16,
-    "d03_minhash_lsh" -> 15, "d04_simhash" -> 2,
-    "d05_ngram_jaccard" -> 15, "d06_embed_neardup" -> 3,
+    "d01_dedup_exact" -> 2,
+    // d02..d18's embedded memo-build exchanges dropped ~2× when band
+    // signatures became slot-array slices (the (doc_id, band) regroup
+    // shuffle was deleted outright) and the verified pair frame joined
+    // the memo (its verify join prints once, not per consumer)
+    "d02_minhash_pairs" -> 8,
+    "d03_minhash_lsh" -> 7, "d04_simhash" -> 2,
+    "d05_ngram_jaccard" -> 7, "d06_embed_neardup" -> 3,
     "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
-    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 15,
+    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 7,
     // d11 embeds the quantizer memo's first-build plan when it is the
     // first toucher (k-means fit exchanges print inside the subtree)
     "d11_semdedup" -> 6, "d12_lsh_tuning" -> 7,
@@ -57,7 +62,7 @@ class PlanBudgetSpec extends SparkSpec {
     // (deliberately not materialized — the 2-bit config proposes ~all
     // pairs, caching it would cost n²/4 rows)
     "d15_blocking_eval" -> 6, "d17_threshold_sweep" -> 6,
-    "d18_containment" -> 15, // d05's candidate-verify shape
+    "d18_containment" -> 7, // d05's candidate-verify shape
     // e18: user-lag window + tiny (prev,next) matrix agg + present sort
     "e18_transitions" -> 4,
     // t18: the uni/bi aggregate subtrees print once per consumer
