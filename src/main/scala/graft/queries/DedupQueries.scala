@@ -886,22 +886,25 @@ object DedupQueries {
         .withColumn("__key", substring(col("text"), 1, 80))
       val tmpRoot = java.nio.file.Files.createTempDirectory("d14_index")
       val indexPath = tmpRoot.toString + "/index"
-      val days = (0 until 3).map { d =>
-        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === d)
-        val out =
-          if (d == 2)
-            graft.ops.IncrementalDedup.processWithBloom(
-              batch, "doc_id", "__key", indexPath)
-          else
-            graft.ops.IncrementalDedup.process(
-              batch, "doc_id", "__key", indexPath)
-        out.select(lit(d).as("day"), col("doc_id"))
-      }
       // each day's survivors are localCheckpoint'ed inside process(), so
-      // the index is only needed DURING the replay — reclaim it rather
-      // than leaking a temp dir per invocation
-      val p = new org.apache.hadoop.fs.Path(tmpRoot.toString)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      // the index is only needed DURING the replay — finally-reclaimed
+      // (a mid-replay failure must not leak the dir, the s23 contract)
+      val days = try {
+        (0 until 3).map { d =>
+          val batch = docs.filter(pmod(col("doc_id"), lit(3)) === d)
+          val out =
+            if (d == 2)
+              graft.ops.IncrementalDedup.processWithBloom(
+                batch, "doc_id", "__key", indexPath)
+            else
+              graft.ops.IncrementalDedup.process(
+                batch, "doc_id", "__key", indexPath)
+          out.select(lit(d).as("day"), col("doc_id"))
+        }
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmpRoot.toString)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
       days.reduce(_ unionByName _).orderBy("day", "doc_id")
     },
 

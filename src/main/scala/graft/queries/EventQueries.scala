@@ -786,32 +786,38 @@ object EventQueries {
     "e28_stream_upsert" -> { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_e28").toString
       val srcDir = s"$tmp/src"; val stateDir = s"$tmp/state"
-      val src = Tables(s, dir, "events").select("user_id", "value", "event_id")
-      (0 until 3).foreach { i =>
-        src.filter(pmod(col("event_id"), lit(3)) === i).drop("event_id")
-          .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/slice$i")
+      // finally-reclaimed: a failure anywhere in the slice-write →
+      // stream → read-back lifecycle must not leak the temp dir (the
+      // s23 contract); the localCheckpoint makes deletion-before-return
+      // safe on the success path
+      try {
+        val src = Tables(s, dir, "events").select("user_id", "value", "event_id")
+        (0 until 3).foreach { i =>
+          src.filter(pmod(col("event_id"), lit(3)) === i).drop("event_id")
+            .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/slice$i")
+        }
+        val schema = StructType(Seq(
+          StructField("user_id", LongType), StructField("value", DoubleType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$srcDir/slice*")
+        scopedStream(s) {
+          val q = graft.streaming.Streaming
+            .upsertAggSink(stream, stateDir, "user_id", "value")
+            .option("checkpointLocation", s"$tmp/ckpt").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        graft.streaming.Streaming.latestGen(s, stateDir, Long.MaxValue)
+          .getOrElse(sys.error("e28: no state generation written"))
+          .select(col("user_id"), col("cnt"),
+            col("total").cast(DoubleType).as("total_value"))
+          .orderBy("user_id")
+          .localCheckpoint() // materialize before the temp state is reclaimed
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       }
-      val schema = StructType(Seq(
-        StructField("user_id", LongType), StructField("value", DoubleType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$srcDir/slice*")
-      scopedStream(s) {
-        val q = graft.streaming.Streaming
-          .upsertAggSink(stream, stateDir, "user_id", "value")
-          .option("checkpointLocation", s"$tmp/ckpt").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      val fin = graft.streaming.Streaming.latestGen(s, stateDir, Long.MaxValue)
-        .getOrElse(sys.error("e28: no state generation written"))
-        .select(col("user_id"), col("cnt"),
-          col("total").cast(DoubleType).as("total_value"))
-        .orderBy("user_id")
-        .localCheckpoint() // materialize before the temp state is reclaimed
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-      fin
     },
 
     // LIVE streaming transition matrix — e18's batch matrix computed

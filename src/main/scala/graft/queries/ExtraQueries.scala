@@ -427,6 +427,13 @@ object ExtraQueries {
         .agg(max("row"), max("col"), count(lit(1)))
         .collect().head.toSeq.map(_.asInstanceOf[Long])
       val tmp = java.nio.file.Files.createTempDirectory("x20_mm").toString
+      // the returned frame reads the .MM.gz artifact LAZILY (pushdown
+      // into the matrixmarket scan is the row's point), so the dir must
+      // outlive this builder — reclaim it at JVM shutdown instead of
+      // leaking one temp dir per invocation
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+        .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
       val header = s.range(1).select(lit(0L).as("ord"),
         lit("%%MatrixMarket matrix coordinate integer general").as("line"))
         .unionByName(s.range(1).select(lit(1L).as("ord"),

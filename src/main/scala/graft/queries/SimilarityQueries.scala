@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StructField, StructType}
 
 import graft.functions.NumFns.round6
 import graft.functions.VecFns._
@@ -51,6 +51,42 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Serve top-3 neighbors from the persisted trained-quantizer
+    * artifact: probe the RE-READ centroids (a tiny broadcast), prune the
+    * cid-partitioned postings LISTING to the probed clusters via the
+    * driver-safe bounded collect (the d13 tiny-collect pattern; an empty
+    * probe batch makes `probed` empty, the empty IN list is
+    * false-for-all and `best` itself is empty, so the result is the
+    * correct empty frame — PersistedIndexSpec pins the isin semantics),
+    * scan only those inverted lists, rank within each query. ONE serve
+    * implementation shared verbatim by three lifecycles: s25 (one-shot
+    * build), s26 (append-maintained artifact), s27 (every online
+    * micro-batch). `probes` must carry (vec_id, e) with e L2-normalized.
+    */
+  private def serveQuantizerArtifact(s: SparkSession, centRe: DataFrame,
+      postingsPath: String, probes: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
+    val best = probes.crossJoin(broadcast(centRe))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        dotSeq(col("e"), col("c")).as("d"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"))
+    val probed = best.select("cid").distinct().collect().map(_.get(0))
+    val post = s.read.parquet(postingsPath)
+      .where(col("cid").isin(probed: _*))
+    val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
+    best
+      .join(probes.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
+      .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("e").as("ce")), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -896,26 +932,7 @@ object SimilarityQueries {
           s"$tmp/postings", Seq("cid"), targetFileCount = 4)
         val cent = s.read.parquet(s"$tmp/centroids")
         val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
-        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
-        val best = q.crossJoin(broadcast(cent))
-          .select(col("vec_id").as("query_id"), col("cid"),
-            dotSeq(col("e"), col("c")).as("d"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), col("cid"))
-        val probed = best.select("cid").distinct().collect().map(_.get(0))
-        val post = s.read.parquet(s"$tmp/postings")
-          .where(col("cid").isin(probed: _*))
-        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
-        best
-          .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
-          .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
-            col("e").as("ce")), "cid")
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        serveQuantizerArtifact(s, cent, s"$tmp/postings", q)
           .localCheckpoint()
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp)
@@ -969,28 +986,73 @@ object SimilarityQueries {
           graft.ops.KMeans.assign(delta, centRe)
             .select(col("vec_id"), col("e"), col("cid")),
           s"$tmp/postings", Seq("cid"), targetFileCount = 4, mode = "append")
-        // 3. serve from the merged artifact — s25's serve verbatim
+        // 3. serve from the merged artifact — s25's serve (the shared
+        //    serveQuantizerArtifact, reading the base ∪ delta listing)
         val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
-        val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
-        val best = q.crossJoin(broadcast(centRe))
-          .select(col("vec_id").as("query_id"), col("cid"),
-            dotSeq(col("e"), col("c")).as("d"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), col("cid"))
-        val probed = best.select("cid").distinct().collect().map(_.get(0))
-        val post = s.read.parquet(s"$tmp/postings")
-          .where(col("cid").isin(probed: _*))
-        val w = Window.partitionBy("query_id").orderBy(desc("c"), col("neighbor_id"))
-        best
-          .join(asg0.select(col("vec_id").as("query_id"), col("e").as("qe")), "query_id")
-          .join(post.select(col("cid"), col("vec_id").as("neighbor_id"),
-            col("e").as("ce")), "cid")
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"), dotSeq(col("qe"), col("ce")).as("c"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round6(col("c")).as("cos"))
+        serveQuantizerArtifact(s, centRe, s"$tmp/postings", q)
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      out.orderBy("query_id", "rank")
+    },
+
+    // ONLINE SERVING from the persisted trained index — the lifecycle
+    // step s23–s26 still lacked: they build/maintain the artifact and
+    // answer ONE static query batch in the same job; production ANN
+    // serving is a continuous STREAM of probe batches against a frozen
+    // artifact. The probe set arrives as three arrival slices
+    // (maxFilesPerTrigger=1 → three real micro-batches, the e28
+    // pattern); every batch is served straight from the RE-READ
+    // artifact by the same serveQuantizerArtifact as s25/s26 (one
+    // serve implementation, three lifecycles), and the answers land in
+    // a batch-id-addressed parquet sink (writeBatchIdempotent: a
+    // checkpoint replay overwrites its own generation → exactly-once).
+    // Oracle = s11's pinned full-rebuild SQL: a green row proves
+    // stream-served ∪ ≡ the one-shot batch serve — per-query top-k is
+    // independent across probes, so slicing the probe set across
+    // micro-batches cannot change any answer, and doubles round-trip
+    // the probe parquet bit-exactly. At 100 TB: the artifact is frozen
+    // (per-batch reads prune to the probed cid= inverted lists), the
+    // per-batch driver collect is bounded by batch size, and the sink
+    // is an append-only audit table vacuumed by generation.
+    "s27_stream_ann_serve" -> { (s, dir) =>
+      val cent0 = Quantizer.centroids(s, dir)
+      val asg0 = Quantizer.assignments(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("s27_serve").toString
+      // finally-reclaimed, as in s23
+      val out = try {
+        graft.io.Writers.parquet(cent0, s"$tmp/centroids")
+        graft.io.Writers.parquetPartitioned(
+          asg0.select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4)
+        val q0 = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+        (0 until 3).foreach { i =>
+          q0.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/probes/slice$i")
+        }
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("e", ArrayType(DoubleType))))
+        val probes = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/probes/slice*")
+        // the server's resident state: centroids read from the artifact
+        // once at startup (what a real serving process keeps in memory)
+        val centRe = s.read.parquet(s"$tmp/centroids")
+        EventQueries.scopedStream(s) {
+          val qq = probes.writeStream.foreachBatch {
+            (batch: Dataset[Row], batchId: Long) =>
+              graft.streaming.Streaming.writeBatchIdempotent(
+                serveQuantizerArtifact(s, centRe, s"$tmp/postings", batch.toDF()),
+                batchId, s"$tmp/out")
+          }.option("checkpointLocation", s"$tmp/ckpt").start()
+          try qq.processAllAvailable() finally qq.stop()
+        }
+        s.read.parquet(s"$tmp/out")
+          .select("query_id", "rank", "neighbor_id", "cos")
           .localCheckpoint()
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp)
@@ -1620,6 +1682,10 @@ object SimilarityQueries {
       // incrementally-maintained index (base build + delta append,
       // served from disk) ≡ the full in-memory rebuild
       "s26_ivf_append" -> s11Sql,
+      // online serving re-serves s11's SQL as well: a green row = the
+      // micro-batch-sliced stream served from the frozen artifact ≡
+      // the one-shot batch serve ≡ the in-memory rebuild
+      "s27_stream_ann_serve" -> s11Sql,
       // s03's probe/search shape with nprobe=2 and the parity predicate
       // applied to cluster MEMBERS (cv), never to queries or centroids
       "s13_filtered_ann" -> {

@@ -279,7 +279,8 @@ object Streaming {
     * from append to upsert. At 100 TB: generations are table-format
     * snapshots (Delta/Iceberg MERGE commits replace the directory
     * dance), the merge is one co-partitioned aggregate over (snapshot +
-    * tiny delta), and old generations are vacuumed out-of-band.
+    * tiny delta), and old generations are vacuumed out-of-band
+    * ([[vacuumGenerations]]).
     */
   def mergeAggBatch(batch: DataFrame, batchId: Long, stateDir: String,
       keyCol: String, valCol: String): Unit = {
@@ -292,6 +293,37 @@ object Streaming {
         .groupBy(keyCol)
         .agg(sum("cnt").as("cnt"), sum("total").cast(money).as("total")))
     merged.write.mode("overwrite").parquet(s"$stateDir/gen=$batchId")
+  }
+
+  /** Retention for generation-addressed state tables — the "old
+    * generations are vacuumed out-of-band" half of [[mergeAggBatch]]'s
+    * contract: delete all but the newest `keep` generations and return
+    * the deleted ids, oldest first. Every generation holds the FULL
+    * merged state, so a generation is only ever read again as the
+    * replay input of the batch that produced its successor; with at
+    * most one in-flight batch, `keep = 2` (newest + its predecessor)
+    * is crash-safe — a replayed batch id B re-reads the latest
+    * generation strictly below B, which vacuum kept. `keep = 1` is
+    * safe only once the stream's checkpoint has committed past the
+    * newest generation's batch (no replay can then want an older one).
+    * Never run concurrently with the writing stream at `keep = 1`.
+    */
+  def vacuumGenerations(s: org.apache.spark.sql.SparkSession,
+      stateDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "vacuum must keep at least the newest generation")
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val gens = fs.listStatus(path).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") => n.drop(4).toLong }
+        .sorted
+      val doomed = gens.dropRight(keep)
+      doomed.foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen=$g"), true))
+      doomed
+    }
   }
 
   /** foreachBatch wiring of [[mergeAggBatch]] — start() with a

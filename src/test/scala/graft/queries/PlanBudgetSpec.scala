@@ -35,7 +35,7 @@ class PlanBudgetSpec extends SparkSpec {
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
       "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift",
-      "e33_stream_asof", "e34_stream_asof_full")
+      "e33_stream_asof", "e34_stream_asof_full", "s27_stream_ann_serve")
 
   // measured at sf0.001, shuffle.partitions=4 (tools.ShuffleCount):
   // DISTINCT Exchange plan objects (by plan_id) — live plan plus each

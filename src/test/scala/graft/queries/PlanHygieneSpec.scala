@@ -135,7 +135,7 @@ class PlanHygieneSpec extends SparkSpec {
       "e25_stream_full_outer_join", "e26_stream_right_outer_join",
       "e27_stream_static_enrich", "e28_stream_upsert", "e29_stream_funnel",
       "e30_stream_gaps", "e31_stream_hll", "e32_stream_shift",
-      "e33_stream_asof", "e34_stream_asof_full")
+      "e33_stream_asof", "e34_stream_asof_full", "s27_stream_ann_serve")
 
   test("no undocumented cartesian/nested-loop join in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1697,4 +1697,41 @@ class StreamingSpec extends SparkSpec {
     // generations are immutable history: gen=0 still holds only batch 0
     assert(gen(1L) == Set((1L, 2L, 3.25), (2L, 1L, 5.50)))
   }
+
+  test("vacuumGenerations: keeps the newest N, replay input survives at keep=2, latestGen unaffected") {
+    val tmp = Files.createTempDirectory("graft-vacuum").toString
+    val stateDir = s"$tmp/state"
+    val batches = Seq(
+      Seq((1L, 1.00)), Seq((1L, 2.00)), Seq((2L, 3.00)), Seq((1L, 4.00)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      Streaming.mergeAggBatch(rows.toDF("user_id", "value"), i.toLong,
+        stateDir, "user_id", "value")
+    }
+    def genDirs(): Set[Long] = {
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") => n.drop(4).toLong }.toSet
+    }
+    assert(genDirs() == Set(0L, 1L, 2L, 3L))
+    // vacuum on a missing dir is a no-op, not an error
+    assert(Streaming.vacuumGenerations(spark, s"$tmp/nope", 2) == Seq.empty)
+    // keep=2: newest + its predecessor survive (the crash-replay input)
+    assert(Streaming.vacuumGenerations(spark, stateDir, 2) == Seq(0L, 1L))
+    assert(genDirs() == Set(2L, 3L))
+    // the retained predecessor really serves a replay of batch 3
+    Streaming.mergeAggBatch(batches(3).toDF("user_id", "value"), 3L,
+      stateDir, "user_id", "value")
+    val fin = Streaming.latestGen(spark, stateDir, Long.MaxValue).get
+      .select(col("user_id"), col("cnt"), col("total").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fin == Set((1L, 3L, 7.00), (2L, 1L, 3.00)),
+      "replay after vacuum reproduces the merged state")
+    // keep larger than what exists: no-op; keep=1 drops the predecessor
+    assert(Streaming.vacuumGenerations(spark, stateDir, 5) == Seq.empty)
+    assert(Streaming.vacuumGenerations(spark, stateDir, 1) == Seq(2L))
+    assert(genDirs() == Set(3L))
+    assert(Streaming.latestGen(spark, stateDir, Long.MaxValue).get.count() == 2)
+  }
 }
