@@ -8,9 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` payloads plus typed metadata, with decode / feature-extract /
   * resize / frame-sample as per-partition batch transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container — see decodeStub) with a clearly-marked deterministic fake;
-  * everything Spark-side is real: the schema, the mapPartitions batch
+  * The codec step is REAL for still images — decode/resize route
+  * through the JDK's bundled javax.imageio codecs (PNG/JPEG, pure JVM,
+  * headless-safe; see [[Multimodal.decodeImage]]) — and STUBBED for
+  * audio/video, where the JDK ships no codec and this container has no
+  * native media libraries (see decodeStub: a clearly-marked
+  * deterministic fake). The magic-byte gate (looksLikeImage) keeps the
+  * synthetic corpus's utf-8 payloads on the stub branch, so the m-row
+  * oracles replay the stub arithmetic unchanged while a real image
+  * payload decodes for real through the same plumbing. Everything
+  * Spark-side is real either way: the schema, the mapPartitions batch
   * shape (one decoder init per partition, not per row), and the
   * partitioning contract (payloads stay columnar until the decode
   * boundary; repartition by byte-size bucket keeps decoder batches
@@ -58,11 +65,72 @@ object Multimodal {
       lit(mime).as("mime"),
       octet_length(encode(col(strCol), "UTF-8")).cast(LongType).as("n_bytes"))
 
-  /** STUB decoder ??? — stands in for a real codec (libjpeg/ffmpeg…).
-    * Deterministic fake: "dimensions" and a 16-dim "embedding" derived
-    * from payload bytes, so tests pin the plumbing end-to-end. A real
-    * deployment swaps only this function; the mapPartitions shape,
-    * schema, and batch contract stay identical.
+  /** Magic-byte gate for the REAL image branch: PNG (`\x89PNG`) and
+    * JPEG (`\xFF\xD8`) only. Both lead bytes are IMPOSSIBLE in valid
+    * UTF-8 (0x89/0xFF are never an initial byte), so the synthetic
+    * corpus's `encode(text, 'UTF-8')` payloads can never take the real
+    * branch — the m-row oracles replay the stub arithmetic and stay
+    * bit-exact by construction. GIF/BMP are deliberately excluded:
+    * their magics ("GIF8", "BM") are printable and a text payload
+    * could collide.
+    */
+  private[multimodal] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 &&
+      ((p(0) == 0x89.toByte && p(1) == 0x50.toByte &&
+        p(2) == 0x4e.toByte && p(3) == 0x47.toByte) ||
+       (p(0) == 0xff.toByte && p(1) == 0xd8.toByte))
+
+  /** REAL image decode over the JDK's bundled codecs (javax.imageio —
+    * pure JVM, in every Java 17 runtime, headless-safe; no native
+    * libs): actual (width, height, 1 frame) plus a 16-bin normalized
+    * luminance histogram as the feature vector. The luma is the
+    * integer Rec.601 fold (×1000 fixed-point, no float path), so the
+    * histogram is deterministic across JVMs. None when the payload is
+    * not a decodable PNG/JPEG — see [[looksLikeImage]].
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    if (!looksLikeImage(payload)) None
+    else Option(
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    ).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val acc = new Array[Double](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          acc(math.min(15, lum >> 4)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      (w, h, 1, Array.tabulate(16)(j => (acc(j) / n).toFloat))
+    }
+
+  /** Codec dispatch — what [[extractFeatures]] actually runs: the real
+    * JDK image decode when the payload IS a PNG/JPEG, the deterministic
+    * stub otherwise. A corpus with real image payloads decodes for real
+    * with zero plumbing change; the synthetic corpus (utf-8 text
+    * payloads) always takes the stub branch, so the oracle rows are
+    * unchanged by construction. Video/audio remain stub-only — the JDK
+    * ships no codec for them (the documented environmental constraint).
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    decodeImage(payload).getOrElse(decodeStub(payload))
+
+  /** STUB decoder — the deterministic fallback [[decode]] uses for
+    * payloads the JDK cannot decode (here: the synthetic corpus's text
+    * bytes; in production: the video/audio containers awaiting a real
+    * codec). Deterministic fake: "dimensions" and a 16-dim "embedding"
+    * derived from payload bytes, so tests pin the plumbing end-to-end.
+    * A real deployment swaps only this function; the mapPartitions
+    * shape, schema, and batch contract stay identical.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = payload.length
@@ -90,9 +158,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init goes here (stubbed)
+      // per-partition decoder init goes here (ImageIO readers are
+      // looked up per call; a native codec would init its session here)
       rows.map { m =>
-        val (w, h, f, feat) = decodeStub(m.payload)
+        val (w, h, f, feat) = decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.n_bytes, w, h, f, feat)
       }
     }
@@ -106,7 +175,51 @@ object Multimodal {
       target_h: Int,
       pixels: Array[Float])
 
-  /** STUB resize ??? — stands in for a codec's resample: avg-pools the
+  /** REAL image resample (the [[decodeImage]] family): decode via the
+    * JDK codecs, raster-scale to the fixed (w × h) grid with bilinear
+    * interpolation on a headless BufferedImage, emit each cell's
+    * Rec.601 luminance in [0, 1] row-major — the schema-stable grid a
+    * training pipeline feeds a vision tower. None for non-images.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Float]] =
+    if (!looksLikeImage(payload)) None
+    else Option(
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    ).map { img =>
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = scaled.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          out(y * w + x) = lum / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Resample dispatch — what [[resize]] actually runs: real raster
+    * scaling for PNG/JPEG payloads, the deterministic stub pool for
+    * everything else (same contract as [[decode]]).
+    */
+  def resample(payload: Array[Byte], w: Int, h: Int): Array[Float] =
+    resizeImage(payload, w, h).getOrElse(resizeStub(payload, w, h))
+
+  /** STUB resize — the deterministic fallback [[resample]] uses for
+    * non-image payloads: avg-pools the
     * payload byte stream into a fixed (w × h) row-major grid, so output
     * width is schema-stable regardless of input size (the property a
     * training pipeline needs from resize). Deterministic; a real
@@ -138,8 +251,8 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition resampler init goes here (stubbed)
-      rows.map(m => ResizedMedia(m.media_id, m.kind, w, h, resizeStub(m.payload, w, h)))
+      // per-partition resampler init goes here (see extractFeatures)
+      rows.map(m => ResizedMedia(m.media_id, m.kind, w, h, resample(m.payload, w, h)))
     }
   }
 

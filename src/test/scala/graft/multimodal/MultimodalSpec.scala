@@ -21,13 +21,15 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").length == 1000)
   }
 
-  // The codec-stub INTERFACE CONTRACT, pinned so a future real-codec
-  // swap has a frozen harness to pass (VERDICT r8 item 6): the stub is
-  // a labeled environmental stand-in (no media libs in this container),
-  // but its properties — determinism, partitioning-invariance, dims as
-  // a pure function of payload size, fixed feature width — are the
-  // properties the m-rows' oracles and the downstream LSH/CC stages
-  // assume of ANY decoder dropped in at Multimodal.scala's two ??? sites.
+  // The codec-stub INTERFACE CONTRACT, pinned so a real-codec swap has
+  // a frozen harness to pass (VERDICT r8 item 6): the stub is the
+  // fallback branch of the decode/resample dispatch (images now decode
+  // for REAL via the JDK codecs — see the real-codec tests below; no
+  // audio/video libs exist in this container), and its properties —
+  // determinism, partitioning-invariance, dims as a pure function of
+  // payload size, fixed feature width — are the properties the m-rows'
+  // oracles and the downstream LSH/CC stages assume of ANY decoder
+  // behind the dispatch.
   test("codec stub contract: deterministic, partitioning-invariant, size-classed dims, fixed widths") {
     val p1 = "the quick brown fox".getBytes("UTF-8")
     val p2 = "THE QUICK BROWN FOX".getBytes("UTF-8") // same length, other bytes
@@ -127,5 +129,73 @@ class MultimodalSpec extends SparkSpec {
     val rep = Multimodal.repartitionBySize(m, 4)
     assert(rep.count() == 3)
     assert(rep.rdd.getNumPartitions == 4)
+  }
+
+  // render an image in-test via the same JDK raster the codec reads back
+  private def imageBytes(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real JDK image codec: PNG/JPEG decode real dims + luminance histogram; text routes to the stub") {
+    val gray = 0x808080 // Rec.601 luma 128 -> histogram bin 8
+    val png = imageBytes("png", 20, 10)((_, _) => gray)
+    val (w, h, f, hist) = Multimodal.decodeImage(png).get
+    assert((w, h, f) == (20, 10, 1), "real decoded dimensions, not size-class fakes")
+    assert(math.abs(hist.sum - 1.0f) < 1e-6, "histogram is normalized")
+    assert(hist(8) == 1.0f, "uniform gray concentrates in one luma bin")
+    // JPEG: lossy, but dims are exact and the histogram stays normalized
+    val jpg = imageBytes("jpg", 8, 6)((_, _) => gray)
+    val (wj, hj, fj, histJ) = Multimodal.decodeImage(jpg).get
+    assert((wj, hj, fj) == (8, 6, 1))
+    assert(math.abs(histJ.sum - 1.0f) < 1e-6)
+    // dispatch: text bytes take the stub branch bit-identically
+    // (encode(text,'UTF-8') can never lead with 0x89/0xFF — the gate
+    // that keeps the m-row oracles exact), image bytes the real branch
+    val txt = "hello world".getBytes("UTF-8")
+    val ds = Multimodal.decodeStub(txt)
+    val dd = Multimodal.decode(txt)
+    assert((dd._1, dd._2, dd._3, dd._4.toSeq) == (ds._1, ds._2, ds._3, ds._4.toSeq))
+    assert(Multimodal.decode(png)._1 == 20)
+    // printable pseudo-magics (GIF8/BM text) never reach ImageIO
+    assert(Multimodal.decodeImage("GIF87a not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage("BM headerish text".getBytes("UTF-8")).isEmpty)
+    // a corrupt payload behind a real PNG magic fails CLEANLY to the stub
+    val corrupt = png.take(8) ++ Array.fill[Byte](16)(0x42)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+    assert(Multimodal.decode(corrupt)._4.length == 16)
+    // end-to-end: a MIXED corpus through the same mapPartitions plumbing
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, "image/png", png.length.toLong),
+      Multimodal.MediaRow(2L, "image", txt, "application/octet-stream", txt.length.toLong))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
+    assert(out(0).width == 20 && out(0).height == 10, "image row decoded for real")
+    assert(out(1).width == ds._1 && out(1).feature.toSeq == ds._4.toSeq,
+      "non-image row fell back to the stub")
+  }
+
+  test("real JDK image resample: fixed grid from a raster scale; stub fallback for text") {
+    val png = imageBytes("png", 16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val grid = Multimodal.resizeImage(png, 4, 4).get
+    assert(grid.length == 16)
+    assert(grid.forall(v => v >= 0f && v <= 1f))
+    assert(grid(0) < 0.2f && grid(3) > 0.8f,
+      "left half stays dark, right half stays bright through the scale")
+    // uniform image -> uniform grid (no raster-position artifacts)
+    val uni = Multimodal.resizeImage(
+      imageBytes("png", 9, 7)((_, _) => 0x808080), 4, 4).get
+    assert(uni.forall(v => math.abs(v - uni(0)) < 1e-6))
+    // dispatch: text falls back to the stub pool bit-identically
+    val txt = "hello world".getBytes("UTF-8")
+    assert(Multimodal.resample(txt, 4, 2).toSeq ==
+      Multimodal.resizeStub(txt, 4, 2).toSeq)
+    // the Dataset resize path routes image rows through the real branch
+    val rows = Seq(Multimodal.MediaRow(1L, "image", png, "image/png", png.length.toLong))
+    val r = Multimodal.resize(rows.toDS(), 4, 4).collect()(0)
+    assert(r.pixels.toSeq == grid.toSeq)
   }
 }
