@@ -113,6 +113,62 @@ object Multimodal {
       (w, h, 1, Array.tabulate(16)(j => (acc(j) / n).toFloat))
     }
 
+  /** Deterministic grayscale test-card PNG: pixel (x, y) has gray level
+    * g = (seed·31 + x·7 + y·13) mod 256 — a raster a SQL engine can
+    * replay ARITHMETICALLY, without any image library. PNG is lossless,
+    * so encode → decode must return exactly this grid; m07's oracle
+    * banks on that.
+    */
+  def renderTestCard(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Integer luma ledger of a decoded image — the oracle-mirrorable
+    * form of [[decodeImage]]'s histogram: (width, height, Σ luma) with
+    * the same ×1000 fixed-point Rec.601 fold per pixel, summed in a
+    * Long. For a GRAYSCALE raster the per-pixel luma is exactly the
+    * gray level (299 + 587 + 114 = 1000), so the ledger of a
+    * [[renderTestCard]] image is Σ (seed·31 + x·7 + y·13) mod 256 — a
+    * sum a SQL engine computes without ever decoding. None for
+    * non-images, as in [[decodeImage]].
+    */
+  def decodeLumaLedger(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    if (!looksLikeImage(payload)) None
+    else Option(
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    ).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum)
+    }
+
   /** Codec dispatch — what [[extractFeatures]] actually runs: the real
     * JDK image decode when the payload IS a PNG/JPEG, the deterministic
     * stub otherwise. A corpus with real image payloads decodes for real

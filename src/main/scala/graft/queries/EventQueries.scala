@@ -453,6 +453,36 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // REAL-CODEC round-trip, oracle-verified: render a deterministic
+    // grayscale test card per doc (pixel g = (doc_id·31 + x·7 + y·13)
+    // mod 256, dims from doc_id), PNG-encode it, decode it back through
+    // the REAL javax.imageio path, and report the decoded dims + the
+    // integer Rec.601 luma sum. The ORACLE replays the same arithmetic
+    // over a generated (x, y) grid — it never decodes anything — so a
+    // green row proves the real encode→decode path is PIXEL-EXACT
+    // against an engine with no image code at all (PNG is lossless;
+    // grayscale makes luma ≡ gray level since 299+587+114 = 1000).
+    // Upgrades the codec from spec-pinned to oracle-verified. One
+    // mapPartitions over 100 ids (codec work stays in the tasks, the
+    // e28-family per-partition batch shape) + the presentation sort.
+    "m07_image_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val w = (8 + d % 9).toInt
+            val h = (8 + d % 5).toInt
+            val png = graft.multimodal.Multimodal.renderTestCard(d, w, h)
+            val (dw, dh, ls) = graft.multimodal.Multimodal.decodeLumaLedger(png)
+              .getOrElse(sys.error(s"m07: test-card PNG for doc $d did not decode"))
+            (d, dw, dh, ls)
+          }
+        }
+        .toDF("doc_id", "width", "height", "luma_sum")
+        .orderBy("doc_id")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -1337,6 +1367,24 @@ object EventQueries {
         |  substr(md5(text), 1, 8) AS sig,
         |  substr(hex(encode(text)), 1, 16) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle replays the test-card FORMULA over a generated (x, y)
+    // grid — it never decodes an image — so a hash match proves the
+    // Spark side's PNG encode→decode→luma fold is pixel-exact
+    "m07_image_roundtrip" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + doc_id % 5 AS INT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        |cells AS (
+        |  SELECT d.doc_id, d.width, d.height, x.x, y.y
+        |  FROM dims d,
+        |  LATERAL (SELECT unnest(range(0, d.width)) AS x) x,
+        |  LATERAL (SELECT unnest(range(0, d.height)) AS y) y)
+        |SELECT doc_id, width, height,
+        |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS luma_sum
+        |FROM cells GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
     // hour-window index from ns -> us (floor) matches Spark's
     // timestamp_micros truncation; 3600000000 us = 1 h
     "m02_frame_sample" ->

@@ -98,6 +98,9 @@ class PlanBudgetSpec extends SparkSpec {
     "e20_rate_anomaly" -> 3,
     "e15_cohort" -> 4, "e16_rolling_users" -> 4,
     "m01_binary_meta" -> 1, "m02_frame_sample" -> 1,
+    // m07: render→decode→ledger rides the mapPartitions scan; the one
+    // exchange is the presentation sort
+    "m07_image_roundtrip" -> 1,
     "m03_media_neardup" -> 1, "m04_resize" -> 1,
     "p01_clean_corpus" -> 2, "p02_contamination" -> 3,
     "p03_stratified_sample" -> 1, "p04_source_mix" -> 3,
