@@ -145,6 +145,9 @@ class PlanBudgetSpec extends SparkSpec {
     // t25: the persisted-model serve runs eagerly (write -> re-read ->
     // checkpoint, the s23 shape); static tail = checkpoint scan + sort
     "t25_bpe_persisted" -> 1,
+    // t26: the persisted NB-model serve runs eagerly (write → re-read →
+    // checkpoint, the t25 shape); static tail = checkpoint scan + sort
+    "t26_langid_persisted" -> 1,
     // t19: map-only regex counts + presentation sort
     "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
