@@ -91,23 +91,27 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     if (!looksLikeImage(payload)) None
     else Option(
+      // NonFatal, not just IOException: JDK image readers throw unchecked
+      // exceptions (ArrayIndexOutOfBounds, CMMException, NegativeArraySize)
+      // on corrupt/crafted payloads that pass the magic-byte gate — a
+      // malformed image must fall back to the stub, never fail the task
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     ).map { img =>
       val w = img.getWidth
       val h = img.getHeight
+      // bulk getRGB: one default-RGB conversion pass over the raster —
+      // the per-pixel getRGB path pays a ColorModel lookup per call,
+      // quadratic overhead on real image corpora
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val acc = new Array[Double](16)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          acc(math.min(15, lum >> 4)) += 1.0
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        acc(math.min(15, lum >> 4)) += 1.0
+        i += 1
       }
       val n = w.toDouble * h
       (w, h, 1, Array.tabulate(16)(j => (acc(j) / n).toFloat))
@@ -122,16 +126,22 @@ object Multimodal {
   def renderTestCard(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((seed * 31 + x * 7 + y * 13) % 256).toInt
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        // floorMod: a negative seed must still yield a gray level in
+        // [0, 256) (Scala % is sign-of-dividend); identical to % for the
+        // non-negative doc_id seeds the oracle rows replay
+        val g = java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13, 256L).toInt
+        px(y * w + x) = (g << 16) | (g << 8) | g
         x += 1
       }
       y += 1
     }
+    // bulk setRGB — one raster store, not w*h ColorModel round-trips
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -150,21 +160,18 @@ object Multimodal {
     if (!looksLikeImage(payload)) None
     else Option(
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     ).map { img =>
       val w = img.getWidth
       val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        i += 1
       }
       (w, h, sum)
     }
@@ -241,7 +248,7 @@ object Multimodal {
     if (!looksLikeImage(payload)) None
     else Option(
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     ).map { img =>
       val scaled = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -251,18 +258,15 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
+      val px = scaled.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Float](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = scaled.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          out(y * w + x) = lum / 255.0f
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out(i) = lum / 255.0f
+        i += 1
       }
       out
     }
