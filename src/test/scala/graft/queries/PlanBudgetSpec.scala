@@ -102,6 +102,12 @@ class PlanBudgetSpec extends SparkSpec {
     // exchange is the presentation sort
     "m07_image_roundtrip" -> 1,
     "m03_media_neardup" -> 1, "m04_resize" -> 1,
+    // m08: presentation-only over the memoized REAL-codec pair frame
+    // (m03's shape — render→real-decode→LSH→pair built once, persisted)
+    "m08_media_real_neardup" -> 1,
+    // m09: CC rounds ran eagerly inside checkpoints (m05's shape);
+    // static tail = census aggregate + presentation sort
+    "m09_media_real_clusters" -> 2,
     "p01_clean_corpus" -> 2, "p02_contamination" -> 3,
     "p03_stratified_sample" -> 1, "p04_source_mix" -> 3,
     "p05_redact" -> 1, "p06_chunk" -> 1,
