@@ -294,6 +294,9 @@ class PlanBudgetSpec extends SparkSpec {
     // s26: build + delta-append + serve all run eagerly (s23's shape);
     // static tail = checkpoint scan + presentation sort (measured 1)
     "s26_ivf_append" -> 1,
+    // s28: the persisted sign-LSH lifecycle, same eager shape — static
+    // tail = checkpoint scan + presentation sort (measured 1)
+    "s28_lsh_persisted" -> 1,
     // p26: the two-level PrefixSum (p08's 4) — the sequence explode
     // and span arithmetic are map-side; presentation sort included
     "p26_seq_pack" -> 4,
