@@ -154,6 +154,10 @@ class PlanBudgetSpec extends SparkSpec {
     // t26: the persisted NB-model serve runs eagerly (write → re-read →
     // checkpoint, the t25 shape); static tail = checkpoint scan + sort
     "t26_langid_persisted" -> 1,
+    // t27: build + shard-append + merged serve all run eagerly (s26's
+    // shape); static tail = checkpoint scan + sort (measured 1; t23/t26
+    // re-measured at their pins after the nbFromCounts extraction)
+    "t27_langid_append" -> 1,
     // t19: map-only regex counts + presentation sort
     "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
