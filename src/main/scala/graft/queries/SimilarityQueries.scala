@@ -65,7 +65,7 @@ object SimilarityQueries {
     * build), s26 (append-maintained artifact), s27 (every online
     * micro-batch). `probes` must carry (vec_id, e) with e L2-normalized.
     */
-  private def serveQuantizerArtifact(s: SparkSession, centRe: DataFrame,
+  private[graft] def serveQuantizerArtifact(s: SparkSession, centRe: DataFrame,
       postingsPath: String, probes: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(desc("d"), col("cid"))
     val best = probes.crossJoin(broadcast(centRe))
