@@ -178,6 +178,25 @@ class MultimodalSpec extends SparkSpec {
       "non-image row fell back to the stub")
   }
 
+  test("renderTestCard: a NEGATIVE seed still yields valid gray levels (floorMod, ADVICE r10)") {
+    // Scala % is sign-of-dividend: (-5*31 + 0 + 0) % 256 would be
+    // negative and pack garbage RGB; floorMod keeps g in [0, 256).
+    // The ledger must replay the floorMod formula exactly.
+    val (w, h) = (6, 5)
+    val png = Multimodal.renderTestCard(-5L, w, h)
+    val (dw, dh, sum) = Multimodal.decodeLumaLedger(png).get
+    assert((dw, dh) == (w, h))
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield java.lang.Math.floorMod(-5L * 31 + x * 7 + y * 13, 256L)).sum
+    assert(sum == want, s"negative-seed ledger must replay floorMod: $sum vs $want")
+    // non-negative seeds are unchanged (the m07/m08 oracle contract)
+    val (_, _, s7) = Multimodal.decodeLumaLedger(
+      Multimodal.renderTestCard(7L, w, h)).get
+    val want7 = (for (y <- 0 until h; x <- 0 until w)
+      yield (7L * 31 + x * 7 + y * 13) % 256).sum
+    assert(s7 == want7)
+  }
+
   test("real JDK image resample: fixed grid from a raster scale; stub fallback for text") {
     val png = imageBytes("png", 16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
     val grid = Multimodal.resizeImage(png, 4, 4).get
