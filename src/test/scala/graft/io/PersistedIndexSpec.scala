@@ -112,6 +112,39 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("sign-LSH buckets recomputed from the re-read hyperplane artifact equal the compiled-in literals (the s28 contract)") {
+    import graft.functions.VecFns._
+    graft.expressions.GraftFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("pidx_lsh").toString
+    try {
+      val planes = spark.createDataFrame(
+        (0 until LshPlanes).map(j => (j, 1L << j, hyperplaneN(j, LshDim))))
+        .toDF("j", "w", "hp")
+      Writers.parquet(planes, tmp)
+      val planesRe = spark.read.parquet(tmp)
+      // vectors spread across sign boundaries (deterministic)
+      val vs = (0 until 64).map { i =>
+        (i.toLong, Array.tabulate(LshDim)(d => math.sin(i * 97.0 + d)))
+      }.toDF("vec_id", "e")
+      val fromLiterals = vs
+        .select(col("vec_id"), lshBucket(col("e")).as("b"))
+        .as[(Long, Long)].collect().toMap
+      val fromArtifact = vs.crossJoin(broadcast(planesRe))
+        .select(col("vec_id"),
+          when(dotSeq(col("hp"), col("e")) > 0.0, col("w"))
+            .otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id").agg(sum("bit").as("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(fromArtifact == fromLiterals,
+        "buckets from the round-tripped hyperplanes must be bit-identical " +
+          "to the compiled-in literals — the s28 from-disk ≡ in-memory hinge")
+      assert(fromLiterals.values.toSet.size > 1, "fixture must span buckets")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("serving join over label-partitioned postings plans dynamic partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("pidx_dpp").toString
     val post = (0L until 200L).map(i => (i, (i % 10).toInt, i * 0.5))
