@@ -65,6 +65,7 @@ object Bench {
     graft.queries.Quantizer.evictAll(spark)
     graft.queries.TextQueries.evictAll(spark)
     graft.queries.EventQueries.evictAll(spark)
+    graft.queries.ExtraQueries.evictAll(spark)
     spark.catalog.clearCache()
     System.gc()
 
@@ -115,7 +116,8 @@ object Bench {
     // (d00_components / m00_components / t00_components) so the next
     // prelude regression names its culprit.
     //   d00: dedup pair builds + Quantizer caches (d- and s-queries)
-    //   m00: the media near-dup pair frame (m03 presents, m05 clusters)
+    //   m00: the two media near-dup pair frames — stub-decoded
+    //        (m03 presents, m05 clusters) and REAL-codec (m08/m09)
     //   t00: the bigram-count frame (t14/t21) + trained BPE (t15/t16/t17/t24)
     final case class PreludeSpec(
       name: String,

@@ -100,18 +100,25 @@ object Multimodal {
     ).map { img =>
       val w = img.getWidth
       val h = img.getHeight
-      // bulk getRGB: one default-RGB conversion pass over the raster —
-      // the per-pixel getRGB path pays a ColorModel lookup per call,
-      // quadratic overhead on real image corpora
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      // row-strip getRGB: one default-RGB conversion call per ROW into a
+      // reused w-length buffer — avoids both the per-pixel ColorModel
+      // lookup overhead of getRGB(x, y) and the second full-image int
+      // buffer a whole-raster bulk read would allocate (4·w·h bytes on
+      // top of the decoded raster — an OOM risk on large real images)
+      val row = new Array[Int](w)
       val acc = new Array[Double](16)
-      var i = 0
-      while (i < px.length) {
-        val rgb = px(i)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        acc(math.min(15, lum >> 4)) += 1.0
-        i += 1
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          acc(math.min(15, lum >> 4)) += 1.0
+          x += 1
+        }
+        y += 1
       }
       val n = w.toDouble * h
       (w, h, 1, Array.tabulate(16)(j => (acc(j) / n).toFloat))
@@ -164,14 +171,19 @@ object Multimodal {
     ).map { img =>
       val w = img.getWidth
       val h = img.getHeight
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val row = new Array[Int](w) // row-strip reads, see decodeImage
       var sum = 0L
-      var i = 0
-      while (i < px.length) {
-        val rgb = px(i)
-        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        i += 1
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
       }
       (w, h, sum)
     }
@@ -258,15 +270,20 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
-      val px = scaled.getRGB(0, 0, w, h, null, 0, w)
+      val row = new Array[Int](w) // row-strip reads, see decodeImage
       val out = new Array[Float](w * h)
-      var i = 0
-      while (i < px.length) {
-        val rgb = px(i)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        out(i) = lum / 255.0f
-        i += 1
+      var y = 0
+      while (y < h) {
+        scaled.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          out(y * w + x) = lum / 255.0f
+          x += 1
+        }
+        y += 1
       }
       out
     }

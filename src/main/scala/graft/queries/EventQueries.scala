@@ -51,7 +51,10 @@ object EventQueries {
     * (media_a, media_b, c at the 0.999 threshold), eagerly persisted.
     */
   private[queries] def mediaPairs(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the builder in
+    // two racing threads and discard one — here the loser would be a
+    // fully-persisted frame leaking executor storage for the session
+    memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir), {
       import s.implicits._
       import graft.functions.VecFns._
       val media = graft.multimodal.Multimodal.fromStrings(
@@ -71,7 +74,7 @@ object EventQueries {
         .persist()
       df.count()
       df
-    })
+    }))
 
   /** Session-scoped memo of the REAL-CODEC media near-dup pair frame
     * (m08 presents it, m09 clusters it — the m03/m05 pipeline shapes
@@ -94,7 +97,8 @@ object EventQueries {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private[queries] def realMediaPairs(s: SparkSession, dir: String): DataFrame =
-    memoReal.getOrElseUpdate((System.identityHashCode(s), dir), {
+    // synchronized builder — see mediaPairs
+    memoReal.synchronized(memoReal.getOrElseUpdate((System.identityHashCode(s), dir), {
       import s.implicits._
       import graft.functions.VecFns._
       val media = Tables(s, dir, "documents")
@@ -123,7 +127,7 @@ object EventQueries {
         .persist()
       df.count()
       df
-    })
+    }))
 
   /** Unpersist and drop the memoized pair frames for (session, dir). */
   def evict(s: SparkSession, dir: String): Unit = {

@@ -30,6 +30,28 @@ object ExtraQueries {
   private val mmMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** Drop (and reclaim) the memoized x20 artifact for (session, dir) —
+    * the eviction hook every other memo in the repo has, so a session
+    * whose source data changed can flush the stale artifact.
+    */
+  def evict(s: SparkSession, dir: String): Unit = {
+    val sid = System.identityHashCode(s)
+    mmMemo.keys.filter(k => k._1 == sid && k._2 == dir).foreach { k =>
+      mmMemo.remove(k).foreach { mm =>
+        val p = new org.apache.hadoop.fs.Path(mm).getParent
+        try p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  /** Evict every dir memoized for this session. */
+  def evictAll(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    mmMemo.keys.filter(_._1 == sid)
+      .foreach(k => evict(s, k._2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // left-semi: the scale-safe rewrite of the reference's
     // isin-against-collected-list membership filters (SURVEY §2.3)
