@@ -47,6 +47,26 @@ object Writers {
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(destPath)
 
+  /** Partition-preserving compaction — [[compact]] for Hive-layout
+    * tables: an append-maintained partitioned artifact (s26/t27's
+    * maintenance rows) accumulates one small file per append under each
+    * partition dir, and a plain [[compact]] would flatten the layout,
+    * losing the partition pruning the serving path depends on. This
+    * rewrites the table via [[parquetPartitioned]] — the rows reshuffle
+    * on the partition keys into `targetFileCount` files per partition,
+    * the directory layout (and so pruned serving) survives, values are
+    * untouched. One hash exchange over the artifact, a table-maintenance
+    * job run at the cadence appends accumulate — never on the serve path.
+    */
+  def compactPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      destPath: String,
+      partitionCols: Seq[String],
+      targetFileCount: Int): Unit =
+    parquetPartitioned(spark.read.parquet(srcPath), destPath,
+      partitionCols, targetFileCount)
+
   /** Z-order-clustered parquet write: range-partition + sort the rows by
     * a Morton z-value (functions.NumFns.zvalue2) so each output file
     * covers a small rectangle in BOTH clustered dimensions — parquet

@@ -1122,6 +1122,60 @@ object SimilarityQueries {
       out.orderBy("query_id", "rank")
     },
 
+    // COMPACTION closing the maintenance loop (VERDICT r11 #1): s26
+    // proves append ≡ rebuild, but every append leaves one more small
+    // file under each cid= dir — at a daily ingest cadence the listing/
+    // footer overhead grows without bound until a maintenance pass
+    // rewrites the table (the lakehouse OPTIMIZE step). This row runs
+    // the FULL lifecycle: build base postings → append the delta shard
+    // (s26's steps, verbatim) → Writers.compactPartitioned rewrites the
+    // fragmented artifact into one file per cid= dir (partition-
+    // PRESERVING — a flat compact would dissolve the layout and with it
+    // the pruned serve) → s25's serve runs from the COMPACTED copy.
+    // Oracle = s11's pinned full-rebuild SQL unchanged, so a green row
+    // proves append → compact → serve ≡ serve: compaction moves bytes,
+    // never values (longs and doubles round-trip parquet exactly), and
+    // the serve still prunes to the probed cid dirs. WritersSpec pins
+    // the mechanical half (file count provably shrinks, layout intact).
+    // At 100 TB: the compact job is one hash exchange over the artifact
+    // (not the corpus), runs off the serve path at append cadence, and
+    // buys back every subsequent probe's listing time.
+    "s29_ivf_compacted" -> { (s, dir) =>
+      val cent0 = Quantizer.centroids(s, dir)
+      val asg0 = Quantizer.assignments(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("s29_cmp").toString
+      // finally-reclaimed, as in s23
+      val out = try {
+        // 1-2. build + append — s26's fragmentation-accumulating steps
+        graft.io.Writers.parquet(cent0, s"$tmp/centroids")
+        graft.io.Writers.parquetPartitioned(
+          asg0.filter(col("vec_id") % 5 =!= 0)
+            .select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4)
+        val centRe = s.read.parquet(s"$tmp/centroids")
+        val delta = asg0.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("e"))
+        graft.io.Writers.parquetPartitioned(
+          graft.ops.KMeans.assign(delta, centRe)
+            .select(col("vec_id"), col("e"), col("cid")),
+          s"$tmp/postings", Seq("cid"), targetFileCount = 4, mode = "append")
+        // 3. MAINTENANCE: rewrite the fragmented postings into one file
+        //    per cid= partition; production swaps the directory at the
+        //    manifest level, here the serve just reads the new path
+        graft.io.Writers.compactPartitioned(
+          s, s"$tmp/postings", s"$tmp/postings_compacted", Seq("cid"),
+          targetFileCount = 1)
+        // 4. serve from the COMPACTED artifact — s25's serve unchanged
+        val q = asg0.filter(col("vec_id") < 10).select(col("vec_id"), col("e"))
+        serveQuantizerArtifact(s, centRe, s"$tmp/postings_compacted", q)
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      out.orderBy("query_id", "rank")
+    },
+
     // HYBRID retrieval by reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the production RAG shape — one lexical ranking (the
     // pinned t08 BM25 scorer over the fixed query-term set) and one
@@ -1747,6 +1801,10 @@ object SimilarityQueries {
       // micro-batch-sliced stream served from the frozen artifact ≡
       // the one-shot batch serve ≡ the in-memory rebuild
       "s27_stream_ann_serve" -> s11Sql,
+      // the compaction row re-serves s11's SQL once more: a green row =
+      // append → compact → serve ≡ serve (compaction moves bytes, never
+      // values; the partition-preserving rewrite keeps the pruned serve)
+      "s29_ivf_compacted" -> s11Sql,
       // the persisted sign-LSH row re-serves s02's SQL: hyperplane
       // doubles round-trip parquet bit-exactly, so buckets-from-disk ≡
       // buckets-from-literals and the serve is s02's arithmetic

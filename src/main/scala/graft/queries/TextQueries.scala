@@ -81,6 +81,34 @@ object TextQueries {
         .orderBy("rank").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq)
 
+  /** t17's corpus tokenization, parameterized by the merge table — ONE
+    * implementation serving both lifecycles: t17 passes the in-memory
+    * trained merges, t28 passes the merges re-read from the shipped
+    * artifact. Scale shape (unchanged): tokenization runs once per
+    * DISTINCT word (the vocabulary-sized applyMerges frame, broadcast
+    * back); the corpus pays one (doc, word) aggregate and one broadcast
+    * join, never a per-token string replay.
+    */
+  private def docTokensWith(s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val words = bpeWordCounts(s, dir)
+    val pieces = graft.ops.BpeLearn.applyMerges(words, merges)
+      .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+    docWords.join(broadcast(pieces), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("ws_tokens"),
+        sum(col("k") * col("n_pieces")).as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        round6(col("bpe_tokens").cast(DoubleType) /
+          col("ws_tokens").cast(DoubleType)).as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** Unpersist and drop every memoized frame/model for (session, dir) —
     * Bench evicts between its warm-up and timed sections and between
     * prelude build samples (the DedupQueries.evict contract).
@@ -106,7 +134,8 @@ object TextQueries {
     */
   val preludeConsumers: Set[String] =
     Set("t14_bigram_typicality", "t15_bpe_merges", "t16_bpe_vocab",
-      "t17_bpe_doc_tokens", "t21_bigram_lm", "t24_fertility")
+      "t17_bpe_doc_tokens", "t21_bigram_lm", "t24_fertility",
+      "t28_bpe_serve")
 
   /** The prelude's component builds, individually invokable so Bench
     * attributes each materialization (the d00 per-component lesson).
@@ -543,23 +572,41 @@ object TextQueries {
     // never per occurrence — the corpus pays one (doc, word) aggregate
     // and one broadcast join, not a per-token string replay.
     "t17_bpe_doc_tokens" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val words = bpeWordCounts(s, dir)
-      val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
-      val pieces = graft.ops.BpeLearn.applyMerges(words, merges)
-        .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
-      val docWords = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
-      docWords.join(broadcast(pieces), "word")
-        .groupBy("doc_id")
-        .agg(sum(col("k")).as("ws_tokens"),
-          sum(col("k") * col("n_pieces")).as("bpe_tokens"))
-        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
-          round6(col("bpe_tokens").cast(DoubleType) /
-            col("ws_tokens").cast(DoubleType)).as("pieces_per_word"))
-        .orderBy("doc_id")
+      docTokensWith(s, dir, bpeMerges(s, dir).map(m => (m._2, m._3)))
+    },
+
+    // BPE APPLY-FROM-ARTIFACT — the serve half of the tokenizer
+    // lifecycle (VERDICT r11 #3): t25 ships the trained merge table to
+    // disk and tokenizes the VOCABULARY from it; this row tokenizes the
+    // CORPUS from the re-read artifact — the job a production pipeline
+    // actually runs (train once, write the tokenizer, every later
+    // billing/packing job loads it and tokenizes its own shard; the
+    // language-ID family's t26/t27 symmetry applied to BPE). Merges are
+    // re-read ORDERED BY RANK — the artifact column that restores the
+    // greedy application order applyMerges depends on; strings and longs
+    // round-trip parquet exactly, so the from-disk merge table is the
+    // in-memory one. Oracle = t17's pinned SQL unchanged: a green row
+    // proves tokenizer-from-disk ≡ tokenizer-in-memory over the corpus.
+    // At 100 TB the artifact is KB-sized, broadcast to every tokenize
+    // job; the corpus still pays t17's one (doc, word) aggregate + one
+    // broadcast join — the serve adds only the artifact read.
+    "t28_bpe_serve" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("t28_bpe").toString
+      val out = try {
+        graft.io.Writers.parquet(
+          bpeMerges(s, dir).toDF("rank", "l", "r", "pair_count"),
+          s"$tmp/merges")
+        val reread = s.read.parquet(s"$tmp/merges")
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq
+        docTokensWith(s, dir, reread).localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+      out.orderBy("doc_id")
     },
 
     // TOKENIZER FERTILITY — the published tokenizer-fit report (the
@@ -1243,6 +1290,26 @@ object TextQueries {
          |  FROM w$BpeRounds)
          |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin,
     "t17_bpe_doc_tokens" ->
+      s"""WITH $bpeProlog,
+         |$bpeLayers,
+         |np AS (
+         |  SELECT word,
+         |    CAST(len(list_filter(string_split(seg, ' '), x -> x <> '')) AS BIGINT) AS n_pieces
+         |  FROM w$BpeRounds),
+         |dw AS (
+         |  SELECT doc_id, word, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(k * n_pieces) AS BIGINT) AS bpe_tokens,
+         |  floor((CAST(sum(k * n_pieces) AS DOUBLE) / CAST(sum(k) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word
+         |FROM dw JOIN np USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t17's SQL verbatim: the row asserts the corpus tokenized from the
+    // RE-READ artifact ≡ tokenized from the in-memory model, so the
+    // oracle must not move (the t25/t26/t27 anti-drift rule)
+    "t28_bpe_serve" ->
       s"""WITH $bpeProlog,
          |$bpeLayers,
          |np AS (

@@ -53,4 +53,42 @@ class WritersSpec extends SparkSpec {
     Writers.epochShardWrite(docs, "doc_id", epoch = 2, shards = 8, out3)
     assert(assignOf(out3) != wAssign, "epoch 2 must re-deal shards")
   }
+
+  test("compactPartitioned: file count provably shrinks, partition layout and rows survive") {
+    // the mechanical half of the s29 lifecycle row: build + append leave
+    // a fragmented partitioned artifact; the maintenance rewrite must
+    // (a) cut the per-partition file count, (b) keep the hive layout
+    // that serving's partition pruning depends on, (c) move no values
+    val src = Files.createTempDirectory("cmp_src").toString
+    val dst = Files.createTempDirectory("cmp_dst").toString + "/t"
+    val rows = spark.range(200)
+      .select(col("id"), (col("id") % 4).cast("int").as("k"))
+    // two fragmenting writes — the append-maintenance pattern
+    Writers.parquetPartitioned(rows.filter(col("id") < 150), src,
+      Seq("k"), targetFileCount = 4)
+    Writers.parquetPartitioned(rows.filter(col("id") >= 150), src,
+      Seq("k"), targetFileCount = 4, mode = "append")
+
+    def parquetFiles(path: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(path))
+    }
+    val before = parquetFiles(src)
+    Writers.compactPartitioned(spark, src, dst, Seq("k"), targetFileCount = 1)
+    val after = parquetFiles(dst)
+    assert(after.size < before.size,
+      s"compaction must shrink the listing: ${before.size} -> ${after.size}")
+    // one file per partition dir at targetFileCount=1
+    val perDir = after.groupBy(_.getParentFile.getName)
+    assert(perDir.keySet == (0 until 4).map(k => s"k=$k").toSet,
+      s"hive layout must survive compaction; got ${perDir.keySet}")
+    assert(perDir.values.forall(_.size == 1),
+      s"expected 1 file per partition; got ${perDir.view.mapValues(_.size).toMap}")
+    // values untouched
+    val a = spark.read.parquet(src).collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = spark.read.parquet(dst).collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b, "compaction must not change rows")
+  }
 }

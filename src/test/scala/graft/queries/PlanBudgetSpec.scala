@@ -154,6 +154,10 @@ class PlanBudgetSpec extends SparkSpec {
     // t26: the persisted NB-model serve runs eagerly (write → re-read →
     // checkpoint, the t25 shape); static tail = checkpoint scan + sort
     "t26_langid_persisted" -> 1,
+    // t28: artifact write + re-read run eagerly, the corpus tokenization
+    // is checkpointed; static tail = checkpoint scan + presentation
+    // sort (measured 1)
+    "t28_bpe_serve" -> 1,
     // t27: build + shard-append + merged serve all run eagerly (s26's
     // shape); static tail = checkpoint scan + sort (measured 1; t23/t26
     // re-measured at their pins after the nbFromCounts extraction)
@@ -301,6 +305,10 @@ class PlanBudgetSpec extends SparkSpec {
     // s28: the persisted sign-LSH lifecycle, same eager shape — static
     // tail = checkpoint scan + presentation sort (measured 1)
     "s28_lsh_persisted" -> 1,
+    // s29: build + append + compactPartitioned + serve-from-compacted,
+    // all eager (s26's shape); static tail = checkpoint scan +
+    // presentation sort (measured 1)
+    "s29_ivf_compacted" -> 1,
     // p26: the two-level PrefixSum (p08's 4) — the sequence explode
     // and span arithmetic are map-side; presentation sort included
     "p26_seq_pack" -> 4,
