@@ -178,6 +178,40 @@ class MultimodalSpec extends SparkSpec {
       "non-image row fell back to the stub")
   }
 
+  test("corrupt payloads behind a real image magic survive the TASK path: extractFeatures degrades to the stub (VERDICT r11 #4)") {
+    // the NonFatal hardening's missing spec: a malformed PNG that passes
+    // the magic-byte gate must not fail the Spark task — the decode
+    // falls back to the stub INSIDE mapPartitions and the job completes.
+    // Three corruption shapes: a real PNG truncated mid-stream (the
+    // torn-object-store-read case), magic bytes + crafted garbage (the
+    // adversarial-corpus case), and magic bytes alone (the degenerate
+    // 8-byte file). ImageIO throws unchecked (not just IOException) on
+    // some of these — exactly what the NonFatal catch is for.
+    val png = Multimodal.renderTestCard(7L, 16, 12)
+    val truncated = png.take(png.length / 2)
+    val crafted = png.take(8) ++ Array.fill[Byte](64)(0x42)
+    val magicOnly = png.take(8)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", truncated, "image/png", truncated.length.toLong),
+      Multimodal.MediaRow(2L, "image", crafted, "image/png", crafted.length.toLong),
+      Multimodal.MediaRow(3L, "image", magicOnly, "image/png", magicOnly.length.toLong),
+      // one healthy row in the same partition: a corrupt neighbor must
+      // not poison the batch
+      Multimodal.MediaRow(4L, "image", png, "image/png", png.length.toLong))
+    // coalesce(1): all four payloads through ONE task — the survival claim
+    val out = Multimodal.extractFeatures(rows.toDS().coalesce(1))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 4, "the task must survive every corrupt payload")
+    Seq(0, 1, 2).foreach { i =>
+      val stub = Multimodal.decodeStub(rows(i).payload)
+      assert((out(i).width, out(i).height, out(i).feature.toSeq) ==
+        (stub._1, stub._2, stub._4.toSeq),
+        s"corrupt payload ${i + 1} must degrade to the stub")
+    }
+    assert(out(3).width == 16 && out(3).height == 12,
+      "the healthy row must still decode for real")
+  }
+
   test("renderTestCard: a NEGATIVE seed still yields valid gray levels (floorMod, ADVICE r10)") {
     // Scala % is sign-of-dividend: (-5*31 + 0 + 0) % 256 would be
     // negative and pack garbage RGB; floorMod keeps g in [0, 256).

@@ -516,6 +516,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin full_outer: buffered join state survives a query RESTART (e24-e26 crash pin)") {
+    // the crash-recovery pin for the OUTER interval-join family
+    // (VERDICT r11 #2): e24/e25/e26 all ride this one built-in operator
+    // whose buffered-row state lives in the checkpoint's state store —
+    // full_outer exercises BOTH sides' buffers and BOTH null-emission
+    // horizons, so one pin covers the family. Query A buffers one view
+    // and one click (nothing emits — no match yet, watermark too low to
+    // evict); query B resumes and (a) a new click must match the
+    // RESTORED view, (b) watermark-advancing sentinels must emit the
+    // null rows of the RESTORED unmatched rows on each side's own
+    // eviction bound — all three results are only producible from
+    // round-tripped state.
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    def src(m: MemoryStream[(Long, Long, Long)], idName: String) =
+      m.toDF().toDF("user_id", "ts_ns", idName)
+        .withColumn("ts", Streaming.tsFromNanos(col("ts_ns")))
+        .withWatermark("ts", "1 hour")
+    val joined = Streaming.streamIntervalJoin(
+      src(clicks, "click_id"), src(views, "view_id"), "user_id", "30 minutes",
+      "full_outer")
+      .select("user_id", "l_click_id", "r_view_id")
+    val ckpt = Files.createTempDirectory("graft-fojoin-rs-ckpt").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Long)]())
+    def start() = joined.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))))
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val M = 60L * 1000 * 1000 * 1000 // 1 min in ns
+    // query A: view 501 (user 1) and click 902 (user 2) enter the join
+    // buffers; no match, watermark min(100,90)−60 too low to evict —
+    // NOTHING emits; CRASH (stop)
+    val q1 = start()
+    views.addData((1L, 100 * M, 501L))
+    clicks.addData((2L, 90 * M, 902L))
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.isEmpty, s"query A must emit nothing; got ${got.asScala}")
+    // query B resumes from the checkpoint
+    val q2 = start()
+    try {
+      // click 901 at 120 matches the RESTORED view 501 at 100 (20 min ≤
+      // the 30-min lag); view 503 enters unmatched for the eviction probe
+      clicks.addData((1L, 120 * M, 901L))
+      views.addData((3L, 200 * M, 503L))
+      q2.processAllAvailable()
+      // sentinels push both sides' watermark to 400 − 60 = 340: the
+      // restored unmatched click 902 (90 < 340) and the unmatched view
+      // 503 (200 < 340 − 30) must emit their null rows; the matched
+      // 501/901 pair must NOT re-emit as nulls
+      clicks.addData((99L, 400 * M, 999L))
+      views.addData((98L, 400 * M, 599L))
+      q2.processAllAvailable()
+      val rows = got.asScala.toSet
+      assert(rows == Set((1L, 901L, 501L), (2L, 902L, -1L), (3L, -1L, 503L)),
+        s"restored state must produce the match + both sides' null rows; got $rows")
+    } finally q2.stop()
+  }
+
   test("stream-static dim join stays broadcast: no stream-side join shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double, Long)]
