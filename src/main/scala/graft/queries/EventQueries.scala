@@ -53,7 +53,12 @@ object EventQueries {
   private[queries] def mediaPairs(s: SparkSession, dir: String): DataFrame =
     // synchronized: TrieMap.getOrElseUpdate may evaluate the builder in
     // two racing threads and discard one — here the loser would be a
-    // fully-persisted frame leaking executor storage for the session
+    // fully-persisted frame leaking executor storage for the session.
+    // The lock is deliberately COARSE (whole memo, including the eager
+    // persist+count job): an unrelated (session, dir)'s first call
+    // blocks behind another's build. Acceptable for the single-session
+    // bench/verify lifecycle this serves; a concurrent multi-session
+    // server would memoize a lazy per-key handle via putIfAbsent instead
     memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir), {
       import s.implicits._
       import graft.functions.VecFns._

@@ -30,9 +30,73 @@ object ExtraQueries {
   private val mmMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** Build (or serve) the memoized x20 .MM.gz artifact for
+    * (session, dir). The build is synchronized on the memo (the same
+    * hardening the media pair memos got): TrieMap.getOrElseUpdate alone
+    * can run two racing builders and leak the loser's temp dir until
+    * JVM exit. Coarse per-memo locking is fine here — one artifact per
+    * bench/verify session, built once.
+    */
+  private def mmArtifact(s: SparkSession, dir: String): String =
+    mmMemo.synchronized {
+      mmMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+        // persisted: the frame feeds both the 1-row dims aggregate and
+        // the body write — without it the lineitem aggregation runs twice
+        val cells = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("row"),
+            col("l_linenumber").cast(LongType).as("col"),
+            col("l_quantity").cast(LongType).as("value"))
+          .groupBy("row", "col").agg(sum("value").as("value"))
+          .persist()
+        val Seq(maxR, maxC, nnz) = cells
+          .agg(max("row"), max("col"), count(lit(1)))
+          .collect().head.toSeq.map(_.asInstanceOf[Long])
+        val tmp = java.nio.file.Files.createTempDirectory("x20_mm").toString
+        new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
+        val header = s.range(1).select(lit(0L).as("ord"),
+          lit("%%MatrixMarket matrix coordinate integer general").as("line"))
+          .unionByName(s.range(1).select(lit(1L).as("ord"),
+            lit(s"$maxR $maxC $nnz").as("line")))
+        val body = cells.select((lit(2L) + col("row") * (maxC + 1) + col("col")).as("ord"),
+          concat_ws(" ", col("row"), col("col"), col("value")).as("line"))
+        header.unionByName(body).repartition(1).sortWithinPartitions("ord")
+          .select("line")
+          .write.option("compression", "gzip").text(s"$tmp/txt")
+        val part = new java.io.File(s"$tmp/txt").listFiles()
+          .filter(_.getName.endsWith(".gz")).head
+        val out = s"$tmp/junction.MM.gz"
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(out))
+        cells.unpersist()
+        out
+      })
+    }
+
+  /** Queries that consume the memoized x20 artifact — Bench times its
+    * build as the attributed `x00_mm_prelude` entry (via
+    * [[prewarmParts]]) so the memoization cannot silently hide the
+    * write/encode cost from the min-of-N per-query numbers.
+    */
+  val preludeConsumers: Set[String] = Set("x20_mm_window")
+
+  /** Attributed prelude builds for Bench (the DedupQueries.prewarmParts
+    * pattern): materialize the x20 artifact, timed as its own entry.
+    */
+  def prewarmParts(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "mm_artifact" -> (() => { mmArtifact(s, dir); () }))
+
   /** Drop (and reclaim) the memoized x20 artifact for (session, dir) —
     * the eviction hook every other memo in the repo has, so a session
     * whose source data changed can flush the stale artifact.
+    *
+    * CONTRACT: x20 frames read the on-disk artifact LAZILY (that laziness
+    * is the row's point — pushdown happens at action time), so callers
+    * must not hold a returned x20 frame across an evict of its
+    * (session, dir): the delete below reclaims the directory immediately
+    * and a later action on such a frame fails with file-not-found.
+    * Sessions that need stale-frame safety should skip evict and rely on
+    * the JVM-shutdown reclamation (deleteOnExit is registered at build).
     */
   def evict(s: SparkSession, dir: String): Unit = {
     val sid = System.identityHashCode(s)
@@ -446,42 +510,12 @@ object ExtraQueries {
     // the same slice from lineitem directly, closing the loop over
     // write → parse → pushdown.
     "x20_mm_window" -> { (s, dir) =>
-      // one artifact per (session, dir) — see mmMemo; the returned frame
-      // reads the .MM.gz LAZILY (pushdown into the matrixmarket scan is
-      // the row's point), so the dir outlives the builder and is
-      // reclaimed at JVM shutdown
-      val mm = mmMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
-        // persisted: the frame feeds both the 1-row dims aggregate and
-        // the body write — without it the lineitem aggregation runs twice
-        val cells = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("row"),
-            col("l_linenumber").cast(LongType).as("col"),
-            col("l_quantity").cast(LongType).as("value"))
-          .groupBy("row", "col").agg(sum("value").as("value"))
-          .persist()
-        val Seq(maxR, maxC, nnz) = cells
-          .agg(max("row"), max("col"), count(lit(1)))
-          .collect().head.toSeq.map(_.asInstanceOf[Long])
-        val tmp = java.nio.file.Files.createTempDirectory("x20_mm").toString
-        new org.apache.hadoop.fs.Path(tmp)
-          .getFileSystem(s.sessionState.newHadoopConf())
-          .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
-        val header = s.range(1).select(lit(0L).as("ord"),
-          lit("%%MatrixMarket matrix coordinate integer general").as("line"))
-          .unionByName(s.range(1).select(lit(1L).as("ord"),
-            lit(s"$maxR $maxC $nnz").as("line")))
-        val body = cells.select((lit(2L) + col("row") * (maxC + 1) + col("col")).as("ord"),
-          concat_ws(" ", col("row"), col("col"), col("value")).as("line"))
-        header.unionByName(body).repartition(1).sortWithinPartitions("ord")
-          .select("line")
-          .write.option("compression", "gzip").text(s"$tmp/txt")
-        val part = new java.io.File(s"$tmp/txt").listFiles()
-          .filter(_.getName.endsWith(".gz")).head
-        val out = s"$tmp/junction.MM.gz"
-        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(out))
-        cells.unpersist()
-        out
-      })
+      // one artifact per (session, dir) — see mmArtifact/mmMemo; the
+      // returned frame reads the .MM.gz LAZILY (pushdown into the
+      // matrixmarket scan is the row's point), so the dir outlives the
+      // builder and is reclaimed at JVM shutdown (or an explicit evict —
+      // see evict's live-frame contract)
+      val mm = mmArtifact(s, dir)
       s.read.format("matrixmarket").load(mm)
         .filter(col("row") >= 100 && col("row") <= 2000 && col("col") <= 4)
         .orderBy("row", "col")
