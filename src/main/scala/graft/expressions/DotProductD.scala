@@ -96,6 +96,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_bigrams", exprs => CharBigramsExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_trigrams", exprs => CharTrigramsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_windows",
       // k must be an integer literal: it folds to a constant here
       exprs => TokenWindowsExpr(exprs(0), BloomBits.longLit(exprs(1), "k").toInt),

@@ -135,7 +135,9 @@ object TextQueries {
   val preludeConsumers: Set[String] =
     Set("t14_bigram_typicality", "t15_bpe_merges", "t16_bpe_vocab",
       "t17_bpe_doc_tokens", "t21_bigram_lm", "t24_fertility",
-      "t28_bpe_serve")
+      "t28_bpe_serve",
+      "t23_trigram_langid", "t26_langid_persisted", "t27_langid_append",
+      "t29_langid_compacted")
 
   /** The prelude's component builds, individually invokable so Bench
     * attributes each materialization (the d00 per-component lesson).
@@ -145,7 +147,8 @@ object TextQueries {
   def prewarmParts(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "bigram_counts" -> (() => { bigramCounts(s, dir); () }),
     "bpe_word_counts" -> (() => { bpeWordCounts(s, dir); () }),
-    "bpe_merges" -> (() => { bpeMerges(s, dir); () }))
+    "bpe_merges" -> (() => { bpeMerges(s, dir); () }),
+    "trigram_counts" -> (() => { trigramCounts(s, dir); () }))
 
   private val NbLangs = Seq("de", "en", "es", "fr", "zh")
 
@@ -158,29 +161,36 @@ object TextQueries {
     * rule) AND parquet-round-trip bit-exact — the property t26's
     * from-disk ≡ in-memory proof banks on.
     */
-  /** Per-doc trigram stream (doc_id, lang, g) — the shared front of the
-    * trained language-ID family (t23/t26/t27).
+  /** Per-doc trigram COUNTS (doc_id, lang, g, n) — the shared front of
+    * the trained language-ID family (t23/t26/t27/t29), memoized in the
+    * t00 prelude: the four rows each re-parsed the corpus through the
+    * clean→split→zip_with²→explode chain before this frame existed.
+    * Built by the native one-pass [[graft.expressions.CharTrigramsExpr]]
+    * (the CharBigramsExpr lesson at n = 3): the per-doc aggregate folds
+    * inside the projection, so the build is SHUFFLE-FREE — and every
+    * downstream count is a SUM of these per-doc longs, bit-identical to
+    * counting the exploded gram stream (CharTrigramsSpec pins the two
+    * forms row-identical).
     */
-  private def trigramGrams(s: SparkSession, dir: String): DataFrame = {
-    val t = regexp_replace(lower(col("text")), "[^a-z ]", "")
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), t.as("t"))
-    val cs = split(col("t"), "")
-    val n2 = greatest(length(col("t")) - 2, lit(0))
-    val tris = zip_with(
-      zip_with(slice(cs, lit(1), n2), slice(cs, lit(2), n2), (a, b) => concat(a, b)),
-      slice(cs, lit(3), n2), (ab, c) => concat(ab, c))
-    docs.select(col("doc_id"), col("lang"), explode(tris).as("g"))
-  }
+  private[queries] def trigramCounts(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "trigram_counts") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(call_function("graft_char_trigrams", col("text"))).as("tg"))
+        .select(col("doc_id"), col("lang"),
+          col("tg.g").as("g"), col("tg.n").as("n"))
+    }
 
   /** The MERGEABLE training artifact: per-(lang, g) trigram counts over
     * a training slice. Integer counts are the associative half of the
     * model — shards sum exactly, which is what t27's append lifecycle
-    * banks on (log-probs don't merge; counts do).
+    * banks on (log-probs don't merge; counts do). Takes the memoized
+    * per-doc count frame; summing the per-doc longs is bit-identical to
+    * counting the exploded gram stream.
     */
-  private def nbCounts(grams: DataFrame,
+  private def nbCounts(counts: DataFrame,
       slice: org.apache.spark.sql.Column): DataFrame =
-    grams.filter(slice).groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    counts.filter(slice).groupBy("lang", "g").agg(sum("n").as("c"))
 
   /** Fold a (lang, g, c) count table into the servable model: the
     * pivoted per-trigram micro-nat log-prob table + the 1-row
@@ -206,18 +216,19 @@ object TextQueries {
     (model, defaults)
   }
 
-  /** Held-out split's per-doc gram counts (the scoring input). */
-  private def nbEval(grams: DataFrame): DataFrame =
-    grams.filter(col("doc_id") % 5 === 0)
-      .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("n"))
+  /** Held-out split's per-doc gram counts (the scoring input) — the
+    * memoized frame IS per-doc counts, so this is a pure filter.
+    */
+  private def nbEval(counts: DataFrame): DataFrame =
+    counts.filter(col("doc_id") % 5 === 0)
 
   private def trigramNb(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val grams = trigramGrams(s, dir)
-    val train = nbCounts(grams, col("doc_id") % 5 =!= 0)
+    val counts = trigramCounts(s, dir)
+    val train = nbCounts(counts, col("doc_id") % 5 =!= 0)
       .localCheckpoint() // model-sized; consumed by mw + totals
     val (model, defaults) = nbFromCounts(train)
-    (model, defaults, nbEval(grams))
+    (model, defaults, nbEval(counts))
   }
 
   /** Score the held-out grams against a (model, defaults) pair —
@@ -912,21 +923,71 @@ object TextQueries {
     // pays O(shard); the artifact stays vocabulary-bounded and the
     // accumulating small files are Writers.compact's job.
     "t27_langid_append" -> { (s, dir) =>
-      val grams = trigramGrams(s, dir)
+      val counts = trigramCounts(s, dir)
       val trainSlice = col("doc_id") % 5 =!= 0
       val tmp = java.nio.file.Files.createTempDirectory("t27_nb").toString
       val out = try {
         graft.io.Writers.parquet(
-          nbCounts(grams, trainSlice && col("doc_id") % 2 === 1),
+          nbCounts(counts, trainSlice && col("doc_id") % 2 === 1),
           s"$tmp/counts")
         graft.io.Writers.parquet(
-          nbCounts(grams, trainSlice && col("doc_id") % 2 === 0),
+          nbCounts(counts, trainSlice && col("doc_id") % 2 === 0),
           s"$tmp/counts", mode = "append")
         val merged = s.read.parquet(s"$tmp/counts")
           .groupBy("lang", "g").agg(sum("c").as("c"))
           .localCheckpoint() // model-sized; consumed by mw + totals
         val (model, defaults) = nbFromCounts(merged)
-        nbScore(nbEval(grams), model, defaults).localCheckpoint()
+        nbScore(nbEval(counts), model, defaults).localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
+      out.orderBy("lang", "pred_lang")
+    },
+
+    // COMPACTION closing the TEXT maintenance loop — s29's lakehouse
+    // OPTIMIZE step applied to the trained-model family, completing the
+    // lifecycle matrix (ANN: build s23-s25/s28, append s26, compact
+    // s29, online serve s27; text: build t25/t26, append t27, serve
+    // t28, compact THIS row). t27's shards append as files to a FLAT
+    // count-table artifact — no partition layout to preserve — so the
+    // maintenance pass is the plain [[graft.io.Writers.compact]]: one
+    // coalescing exchange rewrites the fragmented listing into a single
+    // file, and the serve folds the compacted artifact with t27's
+    // merged-sum → nbFromCounts → nbScore unchanged. Oracle = t23's
+    // confusion-matrix SQL once more: a green row proves append →
+    // compact → serve ≡ serve (compaction moves bytes, never values —
+    // the (lang, g, c) LONGS round-trip parquet bit-exactly, and the
+    // per-(lang, g) sum is order-insensitive, so even the row shuffle
+    // inside the rewrite cannot move the model). PersistedIndexSpec
+    // pins the mechanical half for flat compact (file count provably
+    // shrinks, rows survive). At 100 TB the compact job is one exchange
+    // over the VOCABULARY-bounded artifact — not the corpus — run at
+    // append cadence off the serve path.
+    "t29_langid_compacted" -> { (s, dir) =>
+      val counts = trigramCounts(s, dir)
+      val trainSlice = col("doc_id") % 5 =!= 0
+      val tmp = java.nio.file.Files.createTempDirectory("t29_nb").toString
+      val out = try {
+        // 1-2. build + append — t27's fragmentation-accumulating steps
+        graft.io.Writers.parquet(
+          nbCounts(counts, trainSlice && col("doc_id") % 2 === 1),
+          s"$tmp/counts")
+        graft.io.Writers.parquet(
+          nbCounts(counts, trainSlice && col("doc_id") % 2 === 0),
+          s"$tmp/counts", mode = "append")
+        // 3. MAINTENANCE: rewrite the fragmented count table into one
+        //    file; production swaps the directory at the manifest
+        //    level, here the serve just reads the new path
+        graft.io.Writers.compact(
+          s, s"$tmp/counts", s"$tmp/counts_compacted", targetFiles = 1)
+        // 4. serve from the COMPACTED artifact — t27's serve unchanged
+        val merged = s.read.parquet(s"$tmp/counts_compacted")
+          .groupBy("lang", "g").agg(sum("c").as("c"))
+          .localCheckpoint() // model-sized; consumed by mw + totals
+        val (model, defaults) = nbFromCounts(merged)
+        nbScore(nbEval(counts), model, defaults).localCheckpoint()
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
@@ -1483,6 +1544,10 @@ object TextQueries {
     // LONG counts sum exactly across shards, so the merged artifact's
     // model is bit-identical to the full retrain's
     "t27_langid_append" -> t23Sql,
+    // the compaction row re-serves t23's SQL once more: a green row =
+    // append → compact → serve ≡ serve (compaction moves bytes, never
+    // values; the t25/t26/t27 anti-drift rule)
+    "t29_langid_compacted" -> t23Sql,
     "t05_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

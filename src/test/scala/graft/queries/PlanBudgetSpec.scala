@@ -162,6 +162,10 @@ class PlanBudgetSpec extends SparkSpec {
     // shape); static tail = checkpoint scan + sort (measured 1; t23/t26
     // re-measured at their pins after the nbFromCounts extraction)
     "t27_langid_append" -> 1,
+    // t29: build + append + flat-compact + serve-from-compacted, all
+    // eager (s29's shape on the text artifact); static tail =
+    // checkpoint scan + sort (measured 1)
+    "t29_langid_compacted" -> 1,
     // t19: map-only regex counts + presentation sort
     "t19_readability" -> 1,
     "x01_semi_join" -> 1, "x02_anti_join" -> 1,
@@ -327,9 +331,12 @@ class PlanBudgetSpec extends SparkSpec {
     // presentation sort exchanges (measured 1)
     "s20_range_search" -> 1,
     // t23: train (lang,g) agg + countDistinct expand + pivoted model
-    // agg + eval (doc,lang,g) agg + doc-score agg + confusion agg +
-    // sort; model/totals ride as broadcasts (measured 9)
-    "t23_trigram_langid" -> 9,
+    // agg + doc-score agg + confusion agg + sort; model/totals ride as
+    // broadcasts. The eval side is a pure FILTER over the memoized
+    // per-doc trigram-count frame (CharTrigramsExpr folds the per-doc
+    // aggregate inside the projection, so the former (doc,lang,g)
+    // eval exchange is gone) — measured 8, down from 9
+    "t23_trigram_langid" -> 8,
     // t24: t17's composed shuffles (incl. the one-time memo-build
     // exchange, see t16/t17) + the lang rollup + sort (measured 6)
     "t24_fertility" -> 6,
