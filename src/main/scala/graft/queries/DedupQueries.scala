@@ -43,12 +43,18 @@ object DedupQueries {
     */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // synchronized: TrieMap.getOrElseUpdate may evaluate the builder in
+  // TWO racing threads and discard one result — leaking the loser's
+  // persisted frame until session end (the media-pair-memo hardening).
+  // Coarse per-memo locking is deliberate for the single-session
+  // bench/verify lifecycle; a multi-session server would memoize a
+  // lazy per-key handle via putIfAbsent instead.
   private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+    memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
       val df = build.persist()
       df.count()
       df
-    })
+    }))
 
   /** Unpersist and drop every memoized frame for (session, dir). Without
     * this, a blanket `catalog.clearCache()` unpersists the frames but the

@@ -23,12 +23,18 @@ object Quantizer {
 
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // synchronized: TrieMap.getOrElseUpdate may evaluate the builder in
+  // TWO racing threads and discard one result — leaking the loser's
+  // persisted frame until session end (the media-pair-memo hardening).
+  // Coarse per-memo locking is deliberate for the single-session
+  // bench/verify lifecycle; a multi-session server would memoize a
+  // lazy per-key handle via putIfAbsent instead.
   private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+    memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
       val df = build.persist()
       df.count()
       df
-    })
+    }))
 
   def evict(s: SparkSession, dir: String): Unit = {
     val sid = System.identityHashCode(s)

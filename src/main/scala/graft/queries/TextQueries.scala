@@ -34,12 +34,18 @@ object TextQueries {
     */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // synchronized: TrieMap.getOrElseUpdate may evaluate the builder in
+  // TWO racing threads and discard one result — leaking the loser's
+  // persisted frame until session end (the media-pair-memo hardening).
+  // Coarse per-memo locking is deliberate for the single-session
+  // bench/verify lifecycle; a multi-session server would memoize a
+  // lazy per-key handle via putIfAbsent instead.
   private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+    memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
       val df = build.persist()
       df.count()
       df
-    })
+    }))
 
   /** Learned merge table rows (rank, l, r, pair_count) — driver-side
     * (8 rows); memoized separately from the frames because the learn
@@ -76,10 +82,12 @@ object TextQueries {
     * train-per-consumer results bit-for-bit.
     */
   private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
-    bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+    // synchronized like `cached`: the learn loop runs Spark jobs whose
+    // duplicate work a racing getOrElseUpdate would silently discard
+    bpeMemo.synchronized(bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir),
       graft.ops.BpeLearn.learnMerges(bpeWordCounts(s, dir), BpeRounds)
         .orderBy("rank").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq)
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq))
 
   /** t17's corpus tokenization, parameterized by the merge table — ONE
     * implementation serving both lifecycles: t17 passes the in-memory
