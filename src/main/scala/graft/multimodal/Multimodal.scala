@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The codec step is REAL for still images — decode/resize route
   * through the JDK's bundled javax.imageio codecs (PNG/JPEG, pure JVM,
-  * headless-safe; see [[Multimodal.decodeImage]]) — and STUBBED for
-  * audio/video, where the JDK ships no codec and this container has no
-  * native media libraries (see decodeStub: a clearly-marked
-  * deterministic fake). The magic-byte gate (looksLikeImage) keeps the
+  * headless-safe; see [[Multimodal.decodeImage]]) — and REAL for WAV
+  * audio through the JDK's bundled javax.sound.sampled codec (16-bit
+  * PCM; see [[Multimodal.decodeAudio]]). Only VIDEO is stubbed: the
+  * JDK ships no video codec and this container has no native media
+  * libraries (see decodeStub: a clearly-marked deterministic fake).
+  * The magic-byte gate (looksLikeImage) keeps the
   * synthetic corpus's utf-8 payloads on the stub branch, so the m-row
   * oracles replay the stub arithmetic unchanged while a real image
   * payload decodes for real through the same plumbing. Everything
@@ -188,13 +190,141 @@ object Multimodal {
       (w, h, sum)
     }
 
+  /** Magic-byte gate for the REAL audio branch: RIFF/WAVE only
+    * ("RIFF" at 0 AND "WAVE" at 8 — the RIFF container's form tag).
+    * Both tags are printable, so unlike [[looksLikeImage]] this gate is
+    * only consulted for rows DECLARED `kind = "audio"` (see the
+    * kind-aware [[decode]]): a text payload would need to be labeled
+    * audio AND carry both 4-byte tags at their exact offsets to reach
+    * the real branch — the synthetic corpus's utf-8 payloads never do.
+    */
+  private[multimodal] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+      p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** Deterministic mono 16-bit PCM test card — [[renderTestCard]]'s
+    * audio sibling: sample i has unsigned level
+    * u(i) = (seed·31 + i·7) mod 65536 (stored signed as u − 32768), a
+    * waveform a SQL engine replays ARITHMETICALLY, without any audio
+    * library. The WAV container is written by the REAL JDK encoder
+    * (javax.sound.sampled.AudioSystem.write, pure JVM, headless-safe);
+    * PCM is lossless, so decode must return exactly this sequence —
+    * m10's oracle banks on that.
+    */
+  def renderAudioCard(seed: Long, nSamples: Int,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, true, false) // 16-bit signed PCM, little-endian
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      // floorMod, as in renderTestCard: a negative seed must still
+      // yield a level in [0, 65536)
+      val u = java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L).toInt
+      val sv = u - 32768
+      pcm(2 * i) = (sv & 0xff).toByte
+      pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode over the JDK's bundled WAV codec
+    * (javax.sound.sampled — in every Java 17 runtime, no native libs):
+    * actual (sample_rate, channels, n_frames) plus a 16-bin normalized
+    * amplitude histogram as the feature vector (unsigned 16-bit level
+    * >> 12 — integer binning, deterministic across JVMs, the Rec.601
+    * fold's audio analog). Restricted to the exact layout the test
+    * cards use (16-bit signed little-endian PCM): other depths/
+    * encodings fall back to the stub rather than guess at byte order.
+    * None when the payload is not decodable WAV — see [[looksLikeWav]].
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    decodePcm(payload).map { case (rate, channels, samples) =>
+      val acc = new Array[Double](16)
+      var i = 0
+      while (i < samples.length) {
+        acc(samples(i) >> 12) += 1.0
+        i += 1
+      }
+      val n = math.max(samples.length, 1).toDouble
+      (rate, channels, samples.length / math.max(channels, 1),
+        Array.tabulate(16)(j => (acc(j) / n).toFloat))
+    }
+
+  /** Integer amplitude ledger of a decoded WAV — the oracle-mirrorable
+    * form of [[decodeAudio]] (the [[decodeLumaLedger]] pattern):
+    * (sample_rate, n_samples, Σ unsigned-16-bit level), summed in a
+    * Long. For a [[renderAudioCard]] payload the ledger is
+    * Σ (seed·31 + i·7) mod 65536 — a sum a SQL engine computes without
+    * ever touching a codec. None for non-WAV, as in [[decodeAudio]].
+    */
+  def decodeAmpLedger(payload: Array[Byte]): Option[(Int, Long, Long)] =
+    decodePcm(payload).map { case (rate, _, samples) =>
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) { sum += samples(i); i += 1 }
+      (rate, samples.length.toLong, sum)
+    }
+
+  /** Shared REAL-codec front of [[decodeAudio]]/[[decodeAmpLedger]]:
+    * payload → (rate, channels, unsigned 16-bit levels), via the JDK's
+    * AudioSystem. NonFatal-hardened like [[decodeImage]]: a corrupt
+    * payload behind the RIFF/WAVE gate degrades to None (→ stub),
+    * never fails the task (MultimodalSpec pins this).
+    */
+  private def decodePcm(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!looksLikeWav(payload)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        if (!pcm16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val sv = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+            out(i) = sv + 32768 // unsigned level in [0, 65536)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Codec dispatch — what [[extractFeatures]] actually runs: the real
-    * JDK image decode when the payload IS a PNG/JPEG, the deterministic
-    * stub otherwise. A corpus with real image payloads decodes for real
-    * with zero plumbing change; the synthetic corpus (utf-8 text
-    * payloads) always takes the stub branch, so the oracle rows are
-    * unchanged by construction. Video/audio remain stub-only — the JDK
-    * ships no codec for them (the documented environmental constraint).
+    * JDK image decode when the payload IS a PNG/JPEG, the real JDK WAV
+    * decode when the row is DECLARED audio and the payload IS
+    * RIFF/WAVE PCM, the deterministic stub otherwise. A corpus with
+    * real image/WAV payloads decodes for real with zero plumbing
+    * change; the synthetic corpus (utf-8 text payloads) always takes
+    * the stub branch, so the oracle rows are unchanged by
+    * construction. Video remains stub-only — the JDK ships no video
+    * codec (the documented environmental constraint, now narrowed to
+    * video alone).
+    */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    if (kind == "audio")
+      decodeAudio(payload).getOrElse(decodeStub(payload))
+    else decodeImage(payload).getOrElse(decodeStub(payload))
+
+  /** Payload-only dispatch (image-or-stub) — kept for callers without a
+    * declared kind.
     */
   def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
     decodeImage(payload).getOrElse(decodeStub(payload))
@@ -236,7 +366,7 @@ object Multimodal {
       // per-partition decoder init goes here (ImageIO readers are
       // looked up per call; a native codec would init its session here)
       rows.map { m =>
-        val (w, h, f, feat) = decode(m.payload)
+        val (w, h, f, feat) = decode(m.kind, m.payload)
         MediaFeatures(m.media_id, m.kind, m.n_bytes, w, h, f, feat)
       }
     }

@@ -583,6 +583,35 @@ object EventQueries {
         .orderBy("cluster_id")
     },
 
+    // REAL-CODEC audio round-trip — m07's proof for the SECOND modality
+    // (narrowing the environmental stub to video alone): deterministic
+    // 16-bit PCM test cards (sample i level = (doc·31 + i·7) mod 65536)
+    // are containerized by the REAL JDK WAV encoder
+    // (javax.sound.sampled.AudioSystem.write) and read back through the
+    // REAL JDK decoder into an integer amplitude ledger. PCM is
+    // lossless, so the decoded (rate, n_samples, Σ level) must equal
+    // the generation formula — which is exactly what the oracle
+    // computes over a generated sample index, never touching a codec. A
+    // hash match proves the encode → container parse → PCM decode → sum
+    // path is sample-exact end to end (the stub's byte-fold over the
+    // 44-byte-headered container could not reproduce it).
+    "m10_audio_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val n = (256 + d % 300).toInt
+            val wav = graft.multimodal.Multimodal.renderAudioCard(d, n)
+            val (rate, nS, amp) = graft.multimodal.Multimodal.decodeAmpLedger(wav)
+              .getOrElse(sys.error(s"m10: test-card WAV for doc $d did not decode"))
+            (d, rate, nS, amp)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "amp_sum")
+        .orderBy("doc_id")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -1542,6 +1571,23 @@ object EventQueries {
         |SELECT doc_id, width, height,
         |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS luma_sum
         |FROM cells GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
+    // the audio sibling of m07's proof: the oracle replays the PCM
+    // FORMULA over a generated sample index — it never touches a
+    // codec — so a hash match proves the Spark side's WAV encode →
+    // decode → amplitude fold is sample-exact
+    "m10_audio_roundtrip" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(256 + doc_id % 300 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id < 100),
+        |cells AS (
+        |  SELECT d.doc_id, d.n_samples, i.i
+        |  FROM dims d,
+        |  LATERAL (SELECT unnest(range(0, d.n_samples)) AS i) i)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples,
+        |  CAST(SUM((doc_id*31 + i*7) % 65536) AS BIGINT) AS amp_sum
+        |FROM cells GROUP BY doc_id, n_samples
         |ORDER BY doc_id""".stripMargin,
     // hour-window index from ns -> us (floor) matches Spark's
     // timestamp_micros truncation; 3600000000 us = 1 h

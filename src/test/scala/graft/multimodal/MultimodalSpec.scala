@@ -251,4 +251,56 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.resize(rows.toDS(), 4, 4).collect()(0)
     assert(r.pixels.toSeq == grid.toSeq)
   }
+
+  test("real JDK audio codec: WAV round-trip is sample-exact; kind-aware dispatch; corrupt WAV degrades to the stub") {
+    // 1. PCM losslessness: the REAL encoder (AudioSystem.write) and the
+    //    REAL decoder must round-trip the generation formula exactly —
+    //    including a NEGATIVE seed (the renderTestCard floorMod rule)
+    for (seed <- Seq(0L, 7L, -5L); n <- Seq(1, 3, 256)) {
+      val wav = Multimodal.renderAudioCard(seed, n)
+      val (rate, nS, amp) = Multimodal.decodeAmpLedger(wav).get
+      assert(rate == 8000 && nS == n.toLong)
+      val want = (0 until n)
+        .map(i => java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L)).sum
+      assert(amp == want, s"seed=$seed n=$n: ledger must replay the PCM formula")
+    }
+    // 2. decodeAudio: real metadata + normalized amplitude histogram
+    val wav = Multimodal.renderAudioCard(7L, 512)
+    val (rate, ch, frames, hist) = Multimodal.decodeAudio(wav).get
+    assert((rate, ch, frames) == (8000, 1, 512), "real decoded audio shape")
+    assert(math.abs(hist.sum - 1.0f) < 1e-6, "histogram is normalized")
+    // 3. kind-aware dispatch: audio rows with a real WAV decode for
+    //    real; text payloads declared audio (the synthetic corpus)
+    //    still take the stub; the image branch is untouched by kind
+    val txt = "RIFF but not really".getBytes("UTF-8") // "RIFF" lead, no WAVE tag
+    val stub = Multimodal.decodeStub(txt)
+    val viaKind = Multimodal.decode("audio", txt)
+    assert((viaKind._1, viaKind._2, viaKind._4.toSeq) ==
+      (stub._1, stub._2, stub._4.toSeq),
+      "a printable pseudo-magic must not reach the audio codec")
+    assert(Multimodal.decode("audio", wav)._3 == 512, "declared-audio WAV decodes for real")
+    val vid = Multimodal.decode("video", wav) // not declared audio, not an image
+    val vstub = Multimodal.decodeStub(wav)
+    assert((vid._1, vid._2, vid._3, vid._4.toSeq) ==
+      (vstub._1, vstub._2, vstub._3, vstub._4.toSeq),
+      "video stays on the stub even for a WAV payload")
+    // 4. task survival (the image-codec contract, audio edition): a
+    //    corrupt payload behind the full RIFF/WAVE gate degrades to the
+    //    stub inside ONE mapPartitions task beside a healthy row
+    val corrupt = wav.take(12) ++ Array.fill[Byte](32)(0x42)
+    val truncated = wav.take(wav.length / 2)
+    assert(Multimodal.decodeAmpLedger(corrupt).isEmpty)
+    val rows2 = Seq(
+      Multimodal.MediaRow(1L, "audio", corrupt, "audio/wav", corrupt.length.toLong),
+      Multimodal.MediaRow(2L, "audio", truncated, "audio/wav", truncated.length.toLong),
+      Multimodal.MediaRow(3L, "audio", wav, "audio/wav", wav.length.toLong))
+    val out = Multimodal.extractFeatures(rows2.toDS().coalesce(1))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 3, "the task must survive corrupt WAV payloads")
+    val cs = Multimodal.decodeStub(corrupt)
+    assert((out(0).width, out(0).feature.toSeq) == (cs._1, cs._4.toSeq),
+      "corrupt WAV must degrade to the stub")
+    assert(out(2).width == 8000 && out(2).n_frames == 512,
+      "the healthy WAV row must still decode for real")
+  }
 }

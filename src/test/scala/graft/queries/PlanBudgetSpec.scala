@@ -101,6 +101,9 @@ class PlanBudgetSpec extends SparkSpec {
     // m07: render→decode→ledger rides the mapPartitions scan; the one
     // exchange is the presentation sort
     "m07_image_roundtrip" -> 1,
+    // m10: the audio sibling — WAV render→real-decode→amp ledger in the
+    // same mapPartitions shape; one presentation sort (measured 1)
+    "m10_audio_roundtrip" -> 1,
     "m03_media_neardup" -> 1, "m04_resize" -> 1,
     // m08: presentation-only over the memoized REAL-codec pair frame
     // (m03's shape — render→real-decode→LSH→pair built once, persisted)
