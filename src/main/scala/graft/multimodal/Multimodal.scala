@@ -307,20 +307,175 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Magic-byte gate for the video branch: RIFF/"AVI " — the same
+    * 8-byte two-tag rule as [[looksLikeWav]], and like it only
+    * consulted for rows DECLARED `kind = "video"`.
+    */
+  private[multimodal] def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'A'.toByte && p(9) == 'V'.toByte &&
+      p(10) == 'I'.toByte && p(11) == ' '.toByte
+
+  /** Deterministic uncompressed video test card — [[renderTestCard]]
+    * extended by a frame axis: a RIFF/AVI container (the public
+    * container layout: hdrl/avih + strl/strh+strf, then a movi LIST of
+    * raw `00db` DIB frames — BI_RGB, 24-bit, bottom-up rows) whose
+    * frame f has gray pixel g = (seed·31 + x·7 + y·13 + f·17) mod 256.
+    * Uncompressed frames need NO codec — the format's entire decode is
+    * the container walk plus a raster read — which is exactly what
+    * makes an honest real-video path possible in a codec-less JVM;
+    * compressed video (the production norm) remains the labeled stub.
+    * Widths are restricted to multiples of 4 so DIB row padding never
+    * enters the formula the oracle replays.
+    */
+  def renderVideoCard(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w % 4 == 0, "test-card width must be a multiple of 4 (no DIB row padding)")
+    val frameBytes = w * 3 * h
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val avih = fourcc("avih") ++ le32(56) ++
+      le32(40000) ++ le32(frameBytes * 25) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("strh") ++ le32(56) ++
+      fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = fourcc("strf") ++ le32(40) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) /* BI_RGB */ ++ le32(frameBytes) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = fourcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fourcc("strl") ++ strh ++ strf
+    val hdrl = fourcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fourcc("hdrl") ++ avih ++ strl
+    val frames = (0 until nFrames).flatMap { f =>
+      val px = new Array[Byte](frameBytes)
+      var i = 0
+      // DIB rows are BOTTOM-UP: stored row r is image row (h-1-r)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          val g = java.lang.Math.floorMod(
+            seed * 31 + x * 7 + y * 13 + f * 17, 256L).toByte
+          px(i) = g; px(i + 1) = g; px(i + 2) = g // B, G, R
+          i += 3
+          x += 1
+        }
+        r += 1
+      }
+      fourcc("00db") ++ le32(frameBytes) ++ px
+    }.toArray
+    val movi = fourcc("LIST") ++ le32(4 + frames.length) ++
+      fourcc("movi") ++ frames
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL (codec-less) video frame decode: walks the RIFF/AVI
+    * container — hdrl's BITMAPINFOHEADER for (width, height, BI_RGB,
+    * 24 bpp), movi's `00db` chunks for the raw bottom-up DIB rasters —
+    * and returns per-frame integer luma ledgers (Rec.601 ×1000 fold,
+    * the [[decodeLumaLedger]] arithmetic per frame). This is a full
+    * real parse of a real public format, not a stub: dimensions and
+    * sums come from actual container bytes. None (→ stub) for anything
+    * but uncompressed 24-bit BI_RGB — compressed video genuinely needs
+    * a codec the JVM does not have, and falling back loudly beats
+    * guessing. NonFatal-hardened like the other real branches.
+    */
+  def decodeVideoFrames(payload: Array[Byte]): Option[(Int, Int, Array[Long])] =
+    if (!looksLikeAvi(payload)) None
+    else try {
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def tag(o: Int): String =
+        new String(payload, o, 4, "US-ASCII")
+      var w = -1; var h = -1; var ok = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // chunk walk: every RIFF chunk is fourcc + le32 size (+ pad to
+      // even); LIST chunks carry a 4-byte list type then sub-chunks
+      def walk(from: Int, until: Int): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val t = tag(o)
+          val sz = le32(o + 4)
+          if (t == "LIST") walk(o + 12, o + 8 + sz)
+          else if (t == "strf" && sz >= 40) {
+            w = le32(o + 8 + 4)
+            h = le32(o + 8 + 8)
+            ok = le16(o + 8 + 14) == 24 && le32(o + 8 + 16) == 0 // 24bpp BI_RGB
+          } else if (t == "00db" || t == "00dc") frames += ((o + 8, sz))
+          o += 8 + sz + (sz & 1)
+        }
+      }
+      walk(12, math.min(12 + le32(4) - 4, payload.length))
+      if (!ok || w <= 0 || h <= 0) None
+      else {
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        if (frames.exists { case (_, sz) => sz < rowBytes * h }) None
+        else Some((w, h, frames.map { case (off, _) =>
+          var sum = 0L
+          var r = 0
+          while (r < h) {
+            var x = 0
+            val base = off + r * rowBytes
+            while (x < w) {
+              val b = payload(base + x * 3) & 0xff
+              val g = payload(base + x * 3 + 1) & 0xff
+              val rr = payload(base + x * 3 + 2) & 0xff
+              sum += (rr * 299 + g * 587 + b * 114) / 1000
+              x += 1
+            }
+            r += 1
+          }
+          sum
+        }.toArray))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[decodeVideoFrames]] folded into the [[MediaFeatures]] shape for
+    * the dispatch: (width, height, n_frames, feature), where the
+    * fixed-width feature is each of the first 16 frames' MEAN luma
+    * (zero-padded past the last frame) — the per-frame temporal
+    * signature a sampling pipeline keys on, in the same 16-float
+    * columnar contract as the image histogram.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    decodeVideoFrames(payload).map { case (w, h, ledgers) =>
+      val n = math.max(w.toLong * h, 1L)
+      val feat = Array.tabulate(16)(i =>
+        if (i < ledgers.length) (ledgers(i).toDouble / n).toFloat else 0.0f)
+      (w, h, ledgers.length, feat)
+    }
+
   /** Codec dispatch — what [[extractFeatures]] actually runs: the real
     * JDK image decode when the payload IS a PNG/JPEG, the real JDK WAV
     * decode when the row is DECLARED audio and the payload IS
-    * RIFF/WAVE PCM, the deterministic stub otherwise. A corpus with
-    * real image/WAV payloads decodes for real with zero plumbing
-    * change; the synthetic corpus (utf-8 text payloads) always takes
-    * the stub branch, so the oracle rows are unchanged by
-    * construction. Video remains stub-only — the JDK ships no video
-    * codec (the documented environmental constraint, now narrowed to
-    * video alone).
+    * RIFF/WAVE PCM, the real container-walk frame decode when the row
+    * is DECLARED video and the payload IS an uncompressed RIFF/AVI,
+    * the deterministic stub otherwise. A corpus with real payloads
+    * decodes for real with zero plumbing change; the synthetic corpus
+    * (utf-8 text payloads) always takes the stub branch, so the oracle
+    * rows are unchanged by construction. The stub's remaining honest
+    * territory: COMPRESSED video/audio formats, which genuinely need
+    * codecs the JVM does not ship.
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
     if (kind == "audio")
       decodeAudio(payload).getOrElse(decodeStub(payload))
+    else if (kind == "video")
+      decodeVideo(payload).getOrElse(decodeStub(payload))
     else decodeImage(payload).getOrElse(decodeStub(payload))
 
   /** Payload-only dispatch (image-or-stub) — kept for callers without a

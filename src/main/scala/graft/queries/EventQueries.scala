@@ -612,6 +612,37 @@ object EventQueries {
         .orderBy("doc_id")
     },
 
+    // REAL video frame extraction — the THIRD modality, via the one
+    // video format a codec-less JVM can honestly decode: uncompressed
+    // RIFF/AVI (BI_RGB 24-bit DIB frames), where "decode" is a real
+    // container walk (hdrl's BITMAPINFOHEADER for dims/compression,
+    // movi's 00db chunks for the bottom-up rasters) plus the Rec.601
+    // luma fold — no codec exists or is needed. Test cards put gray
+    // level (doc·31 + x·7 + y·13 + f·17) mod 256 at frame f's pixel
+    // (x, y); the oracle replays that formula over a generated
+    // (f, x, y) grid, so a hash match proves the container write →
+    // parse → per-frame raster read is byte-exact. Compressed video
+    // (the production norm) remains the labeled stub — that boundary
+    // is now exactly "formats that need a codec", not "video".
+    "m11_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 60).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { d =>
+            val nf = (2 + d % 3).toInt
+            val avi = graft.multimodal.Multimodal.renderVideoCard(d, 8, 6, nf)
+            val (w, h, ledgers) = graft.multimodal.Multimodal.decodeVideoFrames(avi)
+              .getOrElse(sys.error(s"m11: test-card AVI for doc $d did not parse"))
+            ledgers.iterator.zipWithIndex.map { case (ls, f) =>
+              (d, f, w, h, ls)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "luma_sum")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Exact top-k via the typed TopK Aggregator (partial aggregation:
     // each map task keeps k candidates per group, only k * numMapTasks
     // rows shuffle — no full-group window sort, no salt tuning; see
@@ -1589,6 +1620,26 @@ object EventQueries {
         |  CAST(SUM((doc_id*31 + i*7) % 65536) AS BIGINT) AS amp_sum
         |FROM cells GROUP BY doc_id, n_samples
         |ORDER BY doc_id""".stripMargin,
+    // the video sibling: the oracle replays the frame formula over a
+    // generated (f, x, y) grid — it never parses a container — so a
+    // hash match proves the AVI write → container walk → per-frame
+    // raster fold is byte-exact
+    "m11_video_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id < 60),
+        |cells AS (
+        |  SELECT d.doc_id, f.f, x.x, y.y
+        |  FROM dims d,
+        |  LATERAL (SELECT unnest(range(0, d.nf)) AS f) f,
+        |  LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |  LATERAL (SELECT unnest(range(0, 6)) AS y) y)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(SUM((doc_id*31 + x*7 + y*13 + f*17) % 256) AS BIGINT) AS luma_sum
+        |FROM cells GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // hour-window index from ns -> us (floor) matches Spark's
     // timestamp_micros truncation; 3600000000 us = 1 h
     "m02_frame_sample" ->

@@ -303,4 +303,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).width == 8000 && out(2).n_frames == 512,
       "the healthy WAV row must still decode for real")
   }
+
+  test("real (codec-less) video: uncompressed AVI container round-trip is byte-exact; corrupt AVI degrades to the stub") {
+    // 1. container round-trip: write via renderVideoCard, parse via the
+    //    RIFF walk; each frame's luma ledger must replay the generation
+    //    formula exactly (incl. a negative seed)
+    for (seed <- Seq(0L, 9L, -3L); nf <- Seq(1, 2, 5)) {
+      val avi = Multimodal.renderVideoCard(seed, 8, 6, nf)
+      val (w, h, ledgers) = Multimodal.decodeVideoFrames(avi).get
+      assert((w, h, ledgers.length) == (8, 6, nf), "real parsed dims + frame count")
+      for (f <- 0 until nf) {
+        val want = (for (y <- 0 until 6; x <- 0 until 8)
+          yield java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13 + f * 17, 256L)).sum
+        assert(ledgers(f) == want,
+          s"seed=$seed frame=$f: ledger must replay the formula")
+      }
+    }
+    // 2. dispatch: declared-video AVI decodes for real; text payloads
+    //    declared video still stub; audio/image branches unaffected
+    val avi = Multimodal.renderVideoCard(4L, 8, 4, 3)
+    assert(Multimodal.decode("video", avi)._3 == 3, "declared-video AVI parses for real")
+    val txt = "RIFFxxxxAVI but text".getBytes("UTF-8") // no exact 'AVI ' tag at 8
+    val stub = Multimodal.decodeStub(txt)
+    val viaKind = Multimodal.decode("video", txt)
+    assert((viaKind._1, viaKind._2, viaKind._4.toSeq) ==
+      (stub._1, stub._2, stub._4.toSeq))
+    // 3. honesty boundary: a COMPRESSED-flavored AVI (biCompression
+    //    != 0) must refuse the real branch — no byte-order guessing
+    val compressed = avi.clone()
+    // strf's biCompression field: locate the 'strf' tag and poke it
+    val strfAt = avi.indices.find(i => i + 4 <= avi.length &&
+      new String(avi, i, 4, "US-ASCII") == "strf").get
+    compressed(strfAt + 8 + 16) = 1 // BI_RLE8
+    assert(Multimodal.decodeVideoFrames(compressed).isEmpty,
+      "compressed video must fall back, not guess")
+    // 4. task survival: truncated container + short frame data beside a
+    //    healthy row, one task
+    val truncated = avi.take(avi.length / 2)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", truncated, "video/avi", truncated.length.toLong),
+      Multimodal.MediaRow(2L, "video", compressed, "video/avi", compressed.length.toLong),
+      Multimodal.MediaRow(3L, "video", avi, "video/avi", avi.length.toLong))
+    val out = Multimodal.extractFeatures(rows.toDS().coalesce(1))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 3, "the task must survive corrupt AVI payloads")
+    val ts = Multimodal.decodeStub(truncated)
+    assert((out(0).width, out(0).feature.toSeq) == (ts._1, ts._4.toSeq),
+      "truncated AVI must degrade to the stub")
+    assert(out(2).width == 8 && out(2).n_frames == 3,
+      "the healthy AVI row must still parse for real")
+  }
 }

@@ -104,6 +104,9 @@ class PlanBudgetSpec extends SparkSpec {
     // m10: the audio sibling — WAV render→real-decode→amp ledger in the
     // same mapPartitions shape; one presentation sort (measured 1)
     "m10_audio_roundtrip" -> 1,
+    // m11: the video sibling — AVI render→container walk→per-frame
+    // ledger, same shape; one presentation sort (measured 1)
+    "m11_video_frames" -> 1,
     "m03_media_neardup" -> 1, "m04_resize" -> 1,
     // m08: presentation-only over the memoized REAL-codec pair frame
     // (m03's shape — render→real-decode→LSH→pair built once, persisted)
