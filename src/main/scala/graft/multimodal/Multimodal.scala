@@ -404,22 +404,36 @@ object Multimodal {
       var w = -1; var h = -1; var ok = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // chunk walk: every RIFF chunk is fourcc + le32 size (+ pad to
-      // even); LIST chunks carry a 4-byte list type then sub-chunks
-      def walk(from: Int, until: Int): Unit = {
+      // even); LIST chunks carry a 4-byte list type then sub-chunks.
+      // Corrupt-size hardening (the task-survival contract): a NEGATIVE
+      // le32 size would stall the stride at zero (8 + (-8) + 1&(-8) =
+      // 0 — an infinite loop no exception would break), so bail on the
+      // whole parse instead; and the recursion is depth-BOUNDED because
+      // a crafted tower of nested 12-byte LISTs would otherwise
+      // StackOverflow — a VirtualMachineError NonFatal does NOT catch.
+      // Real AVI nests 3 deep (RIFF > hdrl|movi > strl); 16 is generous.
+      var bad = false
+      def walk(from: Int, until: Int, depth: Int): Unit = {
         var o = from
-        while (o + 8 <= until) {
+        while (!bad && o + 8 <= until) {
           val t = tag(o)
           val sz = le32(o + 4)
-          if (t == "LIST") walk(o + 12, o + 8 + sz)
-          else if (t == "strf" && sz >= 40) {
-            w = le32(o + 8 + 4)
-            h = le32(o + 8 + 8)
-            ok = le16(o + 8 + 14) == 24 && le32(o + 8 + 16) == 0 // 24bpp BI_RGB
-          } else if (t == "00db" || t == "00dc") frames += ((o + 8, sz))
-          o += 8 + sz + (sz & 1)
+          if (sz < 0) bad = true
+          else {
+            if (t == "LIST") {
+              if (depth >= 16) bad = true
+              else walk(o + 12, math.min(o + 8 + sz, until), depth + 1)
+            } else if (t == "strf" && sz >= 40) {
+              w = le32(o + 8 + 4)
+              h = le32(o + 8 + 8)
+              ok = le16(o + 8 + 14) == 24 && le32(o + 8 + 16) == 0 // 24bpp BI_RGB
+            } else if (t == "00db" || t == "00dc") frames += ((o + 8, sz))
+            o += 8 + sz + (sz & 1) // sz >= 0, so the stride is >= 8
+          }
         }
       }
-      walk(12, math.min(12 + le32(4) - 4, payload.length))
+      walk(12, math.min(12 + le32(4) - 4, payload.length), 0)
+      if (bad) ok = false
       if (!ok || w <= 0 || h <= 0) None
       else {
         val rowBytes = ((w * 3 + 3) / 4) * 4

@@ -114,7 +114,9 @@ object TextQueries {
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
         round6(col("bpe_tokens").cast(DoubleType) /
           col("ws_tokens").cast(DoubleType)).as("pieces_per_word"))
-      .orderBy("doc_id")
+    // UNSORTED by design: t17 sorts the returned frame directly, while
+    // t28 checkpoints it first and sorts the checkpoint — sorting here
+    // would make t28 pay the corpus sort twice
   }
 
   /** Unpersist and drop every memoized frame/model for (session, dir) —
@@ -592,6 +594,7 @@ object TextQueries {
     // and one broadcast join, not a per-token string replay.
     "t17_bpe_doc_tokens" -> { (s, dir) =>
       docTokensWith(s, dir, bpeMerges(s, dir).map(m => (m._2, m._3)))
+        .orderBy("doc_id")
     },
 
     // BPE APPLY-FROM-ARTIFACT — the serve half of the tokenizer

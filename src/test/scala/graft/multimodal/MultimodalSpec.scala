@@ -353,4 +353,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).width == 8 && out(2).n_frames == 3,
       "the healthy AVI row must still parse for real")
   }
+
+  test("adversarial AVI chunk sizes cannot stall or crash the walk (negative size, nested-LIST tower)") {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // a chunk size of -8 makes the naive stride 8 + sz + (sz & 1) == 0:
+    // without the sz < 0 bail this loops FOREVER (no exception for
+    // NonFatal to catch) — the review finding this test pins
+    val negSize = cc("RIFF") ++ le32(64) ++ cc("AVI ") ++
+      cc("JUNK") ++ le32(-8) ++ Array.fill[Byte](32)(0)
+    assert(Multimodal.decodeVideoFrames(negSize).isEmpty,
+      "a negative chunk size must refuse the parse, not spin")
+    // a tower of nested LIST chunks recurses once per level: without
+    // the depth bound a crafted payload StackOverflows — a
+    // VirtualMachineError NonFatal does NOT catch, killing the task
+    val depth = 5000
+    val tower = cc("RIFF") ++ le32(8 + depth * 12) ++ cc("AVI ") ++
+      (0 until depth).toArray.flatMap(i =>
+        cc("LIST") ++ le32((depth - i) * 12 - 8) ++ cc("hdrl"))
+    assert(Multimodal.decodeVideoFrames(tower).isEmpty,
+      "a nested-LIST tower must hit the depth bound, not the stack limit")
+  }
 }
