@@ -41,6 +41,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE coalesce post-shuffle partitions for CACHED plans too
+      // (off by default). Without it, every persisted frame in the
+      // iterative engines pins `shuffle.partitions`-many tiny
+      // partitions and each round re-schedules all of them (measured:
+      // g01 ran 52 jobs of 32-task stages over a ~500k-edge graph;
+      // with the setting, node-frame stages shrink to 1-3 tasks).
+      // Scale-independent: coalescing still keys on AQE's data-volume
+      // rule (parallelismFirst + 1 MB min partition), so big frames
+      // keep their parallelism at any core count — deliberately NOT
+      // paired with coalescePartitions.parallelismFirst=false, which
+      // collapsed every sub-64MB build to ONE task and serialized the
+      // heavy prelude builds (measured g00 13.8 s vs 4.5 s).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,6 +79,7 @@ object Bench {
     graft.queries.TextQueries.evictAll(spark)
     graft.queries.EventQueries.evictAll(spark)
     graft.queries.ExtraQueries.evictAll(spark)
+    graft.queries.GraphQueries.evictAll(spark)
     spark.catalog.clearCache()
     System.gc()
 
@@ -181,7 +195,14 @@ object Bench {
       PreludeSpec("x00_mm_prelude",
         graft.queries.ExtraQueries.preludeConsumers.contains,
         () => graft.queries.ExtraQueries.evict(spark, sfDir),
-        () => graft.queries.ExtraQueries.prewarmParts(spark, sfDir)))
+        () => graft.queries.ExtraQueries.prewarmParts(spark, sfDir)),
+      // g00: the shared graph edge builds (trade pairs, weighted trade
+      // pairs, co-purchase pairs) — r13: every g-row previously re-ran
+      // its base-graph build inside its own timed region
+      PreludeSpec("g00_graph_prelude",
+        graft.queries.GraphQueries.preludeConsumers.contains,
+        () => graft.queries.GraphQueries.evict(spark, sfDir),
+        () => graft.queries.GraphQueries.prewarmParts(spark, sfDir)))
 
     val preludeParts = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     def runPrelude(spec: PreludeSpec): Option[(String, (Double, Double))] = {

@@ -63,14 +63,21 @@ object Hits {
       .localCheckpoint()
     var auths: DataFrame = hubs.limit(0).selectExpr("node", "hub AS auth")
     for (_ <- 1 to iterations) {
+      // raw sums are MATERIALIZED before use: both consumers below (the
+      // 1-row L1 total and the normalized frame) would otherwise each
+      // re-run the edge join + groupBy — the corpus-sized half-step work
+      // twice per half-step, 4x per iteration (measured in the r13 pass:
+      // the fix plus shared-edge memoization took g10 8.4 s -> ~4 s)
       val araw = e.join(hubs, e("src") === hubs("node"))
         .groupBy("dst").agg(sum("hub").as("raw"))
+        .localCheckpoint()
       val atot = araw.agg(sum("raw").as("t"))
       auths = araw.crossJoin(broadcast(atot))
         .selectExpr("dst AS node", s"(raw * ${scale}L) div t AS auth")
         .localCheckpoint()
       val hraw = e.join(auths, e("dst") === auths("node"))
         .groupBy("src").agg(sum("auth").as("raw"))
+        .localCheckpoint()
       val htot = hraw.agg(sum("raw").as("t"))
       hubs = hraw.crossJoin(broadcast(htot))
         .selectExpr("src AS node", s"(raw * ${scale}L) div t AS hub")

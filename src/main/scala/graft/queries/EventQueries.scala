@@ -62,8 +62,13 @@ object EventQueries {
     memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir), {
       import s.implicits._
       import graft.functions.VecFns._
+      // widened (Tables.widenIfNarrow): the per-row decode+feature pass
+      // below otherwise runs on the test file's single parquet split —
+      // one core for the whole build; the memoized OUTPUT is the pair
+      // frame, so (unlike shingleSets) no iterative consumer inherits
+      // the wider partitioning
       val media = graft.multimodal.Multimodal.fromStrings(
-        Tables(s, dir, "documents"), "doc_id", "text")
+        Tables.widenIfNarrow(s, Tables(s, dir, "documents")), "doc_id", "text")
       val feats = graft.multimodal.Multimodal
         .extractFeatures(media.as[graft.multimodal.Multimodal.MediaRow])
       val v = feats.toDF()
@@ -106,8 +111,11 @@ object EventQueries {
     memoReal.synchronized(memoReal.getOrElseUpdate((System.identityHashCode(s), dir), {
       import s.implicits._
       import graft.functions.VecFns._
-      val media = Tables(s, dir, "documents")
-        .select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+      // widened for the same reason as mediaPairs: the render+decode
+      // pass must not run on the test file's single split
+      val media = Tables.widenIfNarrow(s,
+          Tables(s, dir, "documents")
+            .select(col("doc_id")).filter(col("doc_id") < 200)).as[Long]
         .mapPartitions { it =>
           it.map { d =>
             val seed = d % 50

@@ -16,32 +16,112 @@ import graft.ops.{Bfs, Hits, KCore, LabelPropagation, PageRank, Sssp}
   */
 object GraphQueries {
 
+  /** Session-scoped memo of the shared edge-list builds (the
+    * DedupQueries prelude idiom): four queries each derive the trade
+    * graph from lineitem⋈orders and four more the co-purchase graph
+    * from the lineitem self-join — without the memo every g-row re-ran
+    * its base-graph build inside its own timed region (guide §2.4:
+    * two operations keyed the same way share one exchange — here they
+    * share the whole build). Bench attributes the builds to their own
+    * `g00_graph_prelude` entry via [[prewarmParts]]. All memoized
+    * frames are edge lists (pair volume), never corpus-scale payloads.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  // synchronized builder — the media-pair-memo hardening (a racing
+  // getOrElseUpdate would leak the losing build's persisted frame)
+  private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memo.synchronized(memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
+      val df = build.persist()
+      df.count()
+      df
+    }))
+
+  def evict(s: SparkSession, dir: String): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(k => k._1 == sid && k._2 == dir)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Evict every dir memoized for this session. */
+  def evictAll(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    memo.keys.filter(_._1 == sid)
+      .foreach(k => memo.remove(k).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Queries consuming the memoized edge builds (Bench's g00 gate). */
+  val preludeConsumers: Set[String] = Set(
+    "g01_pagerank", "g02_label_prop", "g03_triangles", "g04_bfs_reach",
+    "g05_kcore_peel", "g06_sssp", "g07_ppr", "g08_adamic_adar",
+    "g09_neighbor_jaccard", "g10_hits")
+
+  /** Attributed prelude builds for Bench (the DedupQueries.prewarmParts
+    * pattern): each shared edge frame timed as its own component.
+    */
+  def prewarmParts(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "trade_pairs" -> (() => { tradePairs(s, dir); () }),
+    "trade_pairs_w" -> (() => { tradePairsW(s, dir); () }),
+    "copurchase_pairs" -> (() => { copurchasePairs(s, dir); () }))
+
+  /** Distinct bipartite trade pairs (c = 2·custkey, sp = 2·suppkey+1) —
+    * the directed demand graph (g10) and the base of [[tradeEdges]].
+    */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "tpairs") {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+    }
+
+  /** Weighted trade pairs: (c, sp, w) with integer cost
+    * greatest(1, 6 − co-trade count).
+    */
+  private def tradePairsW(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "tpairsw") {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("c"), col("sp"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    }
+
+  /** Support-thresholded part co-purchase pairs (u < v, ≥ MinSupport
+    * shared orders) — g03/g05/g08/g09's shared sparsified graph.
+    */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "copurchase") {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= MinSupport)
+        .select("u", "v")
+    }
+
   /** Customer–supplier trade graph: an undirected edge when a customer's
     * order contains a supplier's line item. Node encoding keeps both id
     * spaces in one long key: customers even (2k), suppliers odd (2k+1).
+    * A projection over the memoized [[tradePairs]].
     */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-      .distinct()
+    val pairs = tradePairs(s, dir)
     pairs.select(col("c").as("src"), col("sp").as("dst"))
       .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
   }
 
   /** Weighted trade graph: same bipartite customer–supplier nodes as
-    * [[tradeEdges]], but each edge carries an integer COST
-    * greatest(1, 6 − co-trade count) — strong ties (≥5 joint line
-    * items) cost 1, one-off ties cost 5. Both orientations emitted.
+    * [[tradeEdges]], but each edge carries the [[tradePairsW]] cost.
+    * Both orientations emitted.
     */
   private def tradeEdgesW(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("c"), col("sp"), greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+    val pairs = tradePairsW(s, dir)
     pairs.select(col("c").as("src"), col("sp").as("dst"), col("w"))
       .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst"), col("w")))
   }
@@ -126,15 +206,9 @@ object GraphQueries {
     // naive wedges, ~10^6 oriented). All-integer counts; the
     // coefficient 2t/(d(d-1)) is one exact division, round6'd.
     "g03_triangles" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= MinSupport)
-        .select("u", "v")
-        .localCheckpoint()
+      // memoized persisted pair frame — serves the multi-reference role
+      // the per-query localCheckpoint used to
+      val e = copurchasePairs(s, dir)
       val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val du = deg.select(col("node").as("u"), col("d").as("du"))
@@ -204,14 +278,7 @@ object GraphQueries {
     // Completes the iterative-graph family: CC / PageRank / LPA / BFS
     // / k-core, all integer-exact and oracle-replayed.
     "g05_kcore_peel" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= MinSupport)
-        .select("u", "v")
+      val pairs = copurchasePairs(s, dir)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       val (profile, _) = KCore.run(edges, KCoreK, KCoreRounds)
@@ -289,15 +356,7 @@ object GraphQueries {
     // (the t21 rule). Existing edges anti-join out: the output is
     // PREDICTED links, ranked.
     "g08_adamic_adar" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= MinSupport)
-        .select("u", "v")
-        .localCheckpoint()
+      val e = copurchasePairs(s, dir)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
       val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -336,15 +395,7 @@ object GraphQueries {
     // the displayed ratio (t21 rule). Existing edges anti-join out:
     // the output is PREDICTED links, ranked.
     "g09_neighbor_jaccard" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= MinSupport)
-        .select("u", "v")
-        .localCheckpoint()
+      val e = copurchasePairs(s, dir)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
       // deg has three consumers (center filter + both score joins)
@@ -379,11 +430,10 @@ object GraphQueries {
     // half-steps as unrolled CTE layers from the same constants. Top
     // 12 per role, rank-deterministic tie-break on node id.
     "g10_hits" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      // the directed demand graph IS the distinct trade-pair frame
+      // (one row per (customer, supplier) pair, customer → supplier)
+      val edges = tradePairs(s, dir)
+        .select(col("c").as("src"), col("sp").as("dst"))
       val (hubs, auths) = Hits.run(edges, HitsIters, HitsScale)
       val topHub = hubs.orderBy(desc("hub"), col("node")).limit(12)
         .select(lit("customer").as("role"), expr("node div 2").as("node_id"),

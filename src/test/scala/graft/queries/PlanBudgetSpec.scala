@@ -79,10 +79,12 @@ class PlanBudgetSpec extends SparkSpec {
     // g02: LPA rounds run inside checkpoints like g01; static tail =
     // community aggregate + presentation sort over the label scan
     "g02_label_prop" -> 1,
-    // g03: edge build + orientation run inside the two checkpoints;
-    // the static tail is wedge join + closing join + one corner
-    // explode + count (the explode keeps the join single-execution)
-    "g03_triangles" -> 6,
+    // g03: r13 — the co-purchase edge build moved into the memoized
+    // g00 prelude; its one-time build exchanges print once inside the
+    // InMemoryRelation subtree (the d02 memo-embed convention), while
+    // the per-query runtime work DROPPED by the whole build (measured
+    // 7 static, was 6 with the build hidden behind a localCheckpoint)
+    "g03_triangles" -> 7,
     // g04: relaxation rounds run inside checkpoints; static tail =
     // seed-degree argmax + distance census + presentation sort
     "g04_bfs_reach" -> 2,
@@ -107,10 +109,16 @@ class PlanBudgetSpec extends SparkSpec {
     // m11: the video sibling — AVI render→container walk→per-frame
     // ledger, same shape; one presentation sort (measured 1)
     "m11_video_frames" -> 1,
-    "m03_media_neardup" -> 1, "m04_resize" -> 1,
+    // m03: r13 — the memoized pair build's input is WIDENED
+    // (Tables.widenIfNarrow) so the decode+feature pass parallelizes;
+    // the one widen exchange prints 3 static plan_ids inside the
+    // InMemoryRelation subtree (both self-join sides + the AQE-final
+    // print; runtime shows one exchange + ReusedExchange). Measured 4.
+    "m03_media_neardup" -> 4, "m04_resize" -> 1,
     // m08: presentation-only over the memoized REAL-codec pair frame
-    // (m03's shape — render→real-decode→LSH→pair built once, persisted)
-    "m08_media_real_neardup" -> 1,
+    // (m03's shape — render→real-decode→LSH→pair built once, persisted);
+    // r13: same widen-embed as m03 (measured 4)
+    "m08_media_real_neardup" -> 4,
     // m09: CC rounds ran eagerly inside checkpoints (m05's shape);
     // static tail = census aggregate + presentation sort
     "m09_media_real_clusters" -> 2,
@@ -286,13 +294,15 @@ class PlanBudgetSpec extends SparkSpec {
     // static tail = dup agg (broadcast anti back), totals + reassembly
     // aggs, presentation sort
     "d24_chunk_clean" -> 4,
-    // g08: g03's edge build (checkpointed) + deg/ctr, wedge equi-join,
-    // pair agg, anti join, TakeOrdered — same 6 as g03
-    "g08_adamic_adar" -> 6,
+    // g08: r13 — memoized g00 edge build embeds once (see g03);
+    // live tail unchanged: deg/ctr, wedge equi-join, pair agg, anti
+    // join, TakeOrdered (measured 8)
+    "g08_adamic_adar" -> 8,
     // g09: g08's shape + the two full-degree scoring joins (deg is
     // node-scale, NOT a broadcastable dim at 100 TB — shuffle joins
-    // on a/b are the honest plan); measured 10 (tools.BudgetProbe)
-    "g09_neighbor_jaccard" -> 10,
+    // on a/b are the honest plan); r13 re-measured 8 with the memoized
+    // edge build (was 10 building inline)
+    "g09_neighbor_jaccard" -> 8,
     // s18: s03's coarse probe + s05's codebook/ADC over the
     // checkpointed sub frame + rerank (broadcasts excluded as always)
     "s18_ivfpq_topk" -> 6,
