@@ -42,6 +42,8 @@ object Bfs {
     require(maxHops >= 1, "maxHops must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     var labels = sources.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
     for (k <- 1 to maxHops) {
@@ -56,6 +58,7 @@ object Bfs {
     }
     e.unpersist()
     labels
+    }
   }
 
   /** DuckDB mirror of [[run]] as unrolled CTE layers — callers splice

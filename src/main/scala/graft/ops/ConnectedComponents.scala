@@ -65,6 +65,8 @@ object ConnectedComponents {
       .union(pr.select(col("dst"), col("src")))
       .toDF("src", "dst")
       .persist()
+    val nEdges = edges.count()
+    IterConf.scoped(pairs.sparkSession, nEdges) {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
@@ -86,6 +88,7 @@ object ConnectedComponents {
     edges.unpersist()
     if (done) Some((labels.select(col("doc_id"), col("label").as("cluster_id")), rounds))
     else None
+    }
   }
 
   /** Alternating small-star/large-star; returns (labels, rounds) where a
@@ -113,6 +116,8 @@ object ConnectedComponents {
 
     var edges = pairs.toDF("u", "v")
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nEdges = edges.count()
+    IterConf.scoped(pairs.sparkSession, nEdges) {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -127,5 +132,6 @@ object ConnectedComponents {
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
     (labels, rounds)
+    }
   }
 }

@@ -55,6 +55,8 @@ object Hits {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     val hubNodes = e.select(col("src").as("node")).distinct().persist()
     // 1-row hub count, broadcast into the uniform init (no driver collect)
     val nh = hubNodes.agg(count(lit(1)).as("n"))
@@ -63,29 +65,34 @@ object Hits {
       .localCheckpoint()
     var auths: DataFrame = hubs.limit(0).selectExpr("node", "hub AS auth")
     for (_ <- 1 to iterations) {
-      // raw sums are MATERIALIZED before use: both consumers below (the
-      // 1-row L1 total and the normalized frame) would otherwise each
-      // re-run the edge join + groupBy — the corpus-sized half-step work
-      // twice per half-step, 4x per iteration (measured in the r13 pass:
-      // the fix plus shared-edge memoization took g10 8.4 s -> ~4 s)
+      // raw sums are CACHED before use: both consumers below (the 1-row
+      // L1 total and the normalized frame) would otherwise each re-run
+      // the edge join + groupBy — the corpus-sized half-step work twice
+      // per half-step, 4x per iteration. persist (not localCheckpoint):
+      // the total's broadcast materializes the cache as a side effect,
+      // so the half-step stays ONE eager action; the localCheckpoint on
+      // the normalized frame still truncates lineage per half-step.
       val araw = e.join(hubs, e("src") === hubs("node"))
         .groupBy("dst").agg(sum("hub").as("raw"))
-        .localCheckpoint()
+        .persist()
       val atot = araw.agg(sum("raw").as("t"))
       auths = araw.crossJoin(broadcast(atot))
         .selectExpr("dst AS node", s"(raw * ${scale}L) div t AS auth")
         .localCheckpoint()
+      araw.unpersist()
       val hraw = e.join(auths, e("dst") === auths("node"))
         .groupBy("src").agg(sum("auth").as("raw"))
-        .localCheckpoint()
+        .persist()
       val htot = hraw.agg(sum("raw").as("t"))
       hubs = hraw.crossJoin(broadcast(htot))
         .selectExpr("src AS node", s"(raw * ${scale}L) div t AS hub")
         .localCheckpoint()
+      hraw.unpersist()
     }
     e.unpersist()
     hubNodes.unpersist()
     (hubs, auths)
+    }
   }
 
   /** The DuckDB mirror of [[run]] as unrolled CTE layers generated from

@@ -48,6 +48,8 @@ object KCore {
   def run(edges: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     var cur = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nEdges = cur.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     var surv: DataFrame = null
     val profile = Seq.newBuilder[(Long, Long, Long)]
     var lastS = -1L
@@ -76,6 +78,7 @@ object KCore {
     val profileDf = spark.createDataFrame(profile.result())
       .toDF("round", "survivors", "edges_left")
     (profileDf, surv)
+    }
   }
 
   /** DuckDB mirror of [[run]]'s profile as unrolled CTE layers — splice

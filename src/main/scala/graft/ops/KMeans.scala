@@ -80,27 +80,79 @@ object KMeans {
       .select(col("vec_id"), col("e"), best("cid").as("cid"))
   }
 
+  /** Assignment against DRIVER-HELD centroids: the same argmax fold as
+    * [[assign]], but the cid-ascending centroid list rides as a plan
+    * LITERAL (k×dim doubles — a few KB) instead of a broadcast built
+    * from a k-row frame. Identical arithmetic: same graft_dot per
+    * (vector, centroid) in the same cid order, strict `>` keeps the
+    * lowest cid on ties.
+    */
+  def assignLit(v: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val centsCol = array(cents.sortBy(_._1).map { case (cid, c) =>
+      struct(lit(cid).as("cid"), lit(c).as("c"))
+    }: _*)
+    val best = aggregate(
+      centsCol,
+      struct(lit(Double.NegativeInfinity).as("d"), lit(0).as("cid")),
+      (acc, x) => {
+        val d = dotSeq(x("c"), col("e"))
+        when(d > acc("d"), struct(d.as("d"), x("cid").as("cid"))).otherwise(acc)
+      })
+    v.select(col("vec_id"), col("e"), best("cid").as("cid"))
+  }
+
   /** `iters` rounds of Lloyd's from the deterministic seeds. Returns the
-    * trained centroids (cid, c), localCheckpointed per round (k-row
-    * frames — lineage truncation, not data-scale caching).
+    * trained centroids (cid, c) as a local relation.
+    *
+    * r13 shape: each round is ONE job — an assignment projection (the
+    * [[assignLit]] fold over literal centroids) into the cid-keyed
+    * decimal aggregate, whose ≤ k result rows are collected and folded
+    * into the next round's centroids ON THE DRIVER (k×dim values — the
+    * sanctioned bounded-collect pattern; at k=8, dim=64 that is 4 KB).
+    * The former DataFrame chain spent 4+ jobs per round (centroid-list
+    * fold, broadcast build, update aggregate, carry-over join,
+    * localCheckpoint) moving k-row frames. Arithmetic is bit-identical:
+    * the decimal sums commute (partition-invariant), the mean is the
+    * same decimal→double cast divided by the same long count, and the
+    * normalize mirrors L2NormalizeD's fold (Σx² left-to-right, sqrt,
+    * divide) — KMeansSpec pins fit/assign equality and the oracle
+    * replays the same rounds.
     */
   def fit(v: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
-    var cent = seeds(v, k)
+    // seed draw: k rows in (h60(vec_id), vec_id) order — TakeOrdered,
+    // collected; index order IS the former row_number (same total order)
+    var cents: IndexedSeq[(Int, Array[Double])] = v
+      .select(col("vec_id"), col("e"), h60(col("vec_id").cast(StringType)).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("e"))
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0).toArray) }
     val sums = (0 until dim).map(d =>
       sum(element_at(col("e"), d + 1).cast(DecimalType(28, 9))).as(s"s$d"))
     for (_ <- 0 until iters) {
-      val mean = array((0 until dim).map(d =>
-        col(s"s$d").cast(DoubleType) / col("n")): _*)
-      val upd = assign(v, cent)
+      val upd = assignLit(v, cents)
         .groupBy("cid")
         .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-        .select(col("cid"), l2normalize(mean).as("u"))
-      cent = cent.select(col("cid"), col("c").as("prev"))
-        .join(upd, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("u"), col("prev")).as("c"))
-        .localCheckpoint()
+        .collect()
+        .map { r =>
+          val n = r.getLong(dim + 1)
+          // Decimal(38,9) -> double, / long: the same cast + division
+          // Spark's `s_d.cast(double) / n` performed per element
+          val mean = Array.tabulate(dim)(d => r.getDecimal(d + 1).doubleValue() / n)
+          // L2NormalizeD's exact fold: Σx² left-to-right, sqrt, divide
+          var ss = 0.0
+          var i = 0
+          while (i < dim) { ss += mean(i) * mean(i); i += 1 }
+          val norm = math.sqrt(ss)
+          (r.getInt(0), mean.map(_ / norm))
+        }.toMap
+      // an emptied cluster keeps its previous centroid
+      cents = cents.map { case (cid, prev) => (cid, upd.getOrElse(cid, prev)) }
     }
-    cent
+    val spark = v.sparkSession
+    import spark.implicits._
+    cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
   }
 
   // ---------------------------------------------------------------- SQL

@@ -45,6 +45,8 @@ object LabelPropagation {
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -63,6 +65,7 @@ object LabelPropagation {
     }
     e.unpersist()
     labels
+    }
   }
 
   /** DuckDB mirror of [[run]] as unrolled CTE layers — callers splice

@@ -51,8 +51,13 @@ object PageRank {
       dampingNum: Long = 85,
       dampingDen: Long = 100): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // the edge repartition materializes OUTSIDE the scope (the one
+    // corpus-scale exchange, AQE applies); its count sizes the
+    // round-loop partitions (IterConf.scoped)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg")).persist()
     // 1-row node count, broadcast into the init/teleport projections
@@ -76,6 +81,7 @@ object PageRank {
     e.unpersist()
     deg.unpersist()
     ranks
+    }
   }
 
   /** PERSONALIZED PageRank (random walk with restart): identical
@@ -107,6 +113,8 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg")).persist()
     val srcs = sources.select(col("node")).distinct()
@@ -139,6 +147,7 @@ object PageRank {
     deg.unpersist()
     srcs.unpersist()
     ranks
+    }
   }
 
   /** The DuckDB mirror of [[runPersonalized]] — callers splice

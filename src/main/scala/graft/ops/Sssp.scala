@@ -48,6 +48,8 @@ object Sssp {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src")).persist()
+    val nEdges = e.count()
+    IterConf.scoped(edges.sparkSession, nEdges) {
     var dist = sources.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
     var frontier = dist
@@ -70,6 +72,7 @@ object Sssp {
     }
     e.unpersist()
     dist
+    }
   }
 
   /** DuckDB mirror of [[run]] as unrolled FULL-relaxation CTE layers

@@ -310,12 +310,15 @@ object DedupQueries {
   /** Per-doc distinct shingle sets: one linear scan, no shuffle. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "sets") {
-      // NOT widened (unlike vecsNorm): measured net-negative — the
-      // build's parallel gain (~2 s) is smaller than the tax its
-      // iterative consumers pay (d19's CC+PageRank rounds re-schedule
-      // every inherited partition per round; 8-way widening cost d19
-      // +3 s and d07/d09/d13 ~+0.6 s each at sf0.1)
-      Tables(s, dir, "documents")
+      // WIDENED as of r13: the historical net-negative (8-way widening
+      // taxed d19's CC+PageRank rounds ~+3 s, which re-scheduled every
+      // inherited partition per round) no longer holds — cached-plan
+      // AQE coalescing (Bench/Verify conf) collapses the iterative
+      // consumers' post-shuffle frames by data volume, so the widening
+      // now only parallelizes the heavy per-doc shingle/minhash
+      // projections (re-measured at sf0.1: d00's lsh_candidates
+      // component 2.7 s → 1.5 s, d19/d07 flat)
+      Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"), array_distinct(grams3(tokens(col("text")))).as("gs"))
     }
 

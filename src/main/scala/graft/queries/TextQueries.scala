@@ -364,27 +364,46 @@ object TextQueries {
     // whole query is ONE (doc_id, n, gram) shuffle chain — no per-doc
     // join-back, no second scan; (doc_id, gram) keys are high-cardinality
     // and skew-free by construction.
+    // r13 rewrite (guide §2.4, remove shuffles outright): the stats are
+    // all PER-DOC, so the former explode → (doc, n, g) aggregate →
+    // doc aggregate chain shuffled corpus × n-gram rows twice for
+    // quantities computable inside one projection. Distinct counts come
+    // from array_distinct; the max bigram multiplicity is the longest
+    // equal-run of the SORTED bigram array (one sequential fold —
+    // identical integer to the old max(count)). Map-only up to the
+    // presentation sort; values bit-identical (same integer counts,
+    // same divisions), row set identical (a doc appears iff it has ≥ 1
+    // bigram — explode dropped gram-less docs, the filter keeps parity).
     "t06_repetition" -> { (s, dir) =>
       val toks = tokens(col("text"))
-      val tagged = concat(
-        transform(grams2(toks), g => struct(lit(2).as("n"), g.as("g"))),
-        transform(grams3(toks), g => struct(lit(3).as("n"), g.as("g"))))
       def overTotal(c: org.apache.spark.sql.Column) = round6(c)
+      // longest equal-run in a sorted string array: fold carrying
+      // (prev, current run, best run)
+      def maxRun(sorted: org.apache.spark.sql.Column) = aggregate(
+        sorted,
+        struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc("prev").isNotNull && x === acc("prev"),
+            acc("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tagged).as("ng"))
-        .groupBy(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(
-          sum(when(col("n") === 2, col("c"))).as("total2"),
-          count(when(col("n") === 2, lit(1))).as("dist2"),
-          max(when(col("n") === 2, col("c"))).as("top2"),
-          sum(when(col("n") === 3, col("c"))).as("total3"),
-          count(when(col("n") === 3, lit(1))).as("dist3"))
+        .select(col("doc_id"), grams2(toks).as("g2"), grams3(toks).as("g3"))
+        .filter(size(col("g2")) > 0)
+        .select(col("doc_id"),
+          size(col("g2")).cast(LongType).as("total2"),
+          size(array_distinct(col("g2"))).cast(LongType).as("dist2"),
+          maxRun(array_sort(col("g2"))).as("top2"),
+          size(col("g3")).cast(LongType).as("total3"),
+          size(array_distinct(col("g3"))).cast(LongType).as("dist3"))
         .select(col("doc_id"), col("total2"),
           overTotal((col("total2") - col("dist2")).cast(DoubleType) / col("total2")).as("dup2_frac"),
           overTotal(col("top2").cast(DoubleType) / col("total2")).as("top2_frac"),
-          overTotal((col("total3") - col("dist3")).cast(DoubleType) / col("total3")).as("dup3_frac"))
+          overTotal(when(col("total3") > 0,
+            (col("total3") - col("dist3")).cast(DoubleType) / col("total3"))).as("dup3_frac"))
         .orderBy("doc_id")
     },
 

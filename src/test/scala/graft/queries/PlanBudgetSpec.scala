@@ -49,20 +49,24 @@ class PlanBudgetSpec extends SparkSpec {
     // signatures became slot-array slices (the (doc_id, band) regroup
     // shuffle was deleted outright) and the verified pair frame joined
     // the memo (its verify join prints once, not per consumer)
-    "d02_minhash_pairs" -> 8,
-    "d03_minhash_lsh" -> 7, "d04_simhash" -> 2,
-    "d05_ngram_jaccard" -> 7, "d06_embed_neardup" -> 3,
+    // d02..d20 +2 in r13: shingleSets is now WIDENED (see there) and
+    // the one-time widen exchange prints 2 static plan_ids inside the
+    // embedded memo-build subtree (AQE initial + final print — runtime
+    // is one exchange, once per session)
+    "d02_minhash_pairs" -> 10,
+    "d03_minhash_lsh" -> 9, "d04_simhash" -> 2,
+    "d05_ngram_jaccard" -> 9, "d06_embed_neardup" -> 3,
     "d07_dedup_clusters" -> 1, "d08_sig_dedup" -> 2,
-    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 7,
+    "d09_dedup_keep" -> 3, "d10_edit_verify" -> 9,
     // d11 embeds the quantizer memo's first-build plan when it is the
     // first toucher (k-means fit exchanges print inside the subtree)
-    "d11_semdedup" -> 6, "d12_lsh_tuning" -> 7,
+    "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
     "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
     // d15/d17 pipeline the shared signProposals banding join inline
     // (deliberately not materialized — the 2-bit config proposes ~all
     // pairs, caching it would cost n²/4 rows)
     "d15_blocking_eval" -> 6, "d17_threshold_sweep" -> 6,
-    "d18_containment" -> 7, // d05's candidate-verify shape
+    "d18_containment" -> 9, // d05's candidate-verify shape
     // e18: user-lag window + tiny (prev,next) matrix agg + present sort
     "e18_transitions" -> 4,
     // t18: the uni/bi aggregate subtrees print once per consumer
@@ -145,7 +149,10 @@ class PlanBudgetSpec extends SparkSpec {
     "s07_ivf_recall" -> 9, "s08_pq_recall" -> 10,
     "t01_langid" -> 1, "t02_quality" -> 1,
     "t03_tokens" -> 1, "t04_fingerprint" -> 1,
-    "t05_tfidf" -> 5, "t06_repetition" -> 3,
+    // t06: r13 — per-doc stats fold inside one projection (array_distinct
+    // + sorted-run max); the two corpus×n-gram exchanges are gone, the
+    // one left is the presentation sort (measured 1, was 3)
+    "t05_tfidf" -> 5, "t06_repetition" -> 1,
     "t07_vocab" -> 2, "t08_bm25" -> 5,
     "t09_countmin" -> 3, "t10_normalize" -> 1,
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
@@ -207,7 +214,7 @@ class PlanBudgetSpec extends SparkSpec {
     "x25_scd2_intervals" -> 2,
     // d20: token-df aggregate, per-doc rank window, prefix self-join,
     // candidate distinct, verify joins + presentation sort
-    "d20_prefix_filter_join" -> 5,
+    "d20_prefix_filter_join" -> 7,
     // e22: boundary collapse aggregate, per-(type,day) sweep window,
     // presentation sort
     "e22_max_concurrency" -> 3,
