@@ -108,5 +108,16 @@ object GraftFunctions {
       exprs => BloomContains(exprs(0), exprs(1), exprs(2),
         BloomBits.longLit(exprs(3), "m"), BloomBits.longLit(exprs(4), "k").toInt),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_h60s",
+      // p must be a positive integer literal: it folds to a constant here
+      exprs => GramH60ModExpr(exprs(0), BloomBits.longLit(exprs(1), "p")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_bloom",
+      // m and k must be integer literals: they fold to constants here
+      exprs => GramBloomHitsExpr(exprs(0), exprs(1),
+        BloomBits.longLit(exprs(2), "m"), BloomBits.longLit(exprs(3), "k").toInt),
+      "built-in")
   }
 }

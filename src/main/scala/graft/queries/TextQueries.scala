@@ -64,7 +64,11 @@ object TextQueries {
     */
   private[queries] def bigramCounts(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "bigram_counts") {
-      Tables(s, dir, "documents")
+      // widened (Tables.widenIfNarrow): the one-pass byte parse otherwise
+      // runs on the test file's single parquet split — one core for the
+      // whole corpus — and the memoized frame inherits that 1 partition,
+      // serializing every consumer aggregate. Identity at scale (r13).
+      Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"),
           explode(call_function("graft_char_bigrams", col("text"))).as("bg"))
         .select(col("doc_id"), col("bg.g").as("g"), col("bg.n").as("n"))
@@ -73,7 +77,10 @@ object TextQueries {
   /** The one corpus-sized word-count aggregate BPE trains on. */
   private[queries] def bpeWordCounts(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "bpe_word_counts") {
-      graft.ops.BpeLearn.wordCounts(Tables(s, dir, "documents"), "text")
+      // widened: the word-split explode runs pre-exchange — on the test
+      // file's single split it was one task over the corpus (r13)
+      graft.ops.BpeLearn.wordCounts(
+        Tables.widenIfNarrow(s, Tables(s, dir, "documents")), "text")
     }
 
   /** The trained tokenizer: learn once per (session, dir), serve the
@@ -184,7 +191,12 @@ object TextQueries {
     */
   private[queries] def trigramCounts(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "trigram_counts") {
-      Tables(s, dir, "documents")
+      // widened (Tables.widenIfNarrow): measured r13 — the single-split
+      // scan ran the whole trigram parse AND every downstream consumer
+      // aggregate (t23/t26/t27/t29 train + eval folds) as 1-task jobs;
+      // one tiny one-time shuffle of the raw docs buys them all 8-way
+      // parallelism. Identity at scale (thousands of splits).
+      Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(call_function("graft_char_trigrams", col("text"))).as("tg"))
         .select(col("doc_id"), col("lang"),

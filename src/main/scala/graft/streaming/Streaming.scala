@@ -89,9 +89,13 @@ object Streaming {
     import graft.functions.TextFns._
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val keyed = docs
+      // ONE compiled byte pass per row (expressions.GramH60ModExpr) for
+      // the gram→hash front: the transform/array_distinct/zip_with
+      // chain was CodegenFallback — interpreted md5-per-gram inside the
+      // stream's single-task micro-batch (r13; GramHashSpec pins the
+      // two forms value-identical)
       .withColumn("hms",
-        transform(array_distinct(grams3(tokens(col(textCol)))),
-          g => h60(g) % lit(MinhashP)))
+        call_function("graft_gram_h60s", col(textCol), lit(MinhashP)))
       .withColumn("sig_key", coalesce(
         when(size(col("hms")) > 0,
           concat_ws(",", transform(minhashSlots(col("hms")), _.cast("string")))),
@@ -166,14 +170,20 @@ object Streaming {
     */
   def decontaminateStream(docs: DataFrame, bits: Array[Byte], m: Long, k: Int,
       textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFns._
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    val grams = array_distinct(grams3(tokens(col(textCol))))
-    val hits = filter(grams, g => call_function("graft_bloom_contains",
-      lit(bits), h60(g), h60(concat(lit("#"), g)), lit(m), lit(k)))
+    // ONE compiled byte pass per row (expressions.GramBloomHitsExpr) —
+    // the previous filter(grams3(…), graft_bloom_contains(…)) chain was
+    // higher-order functions all the way down, i.e. CodegenFallback:
+    // the whole per-row pipeline ran INTERPRETED inside the stream's
+    // single-task micro-batch (measured r13: 3.2 s for one 4,750-doc
+    // batch; GramHashSpec pins the two forms value-identical)
+    val gb = call_function("graft_gram_bloom",
+      col(textCol), lit(bits), lit(m), lit(k))
     docs
-      .withColumn("n_grams", size(grams).cast("long"))
-      .withColumn("n_bloom", size(hits).cast("long"))
+      .withColumn("__gb", gb)
+      .withColumn("n_grams", col("__gb.n_grams"))
+      .withColumn("n_bloom", col("__gb.n_bloom"))
+      .drop("__gb")
   }
 
   /** Stream-stream inner join bounded by an event-time interval: right

@@ -28,6 +28,9 @@ object JobProfile {
     val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // parity with Bench: without it cached frames pin 32-partition
+      // layouts and the profile shows stage shapes Bench never runs
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // extra session confs for A/B runs: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"

@@ -158,8 +158,13 @@ class PlanBudgetSpec extends SparkSpec {
     "t11_lang_confusion" -> 2, "t12_hash_classifier" -> 1,
     // t14: the memoized bigram frame is a PROJECTION (native
     // CharBigramsExpr folds per-doc counts in one pass — no build
-    // exchange at all); live = model agg + doc agg + sort
-    "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 3,
+    // exchange at all); live = model agg + doc agg + sort.
+    // t14/t16/t17/t21/t23/t24 +2 in r13: the corpus memo builds
+    // (bigram/trigram/bpe-word counts) are now WIDENED like shingleSets,
+    // and the one-time widen exchange prints 2 static plan_ids inside
+    // the embedded memo-build subtree (AQE initial + final print —
+    // runtime is one exchange, once per session)
+    "t13_classifier_eval" -> 2, "t14_bigram_typicality" -> 5,
     // t15: merges are served from the trained-model memo (driver-side
     // rows); the only exchange is the presentation sort
     "t15_bpe_merges" -> 1,
@@ -167,8 +172,8 @@ class PlanBudgetSpec extends SparkSpec {
     // build exchange prints once inside the InMemoryRelation subtree
     // (one-time build per session/dir, the d02 memo-embed convention);
     // the live per-query shuffles are unchanged
-    "t16_bpe_vocab" -> 3,
-    "t17_bpe_doc_tokens" -> 5,
+    "t16_bpe_vocab" -> 5,
+    "t17_bpe_doc_tokens" -> 7,
     // t25: the persisted-model serve runs eagerly (write -> re-read ->
     // checkpoint, the s23 shape); static tail = checkpoint scan + sort
     "t25_bpe_persisted" -> 1,
@@ -291,7 +296,7 @@ class PlanBudgetSpec extends SparkSpec {
     // t21: the memoized bigram frame is exchange-free (see t14); the
     // model/cx smoothing folds are aggregates over the ≤27²-row model
     // frame (measured 5 with the native build, was 8 inline)
-    "t21_bigram_lm" -> 5,
+    "t21_bigram_lm" -> 7, // +2 r13: widened bigram memo build (see t14)
     // p25: grouped two-level prefix sum (per-(source,range) partials,
     // tiny offsets frame, in-range window) + source totals +
     // presentation sort
@@ -359,10 +364,10 @@ class PlanBudgetSpec extends SparkSpec {
     // per-doc trigram-count frame (CharTrigramsExpr folds the per-doc
     // aggregate inside the projection, so the former (doc,lang,g)
     // eval exchange is gone) — measured 8, down from 9
-    "t23_trigram_langid" -> 8,
+    "t23_trigram_langid" -> 10, // +2 r13: widened trigram memo build (see t14)
     // t24: t17's composed shuffles (incl. the one-time memo-build
     // exchange, see t16/t17) + the lang rollup + sort (measured 6)
-    "t24_fertility" -> 6,
+    "t24_fertility" -> 8, // +2 r13: widened bpe-word memo build (see t14)
     // x35: ONE corpus aggregate (bounded kmv_set state, checkpointed
     // sketch frame) + the dimension-sized pairwise stage + sort
     // (measured 1)
