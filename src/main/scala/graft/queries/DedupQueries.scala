@@ -1148,14 +1148,28 @@ object DedupQueries {
               col("rpb").cast(IntegerType)),
             v => v.cast(StringType)), ","))))
       .toDF("doc_id", "rpb", "band", "bs")
-    bsig.groupBy("rpb", "band", "bs")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, MaxBucket))
-      .select(col("rpb").as("r"),
-        explode(flatten(transform(col("ds"), (a, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("r"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // count-filter → self-join (the lshCandidates shape) — r13: the
+    // earlier collect_list form materialized each bucket's FULL doc
+    // list before size-filtering it (unbounded per-key state at scale,
+    // where this count-filter caps it at the exchange), and its ~80k
+    // grouping keys tripped ObjectHashAggregate's 128-entry sort-based
+    // fallback (measured: d13's sample sweep ran 14-16 s single-task
+    // jobs; the join form aggregates longs only). Same (r, doc_a,
+    // doc_b) multiset: every unordered pair co-bucketed under a config,
+    // once per (band, bucket), doc_a < doc_b — oracle-pinned via
+    // d12/d13/d17.
+    val small = bsig.groupBy("rpb", "band", "bs")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, MaxBucket))
+    // same (rpb, band, bs) shuffle key as the self-join below → reuse
+    val pruned = bsig.join(small, Seq("rpb", "band", "bs"))
+    val a = pruned.as("a")
+    val b = pruned.as("b")
+    a.join(b,
+        col("a.rpb") === col("b.rpb") && col("a.band") === col("b.band") &&
+          col("a.bs") === col("b.bs") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.rpb").as("r"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
   }
 
   /** Exact n-gram-Jaccard filter (j >= 0.5) over candidate (doc_a,
@@ -1178,18 +1192,28 @@ object DedupQueries {
     * any config surfaced) broadcast back.
     */
   private def sweepStats(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
-    val pairs = cands
-      .groupBy("doc_a", "doc_b").agg(collect_set(col("r")).as("rs"))
+    // r13: verify each DISTINCT pair once and join the per-config pair
+    // sets back against the verdicts — the earlier collect_set(r) per
+    // pair carried array state through an ObjectHashAggregate whose
+    // tens-of-thousands of keys tripped the 128-entry sort-based
+    // fallback (and an exploded re-count after scoring); this form is
+    // plain codegen'd hash aggregates + one broadcast-back join. Same
+    // numbers: n_cand(r) = distinct pairs r proposed, n_true(r) = those
+    // exact-verified at 0.5, n_ref = verified pairs ANY config surfaced.
+    val pairs = cands.select("doc_a", "doc_b").distinct()
     val sets = shingleSets(s, dir)
     val inter = size(array_intersect(col("gsa"), col("gsb")))
-    val scored = pairs
+    val verdicts = pairs
       .join(sets.toDF("doc_a", "gsa"), "doc_a")
       .join(sets.toDF("doc_b", "gsb"), "doc_b")
-      .select(col("rs"), (inter.cast(DoubleType) /
+      .select(col("doc_a"), col("doc_b"), (inter.cast(DoubleType) /
         (size(col("gsa")) + size(col("gsb")) - inter)).as("j"))
-      .select(col("rs"), when(col("j") >= 0.5, 1L).otherwise(0L).as("is_true"))
-    val ref = scored.agg(sum(col("is_true")).as("n_ref"))
-    scored.select(explode(col("rs")).as("rows_per_band"), col("is_true"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("j") >= 0.5, 1L).otherwise(0L).as("is_true"))
+    val ref = verdicts.agg(sum(col("is_true")).as("n_ref"))
+    cands.select(col("r").as("rows_per_band"), col("doc_a"), col("doc_b"))
+      .distinct()
+      .join(verdicts, Seq("doc_a", "doc_b"))
       .groupBy("rows_per_band")
       .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
       .crossJoin(broadcast(ref))

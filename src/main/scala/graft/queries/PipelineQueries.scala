@@ -52,7 +52,11 @@ object PipelineQueries {
     // nature (eval suites, not corpora) -> broadcast it; candidates are
     // scored in one scan + one aggregation, no inverted-index shuffle.
     "p02_contamination" -> { (s, dir) =>
-      val grams = Tables(s, dir, "documents")
+      // widened (r13): the gram explode is the query's heavy per-row
+      // pass and the test file's single split ran BOTH references (bench
+      // + probe sides) single-task; one tiny text shuffle when narrow,
+      // identity at scale (the memo-build widen rationale, per-query)
+      val grams = Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
@@ -539,7 +543,9 @@ object PipelineQueries {
     "p14_bloom_decontam" -> { (s, dir) =>
       val M = 1L << 16
       val K = 3
-      val grams = Tables(s, dir, "documents")
+      // widened (r13): the gram explode + double md5 ran single-task on
+      // the test file's single split (profiled 3.0 s); see p02
+      val grams = Tables.widenIfNarrow(s, Tables(s, dir, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
         .withColumn("h1", h60(col("g")))
@@ -777,12 +783,16 @@ object PipelineQueries {
     "p23_stream_decontam" -> { (s, dir) =>
       val M = 1L << 16
       val K = 3
-      val grams = Tables(s, dir, "documents")
+      // benchmark slice filtered BEFORE the widen (r13): the pushed
+      // doc_id predicate keeps the one-time shuffle at 1/20th of the
+      // corpus; the gram explode + double md5 then runs parallel
+      val grams = Tables.widenIfNarrow(s,
+          Tables(s, dir, "documents").filter(col("doc_id") % 20 === 0))
         .select(col("doc_id"),
           explode(array_distinct(grams3(tokens(col("text"))))).as("g"))
         .withColumn("h1", h60(col("g")))
         .withColumn("h2", h60(concat(lit("#"), col("g"))))
-      val bits = grams.filter(col("doc_id") % 20 === 0)
+      val bits = grams
         .select("g", "h1", "h2").distinct()
         .agg(expr(s"graft_bloom(h1, h2, $M, $K)").as("bits"))
         .collect()(0).getAs[Array[Byte]]("bits")

@@ -60,7 +60,12 @@ class PlanBudgetSpec extends SparkSpec {
     "d09_dedup_keep" -> 3, "d10_edit_verify" -> 9,
     // d11 embeds the quantizer memo's first-build plan when it is the
     // first toucher (k-means fit exchanges print inside the subtree)
-    "d11_semdedup" -> 6, "d12_lsh_tuning" -> 9,
+    // d12 +3 in r13: the band sweep's collect_list bucket expansion
+    // became count-filter → self-join → verdict join-back (same pair
+    // multiset, no ObjectHashAggregate sort-fallback, bucket state
+    // capped at the exchange) — three more SMALL exchanges (pair-scale)
+    // in place of one array-state aggregate that spilled
+    "d11_semdedup" -> 6, "d12_lsh_tuning" -> 12,
     "d13_auto_dedup" -> 3, "d14_incremental_dedup" -> 1,
     // d15/d17 pipeline the shared signProposals banding join inline
     // (deliberately not materialized — the 2-bit config proposes ~all
@@ -126,13 +131,15 @@ class PlanBudgetSpec extends SparkSpec {
     // m09: CC rounds ran eagerly inside checkpoints (m05's shape);
     // static tail = census aggregate + presentation sort
     "m09_media_real_clusters" -> 2,
-    "p01_clean_corpus" -> 2, "p02_contamination" -> 3,
+    // p02/p14 +2/+3 in r13: the per-query gram-explode widen (one
+    // real one-time exchange; AQE initial+final prints — see t14)
+    "p01_clean_corpus" -> 2, "p02_contamination" -> 5,
     "p03_stratified_sample" -> 1, "p04_source_mix" -> 3,
     "p05_redact" -> 1, "p06_chunk" -> 1,
     "p07_chunk_dedup" -> 2, "p08_pack" -> 4,
     "p09_sample_topk" -> 2, "p10_pipeline" -> 4,
     "p11_quality_tertiles" -> 4, "p12_temperature_mix" -> 2,
-    "p13_split" -> 2, "p14_bloom_decontam" -> 5,
+    "p13_split" -> 2, "p14_bloom_decontam" -> 8,
     "p15_mix_epochs" -> 2, "p16_epoch_shuffle" -> 2,
     "p17_length_buckets" -> 2, "p18_datasheet" -> 2,
     "p19_cdc_chunk" -> 1, "p20_cdc_dedup" -> 2,
